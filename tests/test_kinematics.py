@@ -1,0 +1,120 @@
+"""Batched rollout vs. the scalar-loop oracle on a curved reference path."""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frenetix_tpu.geometry.refpath import prepare_reference_path
+from frenetix_tpu.ops.kinematics import VehicleParams, rollout_candidates
+from frenetix_tpu.ops.sampling import build_sampling_matrix, linspace_samples, time_samples
+from tests import reference_impl as oracle
+
+DT = 0.1
+N = 30
+
+# always go through jit — per-op eager dispatch is pathologically slow
+rollout_jit = jax.jit(
+    rollout_candidates,
+    static_argnames=("dt", "n_steps", "low_vel_mode", "quintic_lon"),
+)
+
+
+def make_ref():
+    t = np.linspace(0, np.pi / 3, 500)
+    xy = np.stack([120 * np.sin(t), 120 * (1 - np.cos(t))], axis=1)
+    return prepare_reference_path(xy, extension=30.0)
+
+
+def make_matrix(level=1, v0=10.0):
+    x0_lon = (35.0, v0, 0.2)
+    x0_lat = (0.4, 0.05, 0.01)
+    t1 = np.concatenate([time_samples(1.1, 3.0, DT, level), [N * DT]])
+    ss1 = np.union1d(linspace_samples(max(v0 - 5, 0.001), v0 + 5, level), [x0_lon[1]])
+    d1 = np.union1d(linspace_samples(-3, 3, level), [x0_lat[0]])
+    return build_sampling_matrix(
+        t1_vals=np.unique(t1), ss1_vals=ss1, d1_vals=d1, x0_lon=x0_lon, x0_lat=x0_lat
+    ), x0_lon, x0_lat
+
+
+@pytest.mark.parametrize("low_vel_mode", [False, True])
+def test_rollout_matches_oracle(low_vel_mode):
+    ref = make_ref()
+    veh = VehicleParams()
+    v0 = 1.2 if low_vel_mode else 10.0
+    matrix, _, _ = make_matrix(level=1, v0=v0)
+    x0_orientation = 0.35
+
+    ro = rollout_jit(
+        jnp.asarray(matrix), ref, veh,
+        dt=DT, n_steps=N, low_vel_mode=low_vel_mode, x0_orientation=x0_orientation,
+    )
+
+    fields = ["s", "s_vel", "s_acc", "d", "d_vel", "d_acc", "x", "y",
+              "theta_gl", "theta_cl", "v", "a", "kappa_gl"]
+    got = {f: np.asarray(getattr(ro, f)) for f in fields}
+    feas = np.asarray(ro.feasible)
+    valid = np.asarray(ro.valid)
+    slots = np.asarray(ro.inf_slots)
+
+    n_checked = 0
+    check_idx = list(range(0, matrix.shape[0], 5))
+    for i in check_idx:
+        exp = oracle.check_feasibility_single(
+            matrix[i], ref, veh, dt=DT, n_steps=N,
+            low_vel_mode=low_vel_mode, x0_orientation=x0_orientation,
+        )
+        for f in fields:
+            np.testing.assert_allclose(
+                got[f][i], exp[f], rtol=1e-8, atol=1e-8,
+                err_msg=f"candidate {i} field {f} (low_vel={low_vel_mode})",
+            )
+        assert feas[i] == exp["feasible"], (i, slots[i], exp["slots"])
+        assert valid[i] == exp["valid"], i
+        np.testing.assert_array_equal(slots[i], exp["slots"], err_msg=f"cand {i}")
+        n_checked += 1
+    assert n_checked == len(check_idx)
+    # the test set must exercise both outcomes to be meaningful
+    assert feas.any() and (~feas).any()
+
+
+def test_traj_len_and_extension():
+    """t-sampled candidates shorter than the horizon are constant-extended."""
+    ref = make_ref()
+    veh = VehicleParams()
+    matrix, x0_lon, _ = make_matrix(level=0)
+    ro = rollout_jit(
+        jnp.asarray(matrix), ref, veh,
+        dt=DT, n_steps=N, low_vel_mode=False, x0_orientation=0.35,
+    )
+    t1 = matrix[:, 1]
+    expected_len = np.round(t1 / DT).astype(int) + 1
+    np.testing.assert_array_equal(np.asarray(ro.traj_len), np.clip(expected_len, 2, N + 1))
+    s = np.asarray(ro.s)
+    s_vel = np.asarray(ro.s_vel)
+    for i in range(matrix.shape[0]):
+        L = int(np.asarray(ro.traj_len)[i])
+        if L <= N:
+            # beyond L: constant velocity, linear position
+            np.testing.assert_allclose(s_vel[i, L:], s_vel[i, L - 1], rtol=1e-12)
+            np.testing.assert_allclose(
+                np.diff(s[i, L - 1 :]), DT * s_vel[i, L - 1], rtol=1e-9, atol=1e-12
+            )
+
+
+def test_standstill_theta_carry():
+    """Candidates with ~zero velocity keep the initial global orientation."""
+    ref = make_ref()
+    veh = VehicleParams()
+    x0_lon = (35.0, 0.0, 0.0)
+    x0_lat = (0.0, 0.0, 0.0)
+    matrix = build_sampling_matrix(
+        t1_vals=[3.0], ss1_vals=[0.0], d1_vals=[0.0], x0_lon=x0_lon, x0_lat=x0_lat
+    )
+    x0_orientation = 0.123
+    ro = rollout_jit(
+        jnp.asarray(matrix), ref, veh,
+        dt=DT, n_steps=N, low_vel_mode=False, x0_orientation=x0_orientation,
+    )
+    np.testing.assert_allclose(np.asarray(ro.theta_gl)[0], x0_orientation, atol=1e-12)
