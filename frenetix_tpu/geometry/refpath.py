@@ -39,10 +39,17 @@ class RefPathTable(NamedTuple):
     Mirrors the arrays precomputed by the reference's `CoordinateSystem.__init__`
     (utils_coordinate_system.py:202-207); `theta` is unwrapped (np.unwrap) like
     `_ref_theta` there.
+
+    TPU-critical invariant: vertices are spaced *exactly uniformly* in
+    arclength (spacing `ds = s[1]-s[0]`, s[0] = 0), so segment lookup is pure
+    arithmetic — `idx = floor(s/ds)` — instead of a binary search
+    (jnp.searchsorted costs ~24 ms for a replan-sized query batch on TPU v5e;
+    the arithmetic index costs ~0).  `prepare_reference_path` establishes the
+    invariant by resampling every table onto a uniform s-grid.
     """
 
     xy: np.ndarray      # (R, 2) vertices
-    s: np.ndarray       # (R,)  pathlength at each vertex ("ref_pos")
+    s: np.ndarray       # (R,)  pathlength at each vertex ("ref_pos"), uniform
     theta: np.ndarray   # (R,)  unwrapped orientation      ("ref_theta")
     kappa: np.ndarray   # (R,)  curvature                  ("ref_curv")
     kappa_d: np.ndarray  # (R,) dκ/ds                      ("ref_curv_d")
@@ -171,17 +178,29 @@ def prepare_reference_path(
     if extension > 0.0:
         xy = extend_polyline(xy, extension, at_start=True)
         xy = extend_polyline(xy, extension, at_start=False)
-    if resample_step > 0.0:
-        xy = resample_polyline(xy, resample_step)
+    if resample_step <= 0.0:
+        resample_step = 0.25
+    xy = resample_polyline(xy, resample_step)
 
     s = polyline_pathlength(xy)
     theta = np.unwrap(polyline_orientation(xy))
     kappa = polyline_curvature(xy)
     kappa_d = np.gradient(kappa, s)
     kappa_dd = np.gradient(kappa_d, s)
+
+    # resample everything onto an *exactly uniform* s grid (see RefPathTable:
+    # uniform spacing turns segment lookup into arithmetic on device)
+    n = len(s)
+    s_u = np.linspace(0.0, s[-1], n)
+    xy = np.stack([np.interp(s_u, s, xy[:, 0]), np.interp(s_u, s, xy[:, 1])], axis=1)
+    theta = np.interp(s_u, s, theta)
+    kappa = np.interp(s_u, s, kappa)
+    kappa_d = np.interp(s_u, s, kappa_d)
+    kappa_dd = np.interp(s_u, s, kappa_dd)
+
     return RefPathTable(
         xy=xy.astype(dtype),
-        s=s.astype(dtype),
+        s=s_u.astype(dtype),
         theta=theta.astype(dtype),
         kappa=kappa.astype(dtype),
         kappa_d=kappa_d.astype(dtype),

@@ -119,6 +119,33 @@ def points_in_quads(points, quads):
     return jnp.any(inside_ccw | inside_cw, axis=-1)
 
 
+def road_departure_corridor(ro, veh):
+    """Road-departure check against the drivable corridor d_min(s), d_max(s)
+    (see geometry.corridor) — O(M·N) comparisons, corridor bounds already
+    interpolated into `ro.extras[..., 0:2]` by the rollout's fused table matmul.
+
+    The ego footprint's lateral extent around its Frenet d is
+    |wb_rear_axle·sin θ_cl| offset (rear-axle → center shift) ±
+    (l/2·|sin θ_cl| + w/2·|cos θ_cl|).
+
+    Returns (first_step (M,) int32, -1 if never; v_at (M,)).
+    """
+    m, n1 = ro.x.shape
+    d_lo = ro.extras[..., 0]
+    d_hi = ro.extras[..., 1]
+    sin_t = jnp.sin(ro.theta_cl)
+    cos_t = jnp.cos(ro.theta_cl)
+    d_center = ro.d + veh.wb_rear_axle * sin_t
+    ext = 0.5 * veh.length * jnp.abs(sin_t) + 0.5 * veh.width * jnp.abs(cos_t)
+    off_road = (d_center - ext < d_lo) | (d_center + ext > d_hi)
+    step = jnp.arange(n1)[None, :]
+    first = jnp.min(jnp.where(off_road, step, n1), axis=1)
+    never = first == n1
+    first_step = jnp.where(never, -1, first).astype(jnp.int32)
+    v_at = jnp.take_along_axis(ro.v, jnp.where(never, 0, first)[:, None], axis=1)[:, 0]
+    return first_step, jnp.where(never, 0.0, v_at)
+
+
 def road_boundary_departure(ro, veh, quads):
     """First step at which any ego-box corner leaves the drivable area.
 

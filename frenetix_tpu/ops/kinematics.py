@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from frenetix_tpu.geometry import frenet as fr
@@ -82,6 +83,7 @@ class Rollout(NamedTuple):
     a: jnp.ndarray
     kappa_gl: jnp.ndarray
     kappa_dot: jnp.ndarray
+    extras: object            # (M, N+1, K) interpolated extra ref tables or None
     coeffs_lon: jnp.ndarray   # (M, 6)
     coeffs_lat: jnp.ndarray   # (M, 6)
     traj_len: jnp.ndarray     # (M,) int — valid sample count before extension
@@ -99,14 +101,21 @@ def _carry_forward_theta(active, theta_active, theta_init):
     """θ_gl for standstill steps: keep the previous *active* orientation, or the
     initial orientation if no step was active yet (reactive_planner.py:445-454).
 
-    Vectorized form of the sequential carry: gather at the cumulative-max index
-    of the last active step.
+    Vectorized form of the sequential carry: a log-depth associative scan with
+    the "keep last active value" combiner (a take_along_axis gather here costs
+    ~4 ms per replan on TPU; the scan is a handful of fused elementwise passes).
     """
-    m, n = active.shape
-    step = jnp.arange(n)[None, :]
-    last_active = jnp.maximum.accumulate(jnp.where(active, step, -1), axis=1)
-    gathered = jnp.take_along_axis(theta_active, jnp.maximum(last_active, 0), axis=1)
-    return jnp.where(last_active >= 0, gathered, theta_init[:, None])
+    init = jnp.broadcast_to(theta_init[:, None], theta_active.shape)
+    seeded = jnp.where(active, theta_active, init)
+    seen0 = jnp.concatenate([jnp.ones_like(active[:, :1]), active[:, 1:]], axis=1)
+
+    def combine(a, b):
+        a_seen, a_val = a
+        b_seen, b_val = b
+        return a_seen | b_seen, jnp.where(b_seen, b_val, a_val)
+
+    _, carried = jax.lax.associative_scan(combine, (seen0, seeded), axis=1)
+    return carried
 
 
 def rollout_candidates(
@@ -119,6 +128,7 @@ def rollout_candidates(
     low_vel_mode: bool,
     x0_orientation,
     quintic_lon: bool = False,
+    extra_ref_tables=None,
 ) -> Rollout:
     """Evaluate all candidates of a sampling matrix in one fused computation.
 
@@ -211,11 +221,14 @@ def rollout_candidates(
         ddot = d_acc - dp * s_acc
         dpp = jnp.where(moving, ddot / jnp.where(moving, s_vel * s_vel, 1.0), 0.0)
 
-    idx, lam, in_dom = fr.segment_index(ref.s, s)
+    # ALL reference-path lookups (θ, κ, dκ/ds, x, y) in one fused two-hot
+    # matmul (see geometry.frenet.interp_weights)
+    tabs = fr.interp_ref_tables(ref, s, extra_tables=extra_ref_tables)
+    in_dom = tabs["in_domain"]
     slot = slot.at[:, 3].set(jnp.any(~in_dom, axis=1))
-    alpha = fr.interp_angle_table(ref.theta, idx, lam)  # interpolated path angle
-    k_r = fr.interp_table(ref.kappa, idx, lam)
-    k_r_d = fr.interp_table(ref.kappa_d, idx, lam)
+    alpha = tabs["alpha"]
+    k_r = tabs["k_r"]
+    k_r_d = tabs["k_r_d"]
 
     theta_cl_pt = jnp.arctan2(dp, jnp.ones_like(dp))
     theta_gl_pt = theta_cl_pt + alpha
@@ -264,8 +277,11 @@ def rollout_candidates(
     slot = slot.at[:, 8].set(jnp.any((a < -params.a_max) | (a > a_max_v), axis=1))
 
     # ---- Cartesian positions (reactive_planner.py:537-547) ------------------
-    x, y, pos_in_dom = fr.frenet_to_cartesian(ref, s, d)
-    slot = slot.at[:, 9].set(jnp.any(~pos_in_dom, axis=1))
+    # reuse the fused table lookup: pos = ref(s) + d·normal(θ_lerp)
+    theta_lerp = tabs["theta_lerp"]
+    x = tabs["x"] - d * jnp.sin(theta_lerp)
+    y = tabs["y"] + d * jnp.cos(theta_lerp)
+    slot = slot.at[:, 9].set(jnp.any(~in_dom, axis=1))
 
     # kappa_dot output column: append([0], diff(kappa_gl)) WITHOUT /dt —
     # matches CartesianSample construction (reactive_planner.py:551-553)
@@ -281,7 +297,7 @@ def rollout_candidates(
     return Rollout(
         s=s, s_vel=s_vel, s_acc=s_acc, d=d, d_vel=d_vel, d_acc=d_acc,
         x=x, y=y, theta_gl=theta_gl, theta_cl=theta_cl, v=v, a=a,
-        kappa_gl=kappa_gl, kappa_dot=kappa_dot_out,
+        kappa_gl=kappa_gl, kappa_dot=kappa_dot_out, extras=tabs["extras"],
         coeffs_lon=coeffs_lon, coeffs_lat=coeffs_lat,
         traj_len=traj_len, feasible=feasible, valid=valid, inf_slots=slot,
     )

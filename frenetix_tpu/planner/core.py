@@ -47,7 +47,7 @@ class CycleContext(NamedTuple):
     preds: PredictionTensors
     obstacle_xy: jnp.ndarray          # (O, 2) current obstacle positions
     obstacle_valid: jnp.ndarray       # (O,) bool
-    road_quads: jnp.ndarray           # (Q, 4, 2) drivable-area cells
+    corridor: jnp.ndarray             # (R, 2) drivable d_min/d_max per ref vertex
     x0_orientation: jnp.ndarray       # scalar
     desired_velocity: jnp.ndarray     # scalar
     desired_avg_velocity: jnp.ndarray  # scalar (velocity cost target)
@@ -103,6 +103,7 @@ def evaluate_cycle(
         low_vel_mode=low_vel_mode,
         x0_orientation=ctx.x0_orientation,
         quintic_lon=quintic_lon,
+        extra_ref_tables=ctx.corridor if check_boundary else None,
     )
 
     cost_terms = costs_mod.compute_cost_terms(
@@ -118,7 +119,7 @@ def evaluate_cycle(
 
     collides = coll.prediction_collisions(ro, ctx.preds, ctx.veh)
     if check_boundary:
-        boundary_step, v_at = coll.road_boundary_departure(ro, ctx.veh, ctx.road_quads)
+        boundary_step, v_at = coll.road_departure_corridor(ro, ctx.veh)
         off_road = boundary_step >= 0
         boundary_harm = jnp.where(
             off_road, _boundary_harm(v_at, harm_coeffs[0], harm_coeffs[1]), 0.0

@@ -6,15 +6,18 @@ SURVEY.md §7.3); TPU execution uses float32 (bench.py).
 """
 import os
 
-# force CPU: the session env pins JAX_PLATFORMS=axon (remote TPU tunnel), which
-# must not be used for float64 unit tests (and per-op round-trips are slow)
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 import jax  # noqa: E402
 
+# Force CPU. NOTE: the env's axon sitecustomize calls axon.register() at
+# interpreter start, which sets jax_platforms="axon,cpu" directly — env vars
+# (JAX_PLATFORMS=cpu) are ignored, only a config update after import works.
+# The remote-TPU tunnel must not be used for float64 unit tests (TPU has no
+# f64; per-op round-trips are ~1.7 s and f64 transfers hang).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
