@@ -123,35 +123,43 @@ def extend_polyline(xy: np.ndarray, length: float, at_start: bool) -> np.ndarray
     return np.vstack([xy, pts])
 
 
-def smooth_polyline(xy: np.ndarray, smoothing_interval: float = 4.0) -> np.ndarray:
-    """Cubic-spline smoothing + 1 m resampling of a reference path.
+def smooth_polyline(
+    xy: np.ndarray, point_deviation: float = 0.15, step: float = 1.0
+) -> np.ndarray:
+    """Smoothing-spline regularization of a reference path.
 
-    Same pipeline as `smooth_ref_path` (utils_coordinate_system.py:110-134):
-    dedupe → decimate to ~`smoothing_interval` m spacing → cubic `splprep`
-    through the remaining points → dense evaluation → resample at 1 m.
+    The analog of `smooth_ref_path` (utils_coordinate_system.py:110-134), but
+    with a *smoothing* spline (residual budget `point_deviation` per vertex)
+    instead of an interpolating one: route centerlines concatenated from
+    sparse lanelet vertices produce spline wiggle under s=0 interpolation,
+    which downstream turns into curvature-rate noise that rejects every
+    candidate trajectory.
     """
     from scipy.interpolate import splev, splprep
 
     _, idx = np.unique(xy, axis=0, return_index=True)
     xy = xy[np.sort(idx)]
-
-    avg_dist = 0.125  # matches the constant in smooth_ref_path (:118)
-    t = max(int(smoothing_interval / avg_dist), 1)
-    decimated = xy[::t]
-    if len(decimated) < 4:
-        decimated = xy
-    if len(decimated) < 4:
-        return resample_polyline(xy, 1.0)
-
-    dist_sum = polyline_pathlength(xy)[-1]
-    n_eval = max(int(6 * dist_sum), 8)
-    tck, u = splprep(decimated.T, u=None, k=3, s=0.0)
-    u_new = np.linspace(np.min(u), np.max(u), n_eval)
+    # uniform spacing first so the spline residual budget is spent evenly
+    xy = resample_polyline(xy, step)
+    if len(xy) < 4:
+        return xy
+    tck, u = splprep(xy.T, u=None, k=3, s=len(xy) * point_deviation**2)
+    u_new = np.linspace(np.min(u), np.max(u), 4 * len(xy))
     x_new, y_new = splev(u_new, tck, der=0)
     out = np.stack([x_new, y_new], axis=1)
-    out = resample_polyline(out, 1.0)
     _, idx = np.unique(out, axis=0, return_index=True)
     return out[np.sort(idx)]
+
+
+def _savgol(y: np.ndarray, window: int, poly: int = 3) -> np.ndarray:
+    """Savitzky-Golay smoothing (scipy) clamped to the array length."""
+    from scipy.signal import savgol_filter
+
+    n = len(y)
+    w = min(window if window % 2 == 1 else window + 1, n if n % 2 == 1 else n - 1)
+    if w <= poly + 1:
+        return y
+    return savgol_filter(y, w, poly, axis=0)
 
 
 def prepare_reference_path(
@@ -182,21 +190,29 @@ def prepare_reference_path(
         resample_step = 0.25
     xy = resample_polyline(xy, resample_step)
 
-    s = polyline_pathlength(xy)
-    theta = np.unwrap(polyline_orientation(xy))
-    kappa = polyline_curvature(xy)
-    kappa_d = np.gradient(kappa, s)
-    kappa_dd = np.gradient(kappa_d, s)
-
-    # resample everything onto an *exactly uniform* s grid (see RefPathTable:
+    # resample onto an *exactly uniform* s grid FIRST (see RefPathTable:
     # uniform spacing turns segment lookup into arithmetic on device)
-    n = len(s)
-    s_u = np.linspace(0.0, s[-1], n)
-    xy = np.stack([np.interp(s_u, s, xy[:, 0]), np.interp(s_u, s, xy[:, 1])], axis=1)
-    theta = np.interp(s_u, s, theta)
-    kappa = np.interp(s_u, s, kappa)
-    kappa_d = np.interp(s_u, s, kappa_d)
-    kappa_dd = np.interp(s_u, s, kappa_dd)
+    s_raw = polyline_pathlength(xy)
+    n = len(s_raw)
+    s_u = np.linspace(0.0, s_raw[-1], n)
+    xy = np.stack(
+        [np.interp(s_u, s_raw, xy[:, 0]), np.interp(s_u, s_raw, xy[:, 1])], axis=1
+    )
+
+    # κ and dκ/ds from Savitzky-Golay-filtered derivatives: finite differences
+    # at resample_step scale amplify sub-vertex noise into curvature-rate
+    # spikes that reject every candidate (the C++ ccosy smooths internally too)
+    ds = s_u[1] - s_u[0] if n > 1 else 1.0
+    window = max(int(round(5.0 / max(ds, 1e-6))), 5)  # ~5 m smoothing support
+    x_s = _savgol(np.gradient(xy[:, 0], ds), window)
+    y_s = _savgol(np.gradient(xy[:, 1], ds), window)
+    theta = np.unwrap(np.arctan2(y_s, x_s))
+    x_ss = _savgol(np.gradient(x_s, ds), window)
+    y_ss = _savgol(np.gradient(y_s, ds), window)
+    denom = np.maximum((x_s * x_s + y_s * y_s) ** 1.5, 1e-12)
+    kappa = (x_s * y_ss - y_s * x_ss) / denom
+    kappa_d = _savgol(np.gradient(kappa, ds), window)
+    kappa_dd = np.gradient(kappa_d, ds)
 
     return RefPathTable(
         xy=xy.astype(dtype),

@@ -1,0 +1,291 @@
+"""ReactivePlanner: host orchestration of the fused TPU planning cycle.
+
+The TPU-native counterpart of the reference's `ReactivePlannerCpp`
+(/root/reference/frenetix_motion_planner/reactive_planner_cpp.py) +
+the shared `Planner` base (planner.py): per replanning cycle it
+
+  1. assembles the sampling matrix for the current sampling level
+     (progressive densification loop, reactive_planner_cpp.py:329-377),
+  2. runs ONE fused device computation (`planner.core.evaluate_cycle`) instead
+     of `evaluate_all_current_functions_concurrent` + serial collision walk,
+  3. applies the fallback ladder when nothing is selectable:
+     standstill (v ≤ 0.1, :394-398) → emergency stopping selection
+     (:403-407, _select_stopping_trajectory :443-466) → minimum-risk
+     selection (:409-413),
+  4. materializes only the selected trajectory to host.
+
+All device shapes are bucketed (ops.sampling.pad_matrix) so the jit cache
+stays small across cycles and levels.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from frenetix_tpu.geometry.refpath import prepare_reference_path
+from frenetix_tpu.ops import sampling as smp
+from frenetix_tpu.ops.costs import COST_TERM_ORDER, empty_predictions
+from frenetix_tpu.planner.core import CycleContext, evaluate_cycle
+from frenetix_tpu.utils.config import FrenetixConfig
+
+__all__ = ["PlannedTrajectory", "ReactivePlanner"]
+
+
+@dataclass
+class PlannedTrajectory:
+    """The selected trajectory, materialized to host (NumPy).
+
+    The analog of the reference's trajectory pair
+    (`Planner._compute_trajectory_pair`, planner.py:394-447): Cartesian states
+    + curvilinear states + the sampling parameters that produced it.
+    """
+
+    x: np.ndarray
+    y: np.ndarray
+    theta: np.ndarray
+    v: np.ndarray
+    a: np.ndarray
+    kappa: np.ndarray
+    s: np.ndarray
+    s_dot: np.ndarray
+    s_ddot: np.ndarray
+    d: np.ndarray
+    d_dot: np.ndarray
+    d_ddot: np.ndarray
+    cost: float
+    sampling_parameters: np.ndarray  # (13,)
+    mode: str = "optimal"  # optimal | standstill | stopping | min_risk
+    cost_terms: Optional[np.ndarray] = None
+
+    @property
+    def steering_angle(self) -> np.ndarray:
+        return self._steering
+
+    def compute_steering(self, wheelbase: float):
+        self._steering = np.arctan2(wheelbase * self.kappa, 1.0)
+        return self
+
+    def yaw_rate(self, dt: float, yaw_rate0: float = 0.0) -> np.ndarray:
+        yr = np.gradient(self.theta) / dt
+        yr[0] = yaw_rate0
+        return yr
+
+
+class ReactivePlanner:
+    def __init__(self, config: FrenetixConfig, msg_logger=None):
+        import jax.numpy as jnp
+
+        self.config = config
+        self.jnp = jnp
+        self.dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
+        self.np_dtype = np.float64 if config.dtype == "float64" else np.float32
+        self.veh = config.vehicle
+        self.dt = config.planning.dt
+        self.n_steps = config.planning.n_steps
+        self.horizon = config.planning.planning_horizon
+        self.msg_logger = msg_logger
+
+        self.weights = jnp.asarray(
+            np.array([config.cost_weights.get(k, 0.0) for k in COST_TERM_ORDER],
+                     self.np_dtype)
+        )
+        self.ref = None
+        self.ref_np = None
+        self.corridor = None
+        self.preds = None
+        self.obstacle_xy = np.zeros((0, 2), self.np_dtype)
+        self.obstacle_valid = np.zeros((0,), bool)
+        self.desired_velocity = 0.0
+        self.desired_avg_velocity = 0.0
+        self.stop_point: Optional[tuple[float, float]] = None  # (s, v) from behavior
+        self.infeasible_histogram = np.zeros(11, int)
+        self.stats = {}
+
+    # ------------------------------------------------------------------ setup
+    def set_reference_path(self, polyline: np.ndarray, drivable_polygons=None):
+        """Build device tables + drivable corridor from a raw route polyline
+        (replaces set_reference_and_coordinate_system,
+        reactive_planner_cpp.py:180-195)."""
+        from frenetix_tpu.geometry.corridor import (
+            corridor_from_polygons, strip_corridor,
+        )
+
+        ref = prepare_reference_path(polyline, smooth=True, dtype=self.np_dtype)
+        self.ref_np = ref
+        if drivable_polygons:
+            corridor = corridor_from_polygons(ref, drivable_polygons)
+        else:
+            corridor = strip_corridor(ref, 3.5 + self.veh.width)
+        self.corridor = self.jnp.asarray(corridor.astype(self.np_dtype))
+        self.ref = type(ref)(*(self.jnp.asarray(f) for f in ref))
+
+    def set_predictions(self, preds):
+        self.preds = preds
+
+    def set_obstacles(self, obstacle_xy: np.ndarray, obstacle_valid: np.ndarray):
+        self.obstacle_xy = obstacle_xy.astype(self.np_dtype)
+        self.obstacle_valid = obstacle_valid
+
+    def set_desired_velocity(self, v_des: float, v_avg: float = None):
+        self.desired_velocity = float(v_des)
+        self.desired_avg_velocity = float(v_avg if v_avg is not None else v_des)
+
+    # ------------------------------------------------------ curvilinear state
+    def compute_initial_state(self, x0):
+        """Cartesian → curvilinear initial state (host NumPy mirror of
+        planner.py:567-635; cheap scalar math, no device round-trip)."""
+        from frenetix_tpu.planner.initial_state import compute_initial_state_np
+
+        low_vel = float(x0.velocity) < self.config.planning.low_vel_mode_threshold
+        return compute_initial_state_np(self.ref_np, x0, self.veh.wheelbase, low_vel)
+
+    # ---------------------------------------------------------------- planning
+    def _sampling_ranges(self, level: int, x_cl):
+        p = self.config.planning
+        x0_lon, x0_lat = x_cl
+        t1 = smp.time_samples(p.t_min, self.horizon, self.dt, level)
+        t1 = np.unique(np.concatenate([t1, [self.n_steps * self.dt]]))
+        v_min = max(0.001, self.current_velocity - self.veh.a_max * self.horizon)
+        v_max = min(self.current_velocity + (self.veh.a_max / 6.0) * self.horizon,
+                    self.veh.v_max)
+        ss1 = np.union1d(smp.linspace_samples(v_min, v_max, level), [x0_lon[1]])
+        if p.d_ego_pos:
+            d_lo, d_hi = x0_lat[0] + p.d_min, x0_lat[0] + p.d_max
+        else:
+            d_lo, d_hi = p.d_min, p.d_max
+        d1 = np.union1d(smp.linspace_samples(d_lo, d_hi, level), [x0_lat[0]])
+        return t1, ss1, d1
+
+    def _make_context(self, x0_orientation):
+        jnp = self.jnp
+        preds = self.preds
+        if preds is None:
+            preds = empty_predictions(self.n_steps, self.dtype)
+        return CycleContext(
+            ref=self.ref,
+            veh=self.veh,
+            weights=self.weights,
+            preds=preds,
+            obstacle_xy=jnp.asarray(self.obstacle_xy),
+            obstacle_valid=jnp.asarray(self.obstacle_valid),
+            corridor=self.corridor,
+            x0_orientation=jnp.asarray(x0_orientation, self.dtype),
+            desired_velocity=jnp.asarray(self.desired_velocity, self.dtype),
+            desired_avg_velocity=jnp.asarray(self.desired_avg_velocity, self.dtype),
+        )
+
+    def plan(self, x0, x_cl) -> Optional[PlannedTrajectory]:
+        """One replanning cycle.
+
+        x0: planner.initial_state.CartesianState-like (rear-axle Cartesian).
+        x_cl: ((s, s_dot, s_ddot), (d, d_dot, d_ddot)) curvilinear state.
+        Returns the selected PlannedTrajectory or None (total failure).
+        """
+        p = self.config.planning
+        self.current_velocity = float(x0.velocity)
+        low_vel = self.current_velocity < p.low_vel_mode_threshold
+        ctx = self._make_context(float(x0.orientation))
+
+        optimal = None
+        last_res, last_matrix, last_mask = None, None, None
+        level = p.sampling_min
+        # progressive densification (reactive_planner_cpp.py:329-377)
+        while optimal is None and level < p.sampling_max:
+            t1, ss1, d1 = self._sampling_ranges(level, x_cl)
+            matrix = smp.build_sampling_matrix(
+                t1_vals=t1, ss1_vals=ss1, d1_vals=d1,
+                x0_lon=x_cl[0], x0_lat=x_cl[1], dtype=self.np_dtype,
+            )
+            matrix, mask = smp.pad_matrix(matrix, self.config.debug.matrix_bucket)
+            res = evaluate_cycle(
+                self.jnp.asarray(matrix), self.jnp.asarray(mask), ctx,
+                dt=self.dt, n_steps=self.n_steps, low_vel_mode=low_vel,
+            )
+            last_res, last_matrix, last_mask = res, matrix, mask
+            if bool(res.found):
+                optimal = self._materialize(res, int(res.best_idx), matrix, "optimal")
+            level += 1
+
+        self.infeasible_histogram = np.asarray(last_res.histogram)
+        self.stats = {
+            "feasible": int(np.asarray(last_res.rollout.feasible & last_mask).sum()),
+            "total": int(last_mask.sum()),
+            "collisions": int(np.asarray(last_res.collides & last_mask).sum()),
+            "off_road": int(np.asarray((last_res.boundary_step >= 0) & last_mask).sum()),
+        }
+
+        if optimal is not None:
+            return optimal
+
+        # ---- fallback ladder ------------------------------------------------
+        if self.current_velocity <= 0.1:
+            return self._standstill_trajectory(x0, x_cl)
+
+        feas = np.asarray(last_res.rollout.feasible & last_res.rollout.valid & last_mask)
+        if feas.any():
+            if p.emergency_mode == "stopping":
+                idx = self._select_stopping_index(last_matrix, feas, x_cl[1][0])
+                return self._materialize(last_res, idx, last_matrix, "stopping")
+            # min-risk: lowest prediction-cost feasible candidate
+            # (risk ≈ collision-probability surrogate; full harm model in risk/)
+            pred_col = COST_TERM_ORDER.index("prediction")
+            terms = np.asarray(last_res.cost_terms[:, pred_col])
+            terms = np.where(feas, terms, np.inf)
+            return self._materialize(last_res, int(np.argmin(terms)), last_matrix, "min_risk")
+        return None
+
+    # ------------------------------------------------------------- fallbacks
+    @staticmethod
+    def _select_stopping_index(matrix, feasible_mask, d_pos) -> int:
+        """Reference `_select_stopping_trajectory` order: v ascending, then t
+        ascending, then d by |d - current d| (reactive_planner_cpp.py:443-466);
+        first feasible wins."""
+        v = matrix[:, 5]
+        t = matrix[:, 1]
+        d = matrix[:, 10]
+        d_rank_vals = np.unique(d)
+        d_rank = {val: r for r, val in enumerate(d_rank_vals[np.argsort(np.abs(d_rank_vals - d_pos))])}
+        order = np.lexsort((np.array([d_rank[val] for val in d]), t, v))
+        for i in order:
+            if feasible_mask[i]:
+                return int(i)
+        return int(order[0])
+
+    def _standstill_trajectory(self, x0, x_cl) -> PlannedTrajectory:
+        """Constant-pose trajectory with an initial braking pulse
+        (_compute_standstill_trajectory, reactive_planner.py:579-626)."""
+        n1 = self.n_steps + 1
+        rep = lambda v: np.full(n1, v, self.np_dtype)
+        a = np.zeros(n1, self.np_dtype)
+        if n1 > 1:
+            a[1] = -x0.velocity / self.dt
+        kappa0 = np.tan(float(x0.steering_angle)) / self.veh.wheelbase
+        row = np.zeros(13, self.np_dtype)
+        row[1] = self.horizon
+        row[2:5] = x_cl[0]
+        row[7:10] = x_cl[1]
+        row[10] = x_cl[1][0]
+        return PlannedTrajectory(
+            x=rep(float(x0.x)), y=rep(float(x0.y)), theta=rep(float(x0.orientation)),
+            v=rep(0.0), a=a, kappa=rep(kappa0),
+            s=rep(x_cl[0][0]), s_dot=rep(x_cl[0][1]), s_ddot=rep(x_cl[0][2]),
+            d=rep(x_cl[1][0]), d_dot=rep(x_cl[1][1]), d_ddot=rep(x_cl[1][2]),
+            cost=0.0, sampling_parameters=row, mode="standstill",
+        ).compute_steering(self.veh.wheelbase)
+
+    # ---------------------------------------------------------- materialation
+    def _materialize(self, res, idx: int, matrix, mode: str) -> PlannedTrajectory:
+        ro = res.rollout
+        g = lambda arr: np.asarray(arr[idx], dtype=self.np_dtype)
+        return PlannedTrajectory(
+            x=g(ro.x), y=g(ro.y), theta=g(ro.theta_gl), v=g(ro.v), a=g(ro.a),
+            kappa=g(ro.kappa_gl),
+            s=g(ro.s), s_dot=g(ro.s_vel), s_ddot=g(ro.s_acc),
+            d=g(ro.d), d_dot=g(ro.d_vel), d_ddot=g(ro.d_acc),
+            cost=float(res.cost[idx]),
+            sampling_parameters=np.asarray(matrix[idx]),
+            mode=mode,
+            cost_terms=np.asarray(res.cost_terms[idx]),
+        ).compute_steering(self.veh.wheelbase)

@@ -1,0 +1,124 @@
+"""Route planning: lanelet-graph search → reference path polyline.
+
+Replaces the reference's external `commonroad-route-planner` dependency
+(`RoutePlanner(...).plan_routes()` + `extend_ref_path_both_ends` +
+`smooth_ref_path`, cr_scenario_handler/planner_interfaces/frenet_interface.py:
+101-114).  BFS over the lanelet digraph (successors + same-direction adjacent
+lanelets as lane-change edges), preferring routes with fewer lane changes;
+center vertices are concatenated, deduplicated and smoothed into the reference
+path handed to `geometry.prepare_reference_path`.
+"""
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+__all__ = ["plan_route", "reference_path_for_problem"]
+
+
+def plan_route(scenario, start_lanelet_id: int, goal_lanelet_ids) -> list[int]:
+    """Shortest lanelet sequence from start to any goal lanelet.
+
+    Edge order (successor first, then adjacents) + BFS makes routes with fewer
+    lane changes win ties.  Returns [] if unreachable.
+    """
+    goal_set = set(goal_lanelet_ids)
+    if start_lanelet_id in goal_set:
+        return [start_lanelet_id]
+    lanelets = scenario.lanelets
+    prev = {start_lanelet_id: None}
+    q = deque([start_lanelet_id])
+    while q:
+        cur = q.popleft()
+        ll = lanelets.get(cur)
+        if ll is None:
+            continue
+        neighbors = list(ll.successors)
+        if ll.adj_left is not None and ll.adj_left_same_direction:
+            neighbors.append(ll.adj_left)
+        if ll.adj_right is not None and ll.adj_right_same_direction:
+            neighbors.append(ll.adj_right)
+        for nb in neighbors:
+            if nb in prev or nb not in lanelets:
+                continue
+            prev[nb] = cur
+            if nb in goal_set:
+                path = [nb]
+                while prev[path[-1]] is not None:
+                    path.append(prev[path[-1]])
+                return path[::-1]
+            q.append(nb)
+    return []
+
+
+def _route_centerline(scenario, route: list[int]) -> np.ndarray:
+    """Concatenate the center vertices of a lanelet route, skipping duplicate
+    joints and handling lane-change edges (adjacent lanelets) by simply
+    switching to the neighbor's centerline — the spline smoothing downstream
+    turns the jump into a smooth transition."""
+    pts = []
+    prev_ll = None
+    for lid in route:
+        ll = scenario.lanelets[lid]
+        verts = ll.center_vertices
+        if prev_ll is not None and lid in (prev_ll.adj_left, prev_ll.adj_right):
+            # lane change: drop the part of the neighbor behind our current end
+            if len(pts):
+                last = pts[-1][-1]
+                d = np.linalg.norm(verts - last[None, :], axis=1)
+                verts = verts[int(np.argmin(d)) :]
+        pts.append(verts)
+        prev_ll = ll
+    out = np.concatenate(pts, axis=0)
+    _, idx = np.unique(out, axis=0, return_index=True)
+    return out[np.sort(idx)]
+
+
+def reference_path_for_problem(scenario, planning_problem):
+    """Initial state + goal region → raw reference-path polyline + route.
+
+    Falls back to the longest successor chain from the start lanelet when the
+    goal has no lanelet/position information (survival scenarios).
+    Returns (polyline (P, 2), route list[int]).
+    """
+    init_pos = planning_problem.initial_state.position
+    start_ids = scenario.find_lanelets_by_position(init_pos)
+    if not start_ids:
+        # nearest lanelet center as fallback
+        best, best_d = None, np.inf
+        for lid, ll in scenario.lanelets.items():
+            d = np.min(np.linalg.norm(ll.center_vertices - init_pos[None], axis=1))
+            if d < best_d:
+                best, best_d = lid, d
+        start_ids = [best]
+
+    goal_ids = []
+    for g in planning_problem.goals:
+        goal_ids.extend(g.position_lanelets)
+        if g.position_shape is not None:
+            c = g.position_shape.mean(axis=0)
+            goal_ids.extend(scenario.find_lanelets_by_position(c))
+
+    route = []
+    for sid in start_ids:
+        if goal_ids:
+            route = plan_route(scenario, sid, goal_ids)
+        if route:
+            break
+    if not route:
+        # survival: follow successors greedily from the first start lanelet
+        route = [start_ids[0]]
+        seen = set(route)
+        while True:
+            succ = [
+                s
+                for s in scenario.lanelets[route[-1]].successors
+                if s in scenario.lanelets and s not in seen
+            ]
+            if not succ:
+                break
+            route.append(succ[0])
+            seen.add(succ[0])
+
+    return _route_centerline(scenario, route), route

@@ -1,0 +1,278 @@
+"""Agent: one planning vehicle's lifecycle in the simulation.
+
+Merges the responsibilities of the reference's `Agent`
+(cr_scenario_handler/simulation/agent.py), `FrenetPlannerInterface`
+(planner_interfaces/frenet_interface.py) and `VelocityPlanner` /
+`GoalReachedChecker` (utils/velocity_planner.py, utils/goalcheck.py):
+
+  - per-step lifecycle: collision → time limit → goal check → plan
+    (agent.py:185-270),
+  - replanning-frequency logic: plan every k-th step, consume previously
+    planned states in between (frenet_interface.py:211-287),
+  - desired velocity from distance-to-goal / remaining time, clipped to
+    ±5 m/s around current speed (velocity_planner.py:94-129),
+  - rear-axle ↔ center conversion between planner states and CommonRoad
+    obstacle states (state.py:15-75).
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from frenetix_tpu.planner.initial_state import compute_initial_state_np
+from frenetix_tpu.planner.reactive import PlannedTrajectory, ReactivePlanner
+from frenetix_tpu.planner.route import reference_path_for_problem
+
+__all__ = ["AgentStatus", "Agent"]
+
+
+class AgentStatus(enum.IntEnum):
+    """Matches the reference's AgentStatus progression (agent_status.py:12-88)."""
+
+    IDLE = 0
+    RUNNING = 1
+    COMPLETED_SUCCESS = 2
+    TIMELIMIT = 3
+    COLLISION = 4
+    ERROR = 5
+
+
+@dataclass
+class EgoState:
+    """Vehicle-center state (CommonRoad convention)."""
+
+    time_step: int
+    position: np.ndarray
+    orientation: float
+    velocity: float
+    acceleration: float = 0.0
+    yaw_rate: float = 0.0
+    steering_angle: float = 0.0
+
+
+@dataclass
+class _RearAxleState:
+    x: float
+    y: float
+    orientation: float
+    velocity: float
+    acceleration: float
+    steering_angle: float
+    yaw_rate: float = 0.0
+
+
+@dataclass
+class AgentRecord:
+    states: list = field(default_factory=list)        # executed EgoStates
+    planning_times: list = field(default_factory=list)
+    messages: list = field(default_factory=list)
+
+
+class Agent:
+    def __init__(self, agent_id: int, planning_problem, scenario, config, msg_logger=None):
+        self.id = agent_id
+        self.problem = planning_problem
+        self.scenario = scenario
+        self.config = config
+        self.msg_logger = msg_logger
+        self.status = AgentStatus.IDLE
+        self.message = "initialized"
+        self.record = AgentRecord()
+
+        self.planner = ReactivePlanner(config, msg_logger)
+        self.veh = config.vehicle
+        self.dt = config.planning.dt
+        self.k_replan = max(1, config.planning.replanning_frequency)
+
+        # route + reference path + drivable corridor
+        polyline, self.route = reference_path_for_problem(scenario, planning_problem)
+        self.planner.set_reference_path(polyline, scenario.drivable_polygons())
+
+        init = planning_problem.initial_state
+        self.state = EgoState(
+            time_step=init.time_step,
+            position=np.array(init.position, dtype=float),
+            orientation=float(init.orientation),
+            velocity=float(init.velocity),
+            acceleration=float(init.acceleration),
+            yaw_rate=float(init.yaw_rate),
+        )
+        self.record.states.append(self.state)
+
+        self.current_plan: Optional[PlannedTrajectory] = None
+        self.plan_step = 0            # index into current plan
+        self.x_cl = None              # curvilinear state carried between plans
+        self._goal_s = self._compute_goal_s()
+        self._goal_time = self._goal_time_interval()
+
+    # ------------------------------------------------------------------ goal
+    def _goal_polygons(self):
+        polys = []
+        for g in self.problem.goals:
+            for lid in g.position_lanelets:
+                if lid in self.scenario.lanelets:
+                    polys.append(self.scenario.lanelets[lid].polygon)
+            if g.position_shape is not None:
+                polys.append(g.position_shape)
+        return polys
+
+    def _compute_goal_s(self) -> Optional[float]:
+        polys = self._goal_polygons()
+        if not polys:
+            return None
+        centers = [p.mean(axis=0) for p in polys]
+        ref = self.planner.ref_np
+        s_vals = []
+        for c in centers:
+            d = np.linalg.norm(np.asarray(ref.xy) - c[None], axis=1)
+            s_vals.append(float(np.asarray(ref.s)[int(np.argmin(d))]))
+        return float(np.mean(s_vals))
+
+    def _goal_time_interval(self):
+        for g in self.problem.goals:
+            if g.time_interval is not None:
+                return g.time_interval
+        return None
+
+    def goal_reached(self) -> bool:
+        """Position (∈ goal lanelet/shape) ∧ velocity-interval check
+        (goalcheck.py:83-172; the time lower bound is not enforced — reaching
+        the goal early counts, like the reference's "faster-than-target"
+        handling)."""
+        from frenetix_tpu.io.commonroad import _point_in_ring
+
+        p = self.state.position
+        for g in self.problem.goals:
+            pos_ok = True
+            polys = []
+            for lid in g.position_lanelets:
+                if lid in self.scenario.lanelets:
+                    polys.append(self.scenario.lanelets[lid].polygon)
+            if g.position_shape is not None:
+                polys.append(g.position_shape)
+            if polys:
+                pos_ok = any(_point_in_ring(p, ring) for ring in polys)
+            vel_ok = True
+            if g.velocity_interval is not None:
+                lo, hi = g.velocity_interval
+                vel_ok = lo <= self.state.velocity <= hi
+            if pos_ok and vel_ok:
+                return True
+        return False
+
+    # ------------------------------------------------------------- velocities
+    def desired_velocity(self) -> float:
+        """distance-to-goal / remaining-time, clipped to ±5 m/s of current
+        (velocity_planner.py:94-129)."""
+        v_cur = self.state.velocity
+        if self._goal_s is None:
+            return v_cur
+        x_cl = self.x_cl
+        s_cur = x_cl[0][0] if x_cl is not None else 0.0
+        dist = self._goal_s - s_cur
+        if self._goal_time is not None:
+            remaining = (self._goal_time[1] - self.state.time_step) * self.dt
+        else:
+            remaining = max(dist, 0.0) / max(v_cur, 1.0)
+        if dist <= 2.0:
+            for g in self.problem.goals:
+                if g.velocity_interval is not None:
+                    lo, hi = g.velocity_interval
+                    return max(0.0, (lo + hi) / 2.0)
+            return 0.0
+        if remaining <= 0:
+            return max(v_cur, 1.0)
+        v_des = dist / remaining
+        return float(np.clip(v_des, max(v_cur - 5.0, 0.0), v_cur + 5.0))
+
+    # -------------------------------------------------------------- stepping
+    def _rear_axle_state(self) -> _RearAxleState:
+        wb = self.veh.wb_rear_axle
+        return _RearAxleState(
+            x=self.state.position[0] - wb * np.cos(self.state.orientation),
+            y=self.state.position[1] - wb * np.sin(self.state.orientation),
+            orientation=self.state.orientation,
+            velocity=self.state.velocity,
+            acceleration=self.state.acceleration,
+            steering_angle=self.state.steering_angle,
+            yaw_rate=self.state.yaw_rate,
+        )
+
+    def step(self, predictions, obstacle_xy, obstacle_valid) -> AgentStatus:
+        """One simulation step: maybe replan, then execute the next state."""
+        import time as _time
+
+        if self.status in (AgentStatus.COMPLETED_SUCCESS, AgentStatus.COLLISION,
+                           AgentStatus.TIMELIMIT, AgentStatus.ERROR):
+            return self.status
+        self.status = AgentStatus.RUNNING
+
+        if self.goal_reached():
+            self.status = AgentStatus.COMPLETED_SUCCESS
+            self.message = "success"
+            return self.status
+
+        need_replan = self.current_plan is None or self.plan_step >= self.k_replan
+        if need_replan:
+            t0 = _time.perf_counter()
+            ra = self._rear_axle_state()
+            try:
+                if self.x_cl is None:
+                    self.x_cl = compute_initial_state_np(
+                        self.planner.ref_np, ra, self.veh.wheelbase,
+                        ra.velocity < self.config.planning.low_vel_mode_threshold,
+                    )
+                self.planner.set_predictions(predictions)
+                self.planner.set_obstacles(obstacle_xy, obstacle_valid)
+                self.planner.set_desired_velocity(self.desired_velocity())
+                plan = self.planner.plan(ra, self.x_cl)
+            except Exception as e:  # containment: agent degrades, sim continues
+                self.status = AgentStatus.ERROR
+                self.message = f"planner error: {e}"
+                return self.status
+            self.record.planning_times.append(_time.perf_counter() - t0)
+            if plan is None:
+                self.status = AgentStatus.ERROR
+                self.message = "no feasible trajectory"
+                return self.status
+            self.current_plan = plan
+            self.plan_step = 0
+
+        # execute the next planned state (frenet_interface.py:229-287)
+        self.plan_step += 1
+        j = self.plan_step
+        plan = self.current_plan
+        j = min(j, len(plan.x) - 1)
+        wb = self.veh.wb_rear_axle
+        theta = float(plan.theta[j])
+        center = np.array([
+            plan.x[j] + wb * np.cos(theta),
+            plan.y[j] + wb * np.sin(theta),
+        ])
+        self.state = EgoState(
+            time_step=self.state.time_step + 1,
+            position=center,
+            orientation=theta,
+            velocity=float(plan.v[j]),
+            acceleration=float(plan.a[j]),
+            yaw_rate=(float(plan.theta[j]) - float(plan.theta[j - 1])) / self.dt if j > 0 else 0.0,
+            steering_angle=float(np.arctan2(self.veh.wheelbase * plan.kappa[j], 1.0)),
+        )
+        self.record.states.append(self.state)
+        # curvilinear state carried to the next replan
+        self.x_cl = (
+            np.array([plan.s[j], plan.s_dot[j], plan.s_ddot[j]]),
+            np.array([plan.d[j], plan.d_dot[j], plan.d_ddot[j]]),
+        )
+        return self.status
+
+    def set_collision(self):
+        self.status = AgentStatus.COLLISION
+        self.message = "collision"
+
+    def set_timelimit(self):
+        self.status = AgentStatus.TIMELIMIT
+        self.message = "time limit reached"

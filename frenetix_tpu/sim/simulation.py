@@ -1,0 +1,263 @@
+"""Simulation orchestrator: scenario + config → stepped agents → result.
+
+The TPU-native counterpart of the reference's `Simulation`
+(cr_scenario_handler/simulation/simulation.py): converts dynamic obstacles
+into planning agents (multi-agent mode, :154-346), computes global predictions
+per step (:677-700), steps all agents in lockstep, checks inter-agent and
+agent-obstacle collisions (:702-741), and collects per-agent outcomes
+(score_overview semantics, main.py:81-84).
+
+Differences by design (SURVEY §2.3/§2.4): no worker processes and no pickled
+scenario exchange — agents run in one process against shared device tensors;
+the scale-out axis is the device mesh (frenetix_tpu.parallel), not
+multiprocessing.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from frenetix_tpu.io.commonroad import GoalCondition, PlanningProblem, Scenario, State
+from frenetix_tpu.sim.agent import Agent, AgentStatus
+from frenetix_tpu.sim.prediction import (
+    constant_velocity_predictions, ground_truth_predictions, to_device,
+)
+from frenetix_tpu.utils.config import FrenetixConfig
+
+__all__ = ["Simulation", "SimulationResult"]
+
+
+def _obb_overlap_np(c1, th1, h1, c2, th2, h2) -> bool:
+    """Host scalar SAT test (sim-level collision check, cf.
+    simulation.py:702-741 / pycrcc)."""
+    axes = []
+    for th in (th1, th2):
+        c, s = np.cos(th), np.sin(th)
+        axes.append(np.array([c, s]))
+        axes.append(np.array([-s, c]))
+    a1 = [axes[0], axes[1]]
+    a2 = [axes[2], axes[3]]
+    delta = np.asarray(c2) - np.asarray(c1)
+    for ax in axes:
+        r1 = h1[0] * abs(ax @ a1[0]) + h1[1] * abs(ax @ a1[1])
+        r2 = h2[0] * abs(ax @ a2[0]) + h2[1] * abs(ax @ a2[1])
+        if abs(ax @ delta) > r1 + r2:
+            return False
+    return True
+
+
+@dataclass
+class SimulationResult:
+    scenario_id: str
+    agent_status: dict
+    agent_messages: dict
+    steps: int
+    wall_time: float
+    planning_times: list = field(default_factory=list)
+    histories: dict = field(default_factory=dict)
+
+    @property
+    def success(self) -> bool:
+        return all(s == AgentStatus.COMPLETED_SUCCESS for s in self.agent_status.values())
+
+
+class Simulation:
+    def __init__(self, scenario: Scenario, config: Optional[FrenetixConfig] = None,
+                 msg_logger=None, sim_logger=None):
+        import jax.numpy as jnp
+
+        self.jnp = jnp
+        self.scenario = scenario
+        self.config = config or FrenetixConfig()
+        self.msg_logger = msg_logger
+        self.sim_logger = sim_logger
+        self.dt = self.config.planning.dt
+
+        horizon = scenario.max_time_step
+        if horizon > 0:
+            self.max_steps = int(horizon * self.config.simulation.max_steps_factor)
+        else:
+            self.max_steps = self.config.simulation.fallback_max_steps
+
+        self.agents: list[Agent] = []
+        ego_id = self.config.simulation.ego_agent_id
+        for pid, pp in scenario.planning_problems.items():
+            self.agents.append(Agent(pid, pp, scenario, self.config, msg_logger))
+
+        if self.config.simulation.start_multiagent:
+            self._create_obstacle_agents()
+
+        self.agent_obstacle_ids = {a.id for a in self.agents}
+
+    # ----------------------------------------------------------- multi-agent
+    def _create_obstacle_agents(self):
+        """Convert dynamic obstacles into planning agents: goal region from the
+        obstacle's final trajectory state (simulation.py:154-346)."""
+        n_wanted = self.config.simulation.number_of_agents
+        candidates = self.scenario.dynamic_obstacles
+        if n_wanted >= 0:
+            candidates = candidates[:n_wanted]
+        for ob in candidates:
+            if ob.obstacle_type not in ("car", "truck", "bus"):
+                continue
+            if not ob.trajectory:
+                continue
+            final = ob.trajectory[-1]
+            ang = final.orientation
+            ca, sa = np.cos(ang), np.sin(ang)
+            rot = np.array([[ca, -sa], [sa, ca]])
+            half = np.array([[4.0, 2.0], [4.0, -2.0], [-4.0, -2.0], [-4.0, 2.0]])
+            shape = (half @ rot.T) + final.position
+            goal = GoalCondition(
+                position_shape=shape,
+                time_interval=(0, final.time_step + 20),
+                velocity_interval=None,
+            )
+            init = ob.initial_state
+            pp = PlanningProblem(
+                problem_id=ob.obstacle_id,
+                initial_state=State(
+                    time_step=init.time_step, position=init.position,
+                    orientation=init.orientation, velocity=init.velocity,
+                    acceleration=init.acceleration,
+                ),
+                goals=[goal],
+            )
+            try:
+                self.agents.append(
+                    Agent(ob.obstacle_id, pp, self.scenario, self.config, self.msg_logger)
+                )
+            except Exception as e:  # agent-creation containment (simulation.py:423-447)
+                if self.msg_logger:
+                    self.msg_logger.warning(f"dropping agent {ob.obstacle_id}: {e}")
+
+    # ----------------------------------------------------------- predictions
+    def _visible_obstacle_ids(self, t: int, exclude: set) -> list[int]:
+        ids = []
+        for ob in self.scenario.dynamic_obstacles:
+            if ob.obstacle_id in exclude:
+                continue
+            if ob.state_at_time(t) is not None:
+                ids.append(ob.obstacle_id)
+        for ob in self.scenario.static_obstacles:
+            if ob.obstacle_id not in exclude:
+                ids.append(ob.obstacle_id)
+        return ids
+
+    def _predictions_for_step(self, t: int):
+        """Global prediction step (prestep_simulation, simulation.py:677-700)."""
+        pcfg = self.config.prediction
+        ids = self._visible_obstacle_ids(t, self.agent_obstacle_ids)
+        horizon = pcfg.horizon_steps
+        dtype = np.float64 if self.config.dtype == "float64" else np.float32
+        if pcfg.mode == "ground_truth":
+            pd = ground_truth_predictions(
+                self.scenario, ids, t, horizon,
+                cov_pos=pcfg.cov_pos, max_obstacles=pcfg.max_obstacles, dtype=dtype,
+            )
+        elif pcfg.mode == "walenet":
+            from frenetix_tpu.models.walenet import walenet_predictions
+
+            pd = walenet_predictions(
+                self.scenario, ids, t, horizon,
+                max_obstacles=pcfg.max_obstacles, dtype=dtype,
+            )
+        else:
+            pd = constant_velocity_predictions(
+                self.scenario, ids, t, horizon, dt=self.dt,
+                max_obstacles=pcfg.max_obstacles, dtype=dtype,
+            )
+        return pd, ids
+
+    def _augment_with_agents(self, pd, for_agent: Agent):
+        """Other agents appear as predicted obstacles (their executed poses,
+        extrapolated at constant velocity — the analog of the reference's
+        scenario mutation + re-prediction, simulation.py:743-779)."""
+        others = [a for a in self.agents if a.id != for_agent.id]
+        if not others:
+            return pd
+        horizon = pd["means"].shape[1]
+        dtype = pd["means"].dtype
+        free = np.where(~pd["valid"].any(axis=1))[0]
+        steps = np.arange(1, horizon + 1)
+        for a, slot in zip(others, free):
+            st = a.state
+            heading = np.array([np.cos(st.orientation), np.sin(st.orientation)])
+            pd["means"][slot] = st.position[None] + (st.velocity * self.dt * steps)[:, None] * heading[None]
+            pd["orientations"][slot] = st.orientation
+            cov = np.eye(2, dtype=dtype) * max(self.config.prediction.cov_pos, 0.1)
+            pd["covs"][slot] = cov[None]
+            pd["inv_covs"][slot] = np.linalg.inv(cov)[None]
+            pd["lengths"][slot] = self.config.vehicle.length + 0.5
+            pd["widths"][slot] = self.config.vehicle.width + 0.2
+            pd["valid"][slot] = True
+        return pd
+
+    # ------------------------------------------------------------- collisions
+    def _check_collisions(self, t: int):
+        """Agent-vs-obstacle and agent-vs-agent OBB checks at step t
+        (check_collision, simulation.py:702-741)."""
+        veh = self.config.vehicle
+        h_agent = (veh.length / 2.0, veh.width / 2.0)
+        for a in self.agents:
+            if a.status not in (AgentStatus.RUNNING, AgentStatus.IDLE):
+                continue
+            for ob in self.scenario.obstacles.values():
+                if ob.obstacle_id in self.agent_obstacle_ids:
+                    continue
+                st = ob.state_at_time(t)
+                if st is None:
+                    continue
+                if _obb_overlap_np(
+                    a.state.position, a.state.orientation, h_agent,
+                    st.position, st.orientation, (ob.length / 2.0, ob.width / 2.0),
+                ):
+                    a.set_collision()
+                    break
+            if a.status == AgentStatus.COLLISION:
+                continue
+            for b in self.agents:
+                if b.id == a.id:
+                    continue
+                if _obb_overlap_np(
+                    a.state.position, a.state.orientation, h_agent,
+                    b.state.position, b.state.orientation, h_agent,
+                ):
+                    a.set_collision()
+                    break
+
+    # -------------------------------------------------------------- main loop
+    def run(self) -> SimulationResult:
+        t_start = time.perf_counter()
+        t = 0
+        while t < self.max_steps:
+            running = [a for a in self.agents
+                       if a.status in (AgentStatus.IDLE, AgentStatus.RUNNING)]
+            if not running:
+                break
+            pd_base, ids = self._predictions_for_step(t)
+            for a in running:
+                pd = {k: v.copy() for k, v in pd_base.items()}
+                pd = self._augment_with_agents(pd, a)
+                preds = to_device(pd, self.jnp)
+                a.step(preds, pd["means"][:, 0], pd["valid"][:, 0])
+            t += 1
+            self._check_collisions(t)
+            if self.sim_logger:
+                self.sim_logger.log_step(t, self.agents)
+        for a in self.agents:
+            if a.status in (AgentStatus.IDLE, AgentStatus.RUNNING):
+                a.set_timelimit()
+
+        return SimulationResult(
+            scenario_id=self.scenario.scenario_id,
+            agent_status={a.id: a.status for a in self.agents},
+            agent_messages={a.id: a.message for a in self.agents},
+            steps=t,
+            wall_time=time.perf_counter() - t_start,
+            planning_times=[pt for a in self.agents for pt in a.record.planning_times],
+            histories={a.id: a.record.states for a in self.agents},
+        )

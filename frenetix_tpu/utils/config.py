@@ -1,0 +1,155 @@
+"""Configuration system: typed dataclasses + YAML-directory merge.
+
+Mirrors the reference's OmegaConf setup (`ConfigurationBuilder`,
+cr_scenario_handler/utils/configuration_builder.py:14-91: every
+`configurations/<module>/*.yaml` becomes a top-level key, CLI overrides merged
+last) with plain dataclasses + PyYAML.  Defaults replicate
+configurations/frenetix_motion_planner/{planning,cost,debug}.yaml and
+configurations/simulation/{simulation,vehicle,prediction}.yaml.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+from frenetix_tpu.ops.kinematics import VehicleParams
+
+__all__ = [
+    "PlanningConfig",
+    "DebugConfig",
+    "SimulationConfig",
+    "PredictionConfig",
+    "FrenetixConfig",
+    "DEFAULT_COST_WEIGHTS",
+    "load_config",
+]
+
+# configurations/frenetix_motion_planner/cost.yaml
+DEFAULT_COST_WEIGHTS = {
+    "acceleration": 0.0,
+    "jerk": 0.0,
+    "lateral_jerk": 0.2,
+    "longitudinal_jerk": 0.2,
+    "orientation_offset": 0.0,
+    "path_length": 0.0,
+    "lane_center_offset": 0.0,
+    "velocity_offset": 1.0,
+    "velocity": 0.0,
+    "distance_to_reference_path": 5.0,
+    "distance_to_obstacles": 0.0,
+    "prediction": 0.2,
+    "responsibility": 0.0,
+}
+
+
+@dataclass
+class PlanningConfig:
+    """configurations/frenetix_motion_planner/planning.yaml defaults."""
+
+    dt: float = 0.1
+    planning_horizon: float = 3.0
+    low_vel_mode_threshold: float = 2.0
+    replanning_frequency: int = 3
+    emergency_mode: str = "stopping"  # "stopping" | "min_risk"
+    t_min: float = 1.1
+    d_min: float = -3.0
+    d_max: float = 3.0
+    d_ego_pos: bool = False
+    sampling_min: int = 2
+    sampling_max: int = 3
+
+    @property
+    def n_steps(self) -> int:
+        return int(self.planning_horizon / self.dt)
+
+
+@dataclass
+class DebugConfig:
+    """configurations/frenetix_motion_planner/debug.yaml (TPU-relevant subset)."""
+
+    save_all_traj: bool = False
+    activate_logging: bool = True
+    kinematic_debug: bool = True
+    matrix_bucket: int = 256     # candidate-count padding bucket (jit shapes)
+    collision_report: bool = True
+
+
+@dataclass
+class SimulationConfig:
+    """configurations/simulation/simulation.yaml subset."""
+
+    max_steps_factor: float = 1.7   # "max_steps" — fraction of scenario horizon
+    fallback_max_steps: int = 200
+    start_multiagent: bool = False
+    number_of_agents: int = -1
+    ego_agent_id: int = 60000
+
+
+@dataclass
+class PredictionConfig:
+    """configurations/simulation/prediction.yaml subset."""
+
+    mode: str = "ground_truth"  # "ground_truth" | "constant_velocity" | "walenet"
+    horizon_steps: int = 30
+    cov_pos: float = 0.5        # ground-truth fixed covariance (prediction_helpers.py:209-261)
+    sensor_radius: float = 50.0
+    max_obstacles: int = 16     # static padding bound for device tensors
+
+
+@dataclass
+class FrenetixConfig:
+    planning: PlanningConfig = field(default_factory=PlanningConfig)
+    debug: DebugConfig = field(default_factory=DebugConfig)
+    simulation: SimulationConfig = field(default_factory=SimulationConfig)
+    prediction: PredictionConfig = field(default_factory=PredictionConfig)
+    vehicle: VehicleParams = field(default_factory=VehicleParams)
+    cost_weights: dict = field(default_factory=lambda: dict(DEFAULT_COST_WEIGHTS))
+    dtype: str = "float32"      # device dtype ("float32" on TPU, "float64" CPU tests)
+
+
+def _apply_overrides(obj, overrides: dict):
+    for k, v in overrides.items():
+        if not hasattr(obj, k):
+            continue
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _apply_overrides(cur, v)
+        elif isinstance(cur, dict) and isinstance(v, dict):
+            cur.update(v)
+        elif isinstance(cur, VehicleParams) and isinstance(v, dict):
+            setattr(obj, k, cur._replace(**{kk: vv for kk, vv in v.items() if kk in cur._fields}))
+        else:
+            setattr(obj, k, v)
+
+
+def load_config(config_dir: Optional[str] = None, overrides: Optional[dict] = None) -> FrenetixConfig:
+    """Build a FrenetixConfig: defaults ← YAML directory ← overrides dict.
+
+    Like the reference's ConfigurationBuilder, every `<dir>/*.yaml` file merges
+    under its stem as a section name (e.g. planning.yaml → cfg.planning.*).
+    """
+    cfg = FrenetixConfig()
+    merged: dict = {}
+    if config_dir and os.path.isdir(config_dir):
+        import yaml
+
+        for fname in sorted(os.listdir(config_dir)):
+            if not fname.endswith((".yaml", ".yml")):
+                continue
+            with open(os.path.join(config_dir, fname)) as f:
+                data = yaml.safe_load(f) or {}
+            stem = os.path.splitext(fname)[0]
+            if stem == "cost" and "cost_weights" in data:
+                merged.setdefault("cost_weights", {}).update(data["cost_weights"])
+            else:
+                merged.setdefault(stem, {}).update(data)
+    if overrides:
+        for k, v in overrides.items():
+            if isinstance(v, dict):
+                merged.setdefault(k, {}).update(v)
+            else:
+                merged[k] = v
+    _apply_overrides(cfg, merged)
+    return cfg

@@ -1,0 +1,67 @@
+"""End-to-end: reference example scenarios through the full stack.
+
+The TPU build's analog of the reference's scenario-based validation
+(README.md:94-104, SURVEY §4): plan ZAM_Tjunction scenarios to completion and
+require goal success — the same oracle as `logs/score_overview.csv`.
+"""
+import os
+
+import numpy as np
+import pytest
+
+SCENARIO_DIR = "/root/reference/example_scenarios"
+
+
+def _make_cfg():
+    from frenetix_tpu.utils.config import load_config
+
+    cfg = load_config()
+    cfg.dtype = "float64"
+    return cfg
+
+
+@pytest.mark.skipif(not os.path.isdir(SCENARIO_DIR), reason="no example scenarios")
+def test_single_agent_scenario_23_success():
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    sc = load_scenario(f"{SCENARIO_DIR}/ZAM_Tjunction-1_23_T-1.xml")
+    sim = Simulation(sc, _make_cfg())
+    res = sim.run()
+    assert res.agent_status[60000] == AgentStatus.COMPLETED_SUCCESS, res.agent_messages
+    # ego must actually have moved through the junction
+    hist = res.histories[60000]
+    dist = np.linalg.norm(hist[-1].position - hist[0].position)
+    assert dist > 15.0, dist
+
+
+@pytest.mark.skipif(not os.path.isdir(SCENARIO_DIR), reason="no example scenarios")
+def test_scenario_parsing_all():
+    from frenetix_tpu.io import load_scenario
+
+    for name in ["23", "24", "27", "36", "42"]:
+        sc = load_scenario(f"{SCENARIO_DIR}/ZAM_Tjunction-1_{name}_T-1.xml")
+        assert len(sc.lanelets) == 12
+        assert len(sc.dynamic_obstacles) == 5
+        assert len(sc.planning_problems) == 1
+        pp = list(sc.planning_problems.values())[0]
+        assert sc.find_lanelets_by_position(pp.initial_state.position)
+
+
+@pytest.mark.skipif(not os.path.isdir(SCENARIO_DIR), reason="no example scenarios")
+def test_route_and_refpath_quality():
+    """Route reaches the goal lanelet; built tables are smooth enough to plan
+    (curvature-rate below the hard feasibility limit everywhere)."""
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.planner.route import reference_path_for_problem
+    from frenetix_tpu.geometry.refpath import prepare_reference_path
+
+    sc = load_scenario(f"{SCENARIO_DIR}/ZAM_Tjunction-1_24_T-1.xml")
+    pp = list(sc.planning_problems.values())[0]
+    polyline, route = reference_path_for_problem(sc, pp)
+    assert 50203 in route  # goal lanelet
+    ref = prepare_reference_path(polyline, smooth=True)
+    assert np.abs(ref.kappa).max() < 0.3
+    assert np.abs(ref.kappa_d).max() < 0.1  # << 0.4 hard limit
+    assert np.all(np.diff(ref.s) > 0)
