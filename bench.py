@@ -74,6 +74,7 @@ def build_workload(dtype=np.float32):
         inv_covs=jnp.asarray(np.linalg.inv(covs).astype(dtype)),
         covs=jnp.asarray(covs),
         orientations=jnp.zeros((o, t_pred), dtype),
+        velocities=jnp.full((o, t_pred), 8.0, dtype),
         lengths=jnp.full((o,), 4.5, dtype),
         widths=jnp.full((o,), 1.8, dtype),
         valid=jnp.ones((o, t_pred), bool),

@@ -40,6 +40,7 @@ class PredictionTensors(NamedTuple):
     inv_covs: jnp.ndarray   # (O, T, 2, 2) — inverse covariances
     covs: jnp.ndarray       # (O, T, 2, 2)
     orientations: jnp.ndarray  # (O, T)
+    velocities: jnp.ndarray  # (O, T) — predicted speeds (risk Δv inputs)
     lengths: jnp.ndarray    # (O,)
     widths: jnp.ndarray     # (O,)
     valid: jnp.ndarray      # (O, T) bool — step exists for this obstacle
@@ -61,6 +62,7 @@ def empty_predictions(n_steps: int, dtype=jnp.float32) -> PredictionTensors:
         inv_covs=z((0, n_steps, 2, 2), dtype),
         covs=z((0, n_steps, 2, 2), dtype),
         orientations=z((0, n_steps), dtype),
+        velocities=z((0, n_steps), dtype),
         lengths=z((0,), dtype),
         widths=z((0,), dtype),
         valid=z((0, n_steps), bool),

@@ -52,6 +52,7 @@ class VehicleParams(NamedTuple):
 
     length: float = 4.508
     width: float = 1.610
+    mass: float = 1475.0
     wheelbase: float = 2.578
     wb_rear_axle: float = 1.422
     a_max: float = 11.5

@@ -95,6 +95,7 @@ class ReactivePlanner:
         self.ref_np = None
         self.corridor = None
         self.preds = None
+        self.obstacle_meta = None
         self.obstacle_xy = np.zeros((0, 2), self.np_dtype)
         self.obstacle_valid = np.zeros((0,), bool)
         self.desired_velocity = 0.0
@@ -121,8 +122,9 @@ class ReactivePlanner:
         self.corridor = self.jnp.asarray(corridor.astype(self.np_dtype))
         self.ref = type(ref)(*(self.jnp.asarray(f) for f in ref))
 
-    def set_predictions(self, preds):
+    def set_predictions(self, preds, obstacle_meta=None):
         self.preds = preds
+        self.obstacle_meta = obstacle_meta
 
     def set_obstacles(self, obstacle_xy: np.ndarray, obstacle_valid: np.ndarray):
         self.obstacle_xy = obstacle_xy.astype(self.np_dtype)
@@ -228,13 +230,35 @@ class ReactivePlanner:
             if p.emergency_mode == "stopping":
                 idx = self._select_stopping_index(last_matrix, feas, x_cl[1][0])
                 return self._materialize(last_res, idx, last_matrix, "stopping")
-            # min-risk: lowest prediction-cost feasible candidate
-            # (risk ≈ collision-probability surrogate; full harm model in risk/)
-            pred_col = COST_TERM_ORDER.index("prediction")
-            terms = np.asarray(last_res.cost_terms[:, pred_col])
-            terms = np.where(feas, terms, np.inf)
-            return self._materialize(last_res, int(np.argmin(terms)), last_matrix, "min_risk")
+            # minimum-risk selection (reactive_planner_cpp.py:409-413 →
+            # risk_costs.calc_risk): lowest ego_risk + obst_risk over the full
+            # harm × collision-probability model, batched for all candidates
+            total = np.asarray(self._risk_totals(last_res.rollout))
+            total = np.where(feas, total, np.inf)
+            return self._materialize(last_res, int(np.argmin(total)), last_matrix, "min_risk")
         return None
+
+    def _risk_totals(self, ro):
+        """(M,) ego_risk + obst_risk via the full risk stack (risk/)."""
+        from frenetix_tpu.risk.costs import trajectory_risks
+        from frenetix_tpu.risk.harm import ObstacleMeta
+
+        preds = self.preds
+        if preds is None or preds.num_obstacles == 0:
+            return np.zeros(ro.x.shape[0], self.np_dtype)
+        meta = self.obstacle_meta
+        if meta is None:
+            o = preds.num_obstacles
+            # default: protected car-class opponents with size-based mass
+            size = np.asarray(preds.lengths) * np.asarray(preds.widths)
+            meta = ObstacleMeta(
+                mass=self.jnp.asarray(
+                    (-1333.5 + 526.9 * np.maximum(size, 1.0) ** 0.8).astype(self.np_dtype)
+                ),
+                protected=self.jnp.ones(o, self.jnp.int32),
+            )
+        risks = trajectory_risks(ro, preds, meta, self.veh.mass)
+        return risks.ego_risk + risks.obst_risk
 
     # ------------------------------------------------------------- fallbacks
     @staticmethod

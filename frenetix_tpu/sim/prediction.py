@@ -56,6 +56,7 @@ def ground_truth_predictions(
     o = max_obstacles
     means = np.zeros((o, horizon, 2), dtype)
     orientations = np.zeros((o, horizon), dtype)
+    velocities = np.zeros((o, horizon), dtype)
     covs = np.tile((np.eye(2, dtype=dtype) * cov_pos)[None, None], (o, horizon, 1, 1))
     lengths = np.full(o, 4.5, dtype)
     widths = np.full(o, 2.0, dtype)
@@ -70,6 +71,7 @@ def ground_truth_predictions(
             if st is None:
                 break
             traj_means[i] = st.position
+            velocities[k, i] = st.velocity
             valid[k, i] = True
             last_state = st
         n_valid = int(valid[k].sum())
@@ -78,6 +80,7 @@ def ground_truth_predictions(
         means[k, :n_valid] = traj_means[:n_valid]
         # pad remaining steps with the last pose (masked anyway)
         means[k, n_valid:] = traj_means[n_valid - 1]
+        velocities[k, n_valid:] = velocities[k, n_valid - 1]
         st0 = ob.state_at_time(current_step)
         fb = st0.orientation if st0 is not None else (last_state.orientation if last_state else 0.0)
         orientations[k] = _enrich_orientation(means[k], fb)
@@ -87,7 +90,7 @@ def ground_truth_predictions(
     inv = np.linalg.inv(covs.astype(np.float64)).astype(dtype)
     return dict(
         means=means, covs=covs, inv_covs=inv, orientations=orientations,
-        lengths=lengths, widths=widths, valid=valid,
+        velocities=velocities, lengths=lengths, widths=widths, valid=valid,
     )
 
 
@@ -100,6 +103,7 @@ def constant_velocity_predictions(
     o = max_obstacles
     means = np.zeros((o, horizon, 2), dtype)
     orientations = np.zeros((o, horizon), dtype)
+    velocities = np.zeros((o, horizon), dtype)
     covs = np.zeros((o, horizon, 2, 2), dtype)
     lengths = np.full(o, 4.5, dtype)
     widths = np.full(o, 2.0, dtype)
@@ -114,6 +118,7 @@ def constant_velocity_predictions(
         heading = np.array([np.cos(st.orientation), np.sin(st.orientation)])
         means[k] = st.position[None] + (st.velocity * dt * steps)[:, None] * heading[None]
         orientations[k] = st.orientation
+        velocities[k] = st.velocity
         var = cov_pos + cov_growth * steps * dt
         covs[k, :, 0, 0] = var
         covs[k, :, 1, 1] = var
@@ -127,7 +132,7 @@ def constant_velocity_predictions(
     inv = np.linalg.inv(covs_safe.astype(np.float64)).astype(dtype)
     return dict(
         means=means, covs=covs_safe, inv_covs=inv, orientations=orientations,
-        lengths=lengths, widths=widths, valid=valid,
+        velocities=velocities, lengths=lengths, widths=widths, valid=valid,
     )
 
 
@@ -137,6 +142,7 @@ def to_device(pred_dict, jnp) -> PredictionTensors:
         inv_covs=jnp.asarray(pred_dict["inv_covs"]),
         covs=jnp.asarray(pred_dict["covs"]),
         orientations=jnp.asarray(pred_dict["orientations"]),
+        velocities=jnp.asarray(pred_dict["velocities"]),
         lengths=jnp.asarray(pred_dict["lengths"]),
         widths=jnp.asarray(pred_dict["widths"]),
         valid=jnp.asarray(pred_dict["valid"]),

@@ -188,6 +188,7 @@ class Simulation:
             heading = np.array([np.cos(st.orientation), np.sin(st.orientation)])
             pd["means"][slot] = st.position[None] + (st.velocity * self.dt * steps)[:, None] * heading[None]
             pd["orientations"][slot] = st.orientation
+            pd["velocities"][slot] = st.velocity
             cov = np.eye(2, dtype=dtype) * max(self.config.prediction.cov_pos, 0.1)
             pd["covs"][slot] = cov[None]
             pd["inv_covs"][slot] = np.linalg.inv(cov)[None]
