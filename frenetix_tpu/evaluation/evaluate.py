@@ -1,0 +1,46 @@
+"""Simulation evaluation driver: metrics → pandas → simulation.db.
+
+The analog of `evaluate_simulation` / `Evaluator`
+(/root/reference/cr_scenario_handler/evaluation/simulation_evaluation.py:107,
+agent_evaluation.py): computes the criticality metrics for every agent of a
+finished simulation and persists them to the `scenario_evaluation` table.
+"""
+from __future__ import annotations
+
+from frenetix_tpu.evaluation.metrics import CRITICALITY_METRICS, Measures
+
+__all__ = ["evaluate_simulation"]
+
+
+def evaluate_simulation(scenario, result, config=None, sim_logger=None,
+                        metrics=None, msg_logger=None):
+    """→ {agent_id: DataFrame}; logs to sim_logger when provided."""
+    metrics = metrics or CRITICALITY_METRICS
+    veh = config.vehicle if config is not None else None
+    dt = scenario.dt
+    out = {}
+    original_ids = set(scenario.planning_problems.keys())
+    for aid, states in result.histories.items():
+        m = Measures(
+            aid, scenario, states, other_histories=result.histories, dt=dt,
+            a_max_long=veh.a_max if veh else 11.5,
+            veh_length=veh.length if veh else 4.508,
+            veh_width=veh.width if veh else 1.61,
+        )
+        df = m.compute(metrics)
+        out[aid] = df
+        if msg_logger:
+            import numpy as np
+
+            finite_ttc = df["ttc"][np.isfinite(df["ttc"])]
+            msg_logger.info(
+                f"agent {aid}: min TTC "
+                f"{finite_ttc.min() if len(finite_ttc) else float('inf'):.2f}s, "
+                f"max |jerk| {df['jerk'].abs().max():.2f}, TET "
+                f"{df['tet'].sum():.2f}s"
+            )
+        if sim_logger is not None:
+            sim_logger.log_evaluation(
+                result.scenario_id, aid, aid in original_ids, df
+            )
+    return out

@@ -18,13 +18,40 @@ import sys
 import traceback
 
 
-def run_one(path: str, config, msg_logger=None):
+def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
+    import time
+
     from frenetix_tpu.io import load_scenario
     from frenetix_tpu.sim import Simulation
 
     scenario = load_scenario(path)
-    sim = Simulation(scenario, config, msg_logger)
-    return sim.run()
+    sim_logger = None
+    if log_dir is not None and config.debug.activate_logging:
+        from frenetix_tpu.evaluation.metrics import CRITICALITY_METRICS
+        from frenetix_tpu.utils.sim_logging import SimulationLogger
+
+        sim_logger = SimulationLogger(
+            log_dir, evaluation_metrics=CRITICALITY_METRICS if evaluate else None
+        )
+    t0 = time.perf_counter()
+    sim = Simulation(scenario, config, msg_logger, sim_logger=sim_logger,
+                     log_dir=log_dir)
+    init_time = time.perf_counter() - t0
+    if sim_logger:
+        sim_logger.log_meta(
+            scenario.scenario_id, [a.id for a in sim.agents],
+            list(scenario.planning_problems.keys()), init_time,
+            {"prediction_mode": config.prediction.mode},
+            {"cost_weights": config.cost_weights},
+        )
+    res = sim.run()
+    if evaluate:
+        from frenetix_tpu.evaluation import evaluate_simulation
+
+        evaluate_simulation(scenario, res, config, sim_logger, msg_logger=msg_logger)
+    if sim_logger:
+        sim_logger.close()
+    return res
 
 
 def main(argv=None):
@@ -35,6 +62,9 @@ def main(argv=None):
     ap.add_argument("--logs", default="logs")
     ap.add_argument("--prediction", default=None,
                     choices=["ground_truth", "constant_velocity", "walenet"])
+    ap.add_argument("--evaluate", action="store_true",
+                    help="compute criticality metrics after each simulation")
+    ap.add_argument("--no-logging", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
@@ -64,7 +94,9 @@ def main(argv=None):
         for path in args.scenarios:
             name = os.path.splitext(os.path.basename(path))[0]
             try:
-                res = run_one(path, config, msg_logger)
+                scenario_log_dir = None if args.no_logging else os.path.join(args.logs, name)
+                res = run_one(path, config, msg_logger,
+                              log_dir=scenario_log_dir, evaluate=args.evaluate)
                 for aid, status in res.agent_status.items():
                     w.writerow([name, aid, res.steps, status.name,
                                 res.agent_messages[aid], round(res.wall_time, 2)])

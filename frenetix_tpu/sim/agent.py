@@ -72,7 +72,8 @@ class AgentRecord:
 
 
 class Agent:
-    def __init__(self, agent_id: int, planning_problem, scenario, config, msg_logger=None):
+    def __init__(self, agent_id: int, planning_problem, scenario, config, msg_logger=None,
+                 log_dir=None):
         self.id = agent_id
         self.problem = planning_problem
         self.scenario = scenario
@@ -90,6 +91,21 @@ class Agent:
         # route + reference path + drivable corridor
         polyline, self.route = reference_path_for_problem(scenario, planning_problem)
         self.planner.set_reference_path(polyline, scenario.drivable_polygons())
+
+        # per-agent trajectory logging (logging_helpers.py schemas)
+        self.logger = None
+        if log_dir is not None and config.debug.activate_logging:
+            import os
+
+            from frenetix_tpu.utils.trajectory_logging import TrajectoryLogger
+
+            self.logger = TrajectoryLogger(
+                os.path.join(log_dir, str(agent_id)),
+                [k for k, v in config.cost_weights.items() if v != 0],
+                config_dict={"cost_weights": config.cost_weights},
+                save_all_traj=config.debug.save_all_traj,
+            )
+            self.logger.write_reference_path(self.planner.ref_np.xy)
 
         init = planning_problem.initial_state
         self.state = EgoState(
@@ -234,6 +250,12 @@ class Agent:
                 self.message = f"planner error: {e}"
                 return self.status
             self.record.planning_times.append(_time.perf_counter() - t0)
+            if plan is not None and self.logger is not None:
+                self.logger.log_cycle(
+                    self.state.time_step, plan, self.planner.infeasible_histogram,
+                    self.record.planning_times[-1], self.planner.desired_velocity,
+                    cost_weights=self.config.cost_weights,
+                )
             if plan is None:
                 self.status = AgentStatus.ERROR
                 self.message = "no feasible trajectory"

@@ -66,10 +66,11 @@ class SimulationResult:
 
 class Simulation:
     def __init__(self, scenario: Scenario, config: Optional[FrenetixConfig] = None,
-                 msg_logger=None, sim_logger=None):
+                 msg_logger=None, sim_logger=None, log_dir=None):
         import jax.numpy as jnp
 
         self.jnp = jnp
+        self.log_dir = log_dir
         self.scenario = scenario
         self.config = config or FrenetixConfig()
         self.msg_logger = msg_logger
@@ -85,7 +86,9 @@ class Simulation:
         self.agents: list[Agent] = []
         ego_id = self.config.simulation.ego_agent_id
         for pid, pp in scenario.planning_problems.items():
-            self.agents.append(Agent(pid, pp, scenario, self.config, msg_logger))
+            self.agents.append(
+                Agent(pid, pp, scenario, self.config, msg_logger, log_dir=log_dir)
+            )
 
         if self.config.simulation.start_multiagent:
             self._create_obstacle_agents()
@@ -128,7 +131,8 @@ class Simulation:
             )
             try:
                 self.agents.append(
-                    Agent(ob.obstacle_id, pp, self.scenario, self.config, self.msg_logger)
+                    Agent(ob.obstacle_id, pp, self.scenario, self.config,
+                          self.msg_logger, log_dir=self.log_dir)
                 )
             except Exception as e:  # agent-creation containment (simulation.py:423-447)
                 if self.msg_logger:
@@ -235,6 +239,7 @@ class Simulation:
         t_start = time.perf_counter()
         t = 0
         while t < self.max_steps:
+            t_step0 = time.perf_counter()
             running = [a for a in self.agents
                        if a.status in (AgentStatus.IDLE, AgentStatus.RUNNING)]
             if not running:
@@ -248,10 +253,25 @@ class Simulation:
             t += 1
             self._check_collisions(t)
             if self.sim_logger:
-                self.sim_logger.log_step(t, self.agents)
+                plan_t = sum(
+                    a.record.planning_times[-1:][0] if a.record.planning_times else 0.0
+                    for a in running
+                )
+                self.sim_logger.log_global_time(
+                    self.scenario.scenario_id, t, time.perf_counter() - t_step0
+                )
+                self.sim_logger.log_batch_time(
+                    self.scenario.scenario_id, "0", t,
+                    time.perf_counter() - t_step0, plan_t,
+                )
         for a in self.agents:
             if a.status in (AgentStatus.IDLE, AgentStatus.RUNNING):
                 a.set_timelimit()
+        if self.sim_logger:
+            self.sim_logger.log_results(
+                self.scenario.scenario_id, self.agents,
+                set(self.scenario.planning_problems.keys()),
+            )
 
         return SimulationResult(
             scenario_id=self.scenario.scenario_id,
