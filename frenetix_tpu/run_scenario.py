@@ -19,6 +19,7 @@ import traceback
 
 
 def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
+    import os
     import time
 
     from frenetix_tpu.io import load_scenario
@@ -45,6 +46,10 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
             {"cost_weights": config.cost_weights},
         )
     res = sim.run()
+    if log_dir is not None and config.visualization.save_plots:
+        from frenetix_tpu.utils.visualization import plot_final
+
+        plot_final(scenario, res, save_path=os.path.join(log_dir, "final.png"))
     if evaluate:
         from frenetix_tpu.evaluation import evaluate_simulation
 
@@ -65,6 +70,8 @@ def main(argv=None):
     ap.add_argument("--evaluate", action="store_true",
                     help="compute criticality metrics after each simulation")
     ap.add_argument("--no-logging", action="store_true")
+    ap.add_argument("--plot", action="store_true", help="save per-step frames")
+    ap.add_argument("--gif", action="store_true", help="assemble frames into a GIF")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
@@ -80,6 +87,9 @@ def main(argv=None):
     config.simulation.start_multiagent = args.multiagent
     if args.prediction:
         config.prediction.mode = args.prediction
+    if args.plot or args.gif:
+        config.visualization.save_plots = True
+        config.visualization.save_gif = args.gif
 
     os.makedirs(args.logs, exist_ok=True)
     msg_logger = make_msg_logger(args.logs)

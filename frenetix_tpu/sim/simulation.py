@@ -252,6 +252,17 @@ class Simulation:
                 a.step(preds, pd["means"][:, 0], pd["valid"][:, 0])
             t += 1
             self._check_collisions(t)
+            vis = self.config.visualization
+            if vis.save_plots and self.log_dir and t % vis.plot_interval == 0:
+                from frenetix_tpu.utils.visualization import plot_scenario_at_timestep
+
+                plot_scenario_at_timestep(
+                    self.scenario, self.agents, t, predictions=pd_base,
+                    save_path=f"{self.log_dir}/frames/frame_{t:04d}.png",
+                    window=vis.window,
+                    veh_length=self.config.vehicle.length,
+                    veh_width=self.config.vehicle.width,
+                )
             if self.sim_logger:
                 plan_t = sum(
                     a.record.planning_times[-1:][0] if a.record.planning_times else 0.0
@@ -272,6 +283,15 @@ class Simulation:
                 self.scenario.scenario_id, self.agents,
                 set(self.scenario.planning_problems.keys()),
             )
+
+        vis = self.config.visualization
+        if vis.save_plots and self.log_dir and vis.save_gif:
+            from frenetix_tpu.utils.visualization import make_gif
+
+            try:
+                make_gif(f"{self.log_dir}/frames", f"{self.log_dir}/run.gif")
+            except Exception:
+                pass
 
         return SimulationResult(
             scenario_id=self.scenario.scenario_id,

@@ -17,6 +17,7 @@ from typing import Optional
 from frenetix_tpu.ops.kinematics import VehicleParams
 
 __all__ = [
+    "VisualizationConfig",
     "PlanningConfig",
     "DebugConfig",
     "SimulationConfig",
@@ -99,11 +100,23 @@ class PredictionConfig:
 
 
 @dataclass
+class VisualizationConfig:
+    """configurations/simulation/visualization.yaml subset."""
+
+    save_plots: bool = False
+    plot_interval: int = 5      # plot every k-th step
+    save_gif: bool = False
+    draw_traj_set: bool = False  # draw the full candidate fan (debug.yaml)
+    window: float = 60.0
+
+
+@dataclass
 class FrenetixConfig:
     planning: PlanningConfig = field(default_factory=PlanningConfig)
     debug: DebugConfig = field(default_factory=DebugConfig)
     simulation: SimulationConfig = field(default_factory=SimulationConfig)
     prediction: PredictionConfig = field(default_factory=PredictionConfig)
+    visualization: VisualizationConfig = field(default_factory=VisualizationConfig)
     vehicle: VehicleParams = field(default_factory=VehicleParams)
     cost_weights: dict = field(default_factory=lambda: dict(DEFAULT_COST_WEIGHTS))
     dtype: str = "float32"      # device dtype ("float32" on TPU, "float64" CPU tests)
