@@ -193,21 +193,41 @@ class ReactivePlanner:
         optimal = None
         last_res, last_matrix, last_mask = None, None, None
         level = p.sampling_min
+        # stopping mode: behavior planner provided a stop point with low target
+        # velocity → end-position-constrained (quintic) longitudinal sampling
+        # (reactive_planner_cpp.py:332-343, 258-290)
+        use_stopping = (
+            self.stop_point is not None
+            and self.stop_point[1] < 10.0
+            and self.stop_point[0] > x_cl[0][0]
+        )
         # progressive densification (reactive_planner_cpp.py:329-377)
         while optimal is None and level < p.sampling_max:
-            t1, ss1, d1 = self._sampling_ranges(level, x_cl)
-            matrix = smp.build_sampling_matrix(
-                t1_vals=t1, ss1_vals=ss1, d1_vals=d1,
-                x0_lon=x_cl[0], x0_lat=x_cl[1], dtype=self.np_dtype,
-            )
+            quintic_lon = False
+            if use_stopping:
+                matrix = self._stopping_matrix(level, x_cl)
+                quintic_lon = True
+            else:
+                t1, ss1, d1 = self._sampling_ranges(level, x_cl)
+                matrix = smp.build_sampling_matrix(
+                    t1_vals=t1, ss1_vals=ss1, d1_vals=d1,
+                    x0_lon=x_cl[0], x0_lat=x_cl[1], dtype=self.np_dtype,
+                )
             matrix, mask = smp.pad_matrix(matrix, self.config.debug.matrix_bucket)
             res = evaluate_cycle(
                 self.jnp.asarray(matrix), self.jnp.asarray(mask), ctx,
                 dt=self.dt, n_steps=self.n_steps, low_vel_mode=low_vel,
+                quintic_lon=quintic_lon,
             )
             last_res, last_matrix, last_mask = res, matrix, mask
             if bool(res.found):
-                optimal = self._materialize(res, int(res.best_idx), matrix, "optimal")
+                mode = "stopping_plan" if quintic_lon else "optimal"
+                optimal = self._materialize(res, int(res.best_idx), matrix, mode)
+            elif use_stopping:
+                # stopping sampling found nothing → fall back to regular
+                # sampling at the same level (reactive_planner_cpp.py:336-341)
+                use_stopping = False
+                continue
             level += 1
 
         self.infeasible_histogram = np.asarray(last_res.histogram)
@@ -259,6 +279,40 @@ class ReactivePlanner:
             )
         risks = trajectory_risks(ro, preds, meta, self.veh.mass)
         return risks.ego_risk + risks.obst_risk
+
+    def set_stop_point(self, stop_s, stop_v):
+        """Behavior-planner stop point → stopping-trajectory mode
+        (set_stopping_point, planner.py:664-669)."""
+        self.stop_point = (float(stop_s), float(stop_v)) if stop_s is not None else None
+
+    def _stopping_matrix(self, level: int, x_cl):
+        """End-position-constrained sampling matrix: t1 × s1 × d1 with end
+        velocity 0 (spec: _create_end_point_trajectory_bundle,
+        reactive_planner.py:628-671 + the d_delta scaling of
+        _generate_stopping_trajectories, reactive_planner_cpp.py:258-290).
+        Column 5 carries the end *position* (quintic_lon mode)."""
+        p = self.config.planning
+        stop_s, stop_v = self.stop_point
+        x0_lon, x0_lat = x_cl
+
+        d_delta = 0.4
+        d_thresh = 5.0
+        ref_vel = (x0_lon[1] + stop_v) / 2.0
+        if ref_vel < d_thresh:
+            d_delta = max((x0_lon[1] / d_thresh) * d_delta, 0.01)
+
+        t1 = smp.time_samples(p.t_min, self.horizon, self.dt, level)
+        t1 = np.unique(np.concatenate([t1, [self.n_steps * self.dt]]))
+        s1 = smp.linspace_samples((x0_lon[0] + stop_s) / 2.0, stop_s, level)
+        d1 = np.union1d(
+            smp.linspace_samples(x0_lat[0] - d_delta, x0_lat[0] + d_delta, max(level - 1, 0)),
+            [x0_lat[0]],
+        )
+        # quintic_lon: column 5 = end position s1, column 6 = end acceleration
+        return smp.build_sampling_matrix(
+            t1_vals=t1, ss1_vals=s1, d1_vals=d1,
+            x0_lon=x0_lon, x0_lat=x0_lat, dtype=self.np_dtype,
+        )
 
     # ------------------------------------------------------------- fallbacks
     @staticmethod

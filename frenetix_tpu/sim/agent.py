@@ -124,6 +124,19 @@ class Agent:
         self._goal_s = self._compute_goal_s()
         self._goal_time = self._goal_time_interval()
 
+        # optional behavior planner (behavior.yaml use_behavior_planner)
+        self.behavior = None
+        if config.behavior.use_behavior_planner:
+            from frenetix_tpu.behavior import BehaviorModule
+
+            self.behavior = BehaviorModule(
+                scenario, planning_problem,
+                self.planner.ref_np.s, self.planner.ref_np.xy, self._goal_s,
+                dt=self.dt,
+                time_headway=config.behavior.time_headway,
+                ttc_threshold=config.behavior.ttc_threshold,
+            )
+
     # ------------------------------------------------------------------ goal
     def _goal_polygons(self):
         polys = []
@@ -243,7 +256,17 @@ class Agent:
                     )
                 self.planner.set_predictions(predictions)
                 self.planner.set_obstacles(obstacle_xy, obstacle_valid)
-                self.planner.set_desired_velocity(self.desired_velocity())
+                if self.behavior is not None:
+                    b_out = self.behavior.execute(predictions, self.state,
+                                                  self.state.time_step)
+                    self.planner.set_desired_velocity(
+                        min(b_out.desired_velocity, self.desired_velocity())
+                    )
+                    self.planner.set_stop_point(
+                        b_out.stop_point_s, b_out.desired_velocity_stop_point
+                    )
+                else:
+                    self.planner.set_desired_velocity(self.desired_velocity())
                 plan = self.planner.plan(ra, self.x_cl)
             except Exception as e:  # containment: agent degrades, sim continues
                 self.status = AgentStatus.ERROR

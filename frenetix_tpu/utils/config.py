@@ -17,6 +17,7 @@ from typing import Optional
 from frenetix_tpu.ops.kinematics import VehicleParams
 
 __all__ = [
+    "BehaviorConfig",
     "VisualizationConfig",
     "PlanningConfig",
     "DebugConfig",
@@ -100,6 +101,17 @@ class PredictionConfig:
 
 
 @dataclass
+class BehaviorConfig:
+    """configurations/simulation/behavior.yaml subset (off by default, :2)."""
+
+    use_behavior_planner: bool = False
+    replanning_frequency: int = 3
+    time_headway: float = 1.8
+    ttc_threshold: float = 4.0
+    stopping_mode_threshold: float = 10.0  # reactive_planner_cpp.py:332
+
+
+@dataclass
 class VisualizationConfig:
     """configurations/simulation/visualization.yaml subset."""
 
@@ -117,6 +129,7 @@ class FrenetixConfig:
     simulation: SimulationConfig = field(default_factory=SimulationConfig)
     prediction: PredictionConfig = field(default_factory=PredictionConfig)
     visualization: VisualizationConfig = field(default_factory=VisualizationConfig)
+    behavior: BehaviorConfig = field(default_factory=BehaviorConfig)
     vehicle: VehicleParams = field(default_factory=VehicleParams)
     cost_weights: dict = field(default_factory=lambda: dict(DEFAULT_COST_WEIGHTS))
     dtype: str = "float32"      # device dtype ("float32" on TPU, "float64" CPU tests)

@@ -118,3 +118,35 @@ def test_standstill_theta_carry():
         dt=DT, n_steps=N, low_vel_mode=False, x0_orientation=x0_orientation,
     )
     np.testing.assert_allclose(np.asarray(ro.theta_gl)[0], x0_orientation, atol=1e-12)
+
+
+def test_stopping_rollout_matches_oracle():
+    """quintic_lon (end-position-constrained) mode vs. the scalar oracle."""
+    ref = make_ref()
+    veh = VehicleParams()
+    x0_lon = (35.0, 8.0, 0.0)
+    x0_lat = (0.2, 0.0, 0.0)
+    matrix = build_sampling_matrix(
+        t1_vals=[2.0, 3.0], ss1_vals=[45.0, 50.0, 55.0],  # end positions
+        d1_vals=[-0.3, 0.0, 0.3], x0_lon=x0_lon, x0_lat=x0_lat,
+    )
+    ro = rollout_jit(
+        jnp.asarray(matrix), ref, veh,
+        dt=DT, n_steps=N, low_vel_mode=False, x0_orientation=0.35,
+        quintic_lon=True,
+    )
+    for i in range(matrix.shape[0]):
+        exp = oracle.check_feasibility_single(
+            matrix[i], ref, veh, dt=DT, n_steps=N,
+            low_vel_mode=False, x0_orientation=0.35, quintic_lon=True,
+        )
+        for f in ["s", "s_vel", "d", "v", "x", "y"]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(ro, f))[i], exp[f], rtol=1e-8, atol=1e-8,
+                err_msg=f"stopping candidate {i} field {f}",
+            )
+    # end velocity of in-horizon candidates reaches ~0 at t1
+    s_vel = np.asarray(ro.s_vel)
+    lens = np.asarray(ro.traj_len)
+    for i in range(matrix.shape[0]):
+        np.testing.assert_allclose(s_vel[i, lens[i] - 1], 0.0, atol=1e-6)
