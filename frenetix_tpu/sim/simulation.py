@@ -176,6 +176,29 @@ class Simulation:
             )
         return pd, ids
 
+    def _filter_for_agent(self, pd, ids, agent):
+        """Per-agent sensor filtering: invalidate prediction rows for
+        obstacles the agent cannot see (agent.py:157-179 →
+        sensor_model.get_visible_objects)."""
+        pcfg = self.config.prediction
+        if not pcfg.use_sensor_model:
+            return pd
+        from frenetix_tpu.sim.sensor_model import visible_obstacles
+
+        vis = set(visible_obstacles(
+            self.scenario, agent.id, agent.state, agent.state.time_step,
+            sensor_radius=pcfg.sensor_radius,
+            occlusions=pcfg.calc_occlusions,
+            veh_length=self.config.vehicle.length,
+            cone_angle=pcfg.cone_angle,
+            cone_safety_dist=pcfg.cone_safety_dist,
+            agent_ids=self.agent_obstacle_ids,
+        ))
+        for k, oid in enumerate(ids[: pd["valid"].shape[0]]):
+            if oid not in vis:
+                pd["valid"][k] = False
+        return pd
+
     def _augment_with_agents(self, pd, for_agent: Agent):
         """Other agents appear as predicted obstacles (their executed poses,
         extrapolated at constant velocity — the analog of the reference's
@@ -247,6 +270,7 @@ class Simulation:
             pd_base, ids = self._predictions_for_step(t)
             for a in running:
                 pd = {k: v.copy() for k, v in pd_base.items()}
+                pd = self._filter_for_agent(pd, ids, a)
                 pd = self._augment_with_agents(pd, a)
                 preds = to_device(pd, self.jnp)
                 a.step(preds, pd["means"][:, 0], pd["valid"][:, 0])

@@ -97,6 +97,10 @@ class PredictionConfig:
     horizon_steps: int = 30
     cov_pos: float = 0.5        # ground-truth fixed covariance (prediction_helpers.py:209-261)
     sensor_radius: float = 50.0
+    use_sensor_model: bool = True   # radius + rear-cone filtering per agent
+    calc_occlusions: bool = False   # prediction.yaml calc_visible_area
+    cone_angle: float = 20.0        # prediction.yaml cone_angle
+    cone_safety_dist: float = 6.0
     max_obstacles: int = 16     # static padding bound for device tensors
 
 
