@@ -73,7 +73,7 @@ def interp_weights(ref_s, idx, lam):
     return jnp.where(cols == i, one - l, 0.0) + jnp.where(cols == i + 1, l, 0.0)
 
 
-def interp_ref_tables(ref, s, extra_tables=None):
+def interp_ref_tables(ref, s, extra_tables=None, window_rows=None, window_anchor=None):
     """Interpolated (alpha, k_r, k_r_d, x, y) at arclengths `s` (any batch
     shape) in one fused two-hot matmul; alpha is the wrapped path orientation
     (reference `interpolate_angle` semantics).  Returns a dict of arrays with
@@ -82,14 +82,38 @@ def interp_ref_tables(ref, s, extra_tables=None):
     `extra_tables` (R, K): additional per-vertex columns (e.g. drivable-
     corridor bounds) interpolated in the same matmul for free; returned under
     key "extras" with shape batch + (K,).
+
+    `window_rows` (static int) + `window_anchor` (traced scalar arclength):
+    the matmul's contraction dimension shrinks from R to `window_rows` by
+    dynamically slicing the table around the anchor — exact same result as
+    long as all queries fall inside the window (one replanning cycle's s-range
+    is bounded by v_max·horizon, so a ~190 m window covers it; queries
+    outside the window clamp to its edge AND are flagged out-of-domain).
+    This is the cycle's dominant FLOP term (O(batch·R) one-hot weights).
     """
     batch_shape = s.shape
     idx, lam, in_dom = segment_index(ref.s, s)
-    w = interp_weights(ref.s, idx.reshape(-1), lam.reshape(-1))
     cols = [ref.theta, ref.kappa, ref.kappa_d, ref.xy[:, 0], ref.xy[:, 1]]
     tables = jnp.stack(cols, axis=1)
     if extra_tables is not None:
         tables = jnp.concatenate([tables, extra_tables], axis=1)
+
+    r = ref.s.shape[0]
+    if window_rows is not None and window_rows < r:
+        ds = ref.s[1] - ref.s[0]
+        margin = window_rows // 8
+        offset = jnp.clip(
+            jnp.floor(window_anchor / ds).astype(jnp.int32) - margin,
+            0, r - window_rows,
+        )
+        tables = jax.lax.dynamic_slice_in_dim(tables, offset, window_rows, axis=0)
+        idx_local = idx - offset
+        in_window = (idx_local >= 0) & (idx_local <= window_rows - 2)
+        in_dom = in_dom & in_window
+        idx_w = jnp.clip(idx_local, 0, window_rows - 2)
+        w = interp_weights(tables[:, 0], idx_w.reshape(-1), lam.reshape(-1))
+    else:
+        w = interp_weights(ref.s, idx.reshape(-1), lam.reshape(-1))
     vals = jnp.dot(w, tables, preferred_element_type=s.dtype)  # (P, 5+K)
     vals = vals.reshape(batch_shape + (tables.shape[1],))
     return {

@@ -130,6 +130,7 @@ def rollout_candidates(
     x0_orientation,
     quintic_lon: bool = False,
     extra_ref_tables=None,
+    table_window: int = 0,
 ) -> Rollout:
     """Evaluate all candidates of a sampling matrix in one fused computation.
 
@@ -224,7 +225,11 @@ def rollout_candidates(
 
     # ALL reference-path lookups (θ, κ, dκ/ds, x, y) in one fused two-hot
     # matmul (see geometry.frenet.interp_weights)
-    tabs = fr.interp_ref_tables(ref, s, extra_tables=extra_ref_tables)
+    tabs = fr.interp_ref_tables(
+        ref, s, extra_tables=extra_ref_tables,
+        window_rows=table_window if table_window else None,
+        window_anchor=s0[0] if table_window else None,
+    )
     in_dom = tabs["in_domain"]
     slot = slot.at[:, 3].set(jnp.any(~in_dom, axis=1))
     alpha = tabs["alpha"]

@@ -76,7 +76,8 @@ def _boundary_harm(v, coeff_const, coeff_speed):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "n_steps", "low_vel_mode", "quintic_lon", "check_boundary"),
+    static_argnames=("dt", "n_steps", "low_vel_mode", "quintic_lon", "check_boundary",
+                     "table_window"),
 )
 def evaluate_cycle(
     matrix: jnp.ndarray,
@@ -88,6 +89,7 @@ def evaluate_cycle(
     low_vel_mode: bool,
     quintic_lon: bool = False,
     check_boundary: bool = True,
+    table_window: int = 768,
     harm_coeffs=(-7.5, 0.0815),  # log_reg complete_sym_reg defaults (harm_parameters.json)
 ) -> CycleResult:
     """Evaluate and select over one padded sampling matrix.
@@ -104,6 +106,7 @@ def evaluate_cycle(
         x0_orientation=ctx.x0_orientation,
         quintic_lon=quintic_lon,
         extra_ref_tables=ctx.corridor if check_boundary else None,
+        table_window=table_window,
     )
 
     cost_terms = costs_mod.compute_cost_terms(
