@@ -13,8 +13,10 @@ __all__ = ["evaluate_simulation"]
 
 
 def evaluate_simulation(scenario, result, config=None, sim_logger=None,
-                        metrics=None, msg_logger=None):
-    """→ {agent_id: DataFrame}; logs to sim_logger when provided."""
+                        metrics=None, msg_logger=None, check_solutions=True):
+    """→ {agent_id: DataFrame}; logs to sim_logger when provided.  Also runs
+    the vehicle-dynamics solution check per agent (evaluate_agents analog,
+    cr_scenario_handler/utils/evaluation.py:61-124)."""
     metrics = metrics or CRITICALITY_METRICS
     veh = config.vehicle if config is not None else None
     dt = scenario.dt
@@ -42,5 +44,15 @@ def evaluate_simulation(scenario, result, config=None, sim_logger=None,
         if sim_logger is not None:
             sim_logger.log_evaluation(
                 result.scenario_id, aid, aid in original_ids, df
+            )
+        if check_solutions and veh is not None and msg_logger:
+            from frenetix_tpu.evaluation.solution_check import check_solution
+
+            chk = check_solution(states, veh, dt)
+            msg_logger.info(
+                f"agent {aid} solution check: feasible={chk.feasible} "
+                f"pos_err={chk.max_position_error:.3f}m "
+                f"orient_err={chk.max_orientation_error:.3f}rad "
+                f"input_violations={chk.input_violations}"
             )
     return out

@@ -244,6 +244,7 @@ class Simulation:
                     st.position, st.orientation, (ob.length / 2.0, ob.width / 2.0),
                 ):
                     a.set_collision()
+                    self._write_collision_report(a)
                     break
             if a.status == AgentStatus.COLLISION:
                 continue
@@ -255,7 +256,19 @@ class Simulation:
                     b.state.position, b.state.orientation, h_agent,
                 ):
                     a.set_collision()
+                    self._write_collision_report(a)
                     break
+
+    def _write_collision_report(self, agent):
+        if not self.config.debug.collision_report or self.log_dir is None:
+            return
+        try:
+            from frenetix_tpu.evaluation.collision_report import collision_report
+
+            collision_report(agent, self.scenario, self.config.vehicle,
+                             log_dir=self.log_dir)
+        except Exception:
+            pass
 
     # -------------------------------------------------------------- main loop
     def run(self) -> SimulationResult:

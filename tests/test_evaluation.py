@@ -1,0 +1,118 @@
+"""Evaluation layer: criticality metrics, solution check, reach sets."""
+import numpy as np
+import jax.numpy as jnp
+
+
+class _S:
+    def __init__(self, t, x, y, th, v, a=0.0, yr=0.0, sa=0.0):
+        self.time_step = t
+        self.position = np.array([x, y])
+        self.orientation = th
+        self.velocity = v
+        self.acceleration = a
+        self.yaw_rate = yr
+        self.steering_angle = sa
+
+
+def _straight_drive(n=40, v=10.0, dt=0.1):
+    return [_S(i, v * dt * i, 0.0, 0.0, v) for i in range(n)]
+
+
+def test_solution_check_feasible_straight():
+    from frenetix_tpu.evaluation.solution_check import check_solution
+    from frenetix_tpu.ops.kinematics import VehicleParams
+
+    states = _straight_drive()
+    chk = check_solution(states, VehicleParams(), 0.1)
+    assert chk.feasible, chk
+    assert chk.max_position_error < 0.01
+
+
+def test_solution_check_detects_teleport():
+    from frenetix_tpu.evaluation.solution_check import check_solution
+    from frenetix_tpu.ops.kinematics import VehicleParams
+
+    states = _straight_drive()
+    states[20].position = states[20].position + np.array([0.0, 3.0])  # jump
+    chk = check_solution(states, VehicleParams(), 0.1)
+    assert not chk.feasible
+    assert chk.max_position_error > 1.0
+
+
+def test_solution_check_detects_input_violation():
+    from frenetix_tpu.evaluation.solution_check import check_solution
+    from frenetix_tpu.ops.kinematics import VehicleParams
+
+    dt = 0.1
+    states = _straight_drive()
+    for i, s in enumerate(states):
+        s.velocity = 10.0 + (20.0 * dt * i if i > 20 else 0.0)  # a=20 > a_max
+    chk = check_solution(states, VehicleParams(), dt)
+    assert chk.input_violations > 0
+
+
+def test_metrics_ttc_headway():
+    """Ego following a slower car: finite TTC and headway decreasing."""
+    from frenetix_tpu.evaluation.metrics import Measures
+    from frenetix_tpu.io.commonroad import Obstacle, Scenario, State
+
+    dt = 0.1
+    lead_states = [State(i, np.array([30.0 + 5.0 * dt * i, 0.0]), 0.0, 5.0)
+                   for i in range(60)]
+    ob = Obstacle(
+        obstacle_id=7, obstacle_type="car", role="dynamic", length=4.5,
+        width=2.0, initial_state=lead_states[0], trajectory=lead_states[1:],
+    )
+    sc = Scenario("t", dt, {}, {7: ob}, {})
+    ego = _straight_drive(n=50, v=10.0)
+    m = Measures(1, sc, ego, dt=dt)
+    ttc = m.ttc()
+    hw = m.hw()
+    assert np.isfinite(ttc).any()
+    fin = np.isfinite(hw)
+    assert (np.diff(hw[fin]) < 0).all()  # closing in
+    # required deceleration grows as the gap closes
+    alr = np.abs(m.a_long_req())
+    assert alr[fin][-1] > alr[fin][0]
+    df = m.compute()
+    assert set(df.columns) >= {"ttc", "hw", "btn", "pet", "v"}
+
+
+def test_reach_set_responsibility():
+    """Obstacle behind the ego trajectory → its reach set never contains the
+    ego path → risk subtracted (negative responsibility cost)."""
+    from frenetix_tpu.risk.reachable_set import responsibility_reach_set
+    from frenetix_tpu.risk.costs import TrajectoryRisks
+
+    class RO:
+        pass
+
+    m, n1, t = 2, 31, 30
+    ro = RO()
+    ro.x = jnp.asarray(np.linspace(50, 80, n1)[None, :].repeat(m, 0))
+    ro.y = jnp.zeros((m, n1))
+
+    from frenetix_tpu.ops.costs import PredictionTensors
+
+    means = np.zeros((1, t, 2))
+    means[0, :, 0] = 10.0  # far behind, heading away
+    preds = PredictionTensors(
+        means=jnp.asarray(means),
+        inv_covs=jnp.asarray(np.tile(np.eye(2)[None, None], (1, t, 1, 1))),
+        covs=jnp.asarray(np.tile(np.eye(2)[None, None], (1, t, 1, 1))),
+        orientations=jnp.full((1, t), np.pi),  # driving away
+        velocities=jnp.full((1, t), 5.0),
+        lengths=jnp.asarray([4.5]), widths=jnp.asarray([2.0]),
+        valid=jnp.ones((1, t), bool),
+    )
+    risks = TrajectoryRisks(
+        ego_risk_per_obst=jnp.full((m, 1), 0.1),
+        obst_risk_per_obst=jnp.full((m, 1), 0.2),
+        ego_harm_per_obst=jnp.full((m, 1), 0.3),
+        obst_harm_per_obst=jnp.full((m, 1), 0.3),
+        ego_risk=jnp.full((m,), 0.1),
+        obst_risk=jnp.full((m,), 0.2),
+        obst_present=jnp.ones((1,), bool),
+    )
+    cost = np.asarray(responsibility_reach_set(ro, preds, risks))
+    np.testing.assert_allclose(cost, -0.2, atol=1e-6)
