@@ -71,6 +71,14 @@ def corridor_from_polygons(
     """
     xy = np.asarray(ref.xy, dtype=np.float64)
     theta = np.asarray(ref.theta, dtype=np.float64)
+
+    # native fast path (~200x; see native/host_geometry.cc)
+    from frenetix_tpu import native
+
+    out_native = native.corridor_scan(xy, theta, polygons, d_max=d_max, d_step=d_step)
+    if out_native is not None:
+        return out_native.astype(np.asarray(ref.s).dtype)
+
     r = xy.shape[0]
     normals = np.stack([-np.sin(theta), np.cos(theta)], axis=1)  # (R, 2)
 

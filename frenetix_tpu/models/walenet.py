@@ -79,6 +79,15 @@ class WaleNet:
     def _render_scene(self, pos, orient):
         """256×256 raster of boundary lines in the vehicle frame
         (generate_self_rendered_sc_img, preprocessing.py:17-194)."""
+        from frenetix_tpu import native
+
+        img_native = native.rasterize_polylines(
+            [b for b, _ in self._boundaries], [v for _, v in self._boundaries],
+            pos, orient, WATCH_RADIUS, RES,
+        )
+        if img_native is not None:
+            return img_native
+
         pixel_dist = 2 * WATCH_RADIUS / RES
         img = np.zeros((RES, RES), np.float32)
         rot = np.array(

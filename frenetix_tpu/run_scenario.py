@@ -61,7 +61,8 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("scenarios", nargs="+", help="CommonRoad XML files")
+    ap.add_argument("scenarios", nargs="+",
+                    help="CommonRoad XML files or directories of them")
     ap.add_argument("--multiagent", action="store_true")
     ap.add_argument("--config-dir", default=None)
     ap.add_argument("--logs", default="logs")
@@ -73,7 +74,22 @@ def main(argv=None):
     ap.add_argument("--plot", action="store_true", help="save per-step frames")
     ap.add_argument("--gif", action="store_true", help="assemble frames into a GIF")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="parallel scenario workers (evaluation pipeline, "
+                         "main.py:86-92; forces the CPU backend when > 1)")
     args = ap.parse_args(argv)
+
+    # expand directories into scenario file lists (evaluation pipeline mode)
+    expanded = []
+    for path in args.scenarios:
+        if os.path.isdir(path):
+            expanded.extend(
+                sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if f.endswith(".xml"))
+            )
+        else:
+            expanded.append(path)
+    args.scenarios = expanded
 
     if args.cpu:
         import jax
@@ -93,6 +109,9 @@ def main(argv=None):
 
     os.makedirs(args.logs, exist_ok=True)
     msg_logger = make_msg_logger(args.logs)
+
+    if args.workers > 1:
+        return _run_pipeline(args, config, msg_logger)
     score_path = os.path.join(args.logs, "score_overview.csv")
     fail_path = os.path.join(args.logs, "log_failures.csv")
     new_file = not os.path.exists(score_path)
@@ -123,6 +142,59 @@ def main(argv=None):
                     csv.writer(ff, delimiter=";").writerow(
                         [name, repr(e), traceback.format_exc()]
                     )
+    return 0 if ok else 1
+
+
+def _pipeline_worker(payload):
+    """Worker entry (spawned process, CPU backend): one scenario end-to-end."""
+    path, config, logs, evaluate, no_logging = payload
+    import traceback as tb
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    name = os.path.splitext(os.path.basename(path))[0]
+    try:
+        log_dir = None if no_logging else os.path.join(logs, name)
+        res = run_one(path, config, None, log_dir=log_dir, evaluate=evaluate)
+        return (name, [(aid, st.name, res.agent_messages[aid], res.steps,
+                        round(res.wall_time, 2))
+                       for aid, st in res.agent_status.items()], None)
+    except Exception as e:
+        return (name, [], (repr(e), tb.format_exc()))
+
+
+def _run_pipeline(args, config, msg_logger):
+    """Scenario-parallel evaluation pipeline: ProcessPoolExecutor over
+    scenarios (reference main.py:86-92, 4 workers default there)."""
+    import concurrent.futures as cf
+    import multiprocessing as mp
+
+    payloads = [(p, config, args.logs, args.evaluate, args.no_logging)
+                for p in args.scenarios]
+    score_path = os.path.join(args.logs, "score_overview.csv")
+    fail_path = os.path.join(args.logs, "log_failures.csv")
+    new_file = not os.path.exists(score_path)
+    ok = True
+    with open(score_path, "a", newline="") as f:
+        w = csv.writer(f, delimiter=";")
+        if new_file:
+            w.writerow(["scenario", "agent", "timestep", "status", "message", "wall_s"])
+        ctx = mp.get_context("spawn")
+        with cf.ProcessPoolExecutor(max_workers=args.workers, mp_context=ctx) as ex:
+            for name, rows, err in ex.map(_pipeline_worker, payloads):
+                if err is not None:
+                    ok = False
+                    msg_logger.error(f"{name} FAILED: {err[0]}")
+                    with open(fail_path, "a", newline="") as ff:
+                        csv.writer(ff, delimiter=";").writerow([name, *err])
+                    continue
+                for aid, status, message, steps, wall in rows:
+                    w.writerow([name, aid, steps, status, message, wall])
+                    msg_logger.info(f"{name} agent {aid}: {status} ({message}) "
+                                    f"steps={steps} wall={wall}s")
+                    if status != "COMPLETED_SUCCESS":
+                        ok = False
     return 0 if ok else 1
 
 
