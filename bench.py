@@ -96,6 +96,8 @@ def build_workload(dtype=np.float32):
         obstacle_xy=preds.means[:, 0],
         obstacle_valid=preds.valid[:, 0],
         corridor=jnp.asarray(corridor),
+        lane_segments=jnp.zeros((0, 2, 2), dtype),
+        lane_valid=jnp.zeros((0,), bool),
         x0_orientation=jnp.asarray(0.27, dtype),
         desired_velocity=jnp.asarray(12.0, dtype),
         desired_avg_velocity=jnp.asarray(12.0, dtype),

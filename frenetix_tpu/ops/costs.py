@@ -177,6 +177,29 @@ def distance_to_obstacles_costs(ro, obstacle_xy, obstacle_valid):
     return jnp.sum(inv, axis=(1, 2))
 
 
+def lane_center_offset_costs(ro, lane_segments, lane_valid):
+    """Mean distance to the nearest lanelet centerline
+    (partial_cost_functions.py:91-117): per step, distance of (x, y) to the
+    closest center segment; steps with no lanelet nearby contribute 5.
+    lane_segments: (S, 2, 2) [a, b] endpoints (padded), lane_valid: (S,)."""
+    if lane_segments.shape[0] == 0:
+        return jnp.zeros(ro.x.shape[0], ro.x.dtype)
+    p = jnp.stack([ro.x, ro.y], axis=-1)[:, :, None, :]      # (M, N+1, 1, 2)
+    a = lane_segments[None, None, :, 0, :]                    # (1, 1, S, 2)
+    b = lane_segments[None, None, :, 1, :]
+    ab = b - a
+    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-9)
+    t = jnp.clip(jnp.sum((p - a) * ab, axis=-1) / denom, 0.0, 1.0)
+    closest = a + t[..., None] * ab
+    d2 = jnp.sum((p - closest) ** 2, axis=-1)                 # (M, N+1, S)
+    d2 = jnp.where(lane_valid[None, None, :], d2, jnp.inf)
+    dist = jnp.sqrt(jnp.min(d2, axis=-1))
+    # no lanelet for the position -> flat 5 penalty (reference :114-115);
+    # "no lanelet" approximated as nearest centerline beyond half a lane + margin
+    dist = jnp.where(dist > 5.0, 5.0, dist)
+    return jnp.mean(dist, axis=1)
+
+
 def prediction_costs(ro, preds: PredictionTensors):
     """Inverse-Mahalanobis collision surrogate: Σ_o Σ_{i=1..N, i<T_o}
     1 / (Δᵀ Σ⁻¹ Δ)² with Δ = traj_i - mean_{i-1}
@@ -225,7 +248,8 @@ def compute_cost_terms(
     obstacle_xy,
     obstacle_valid,
     desired_avg_velocity=0.0,
-    lane_center_cost=None,
+    lane_segments=None,
+    lane_valid=None,
     responsibility_cost=None,
 ):
     """All cost terms as an (M, K) matrix in COST_TERM_ORDER.
@@ -242,7 +266,10 @@ def compute_cost_terms(
         "longitudinal_jerk": longitudinal_jerk_costs(ro, dt),
         "orientation_offset": orientation_offset_costs(ro, dt),
         "path_length": path_length_costs(ro, dt),
-        "lane_center_offset": lane_center_cost if lane_center_cost is not None else zeros,
+        "lane_center_offset": (
+            lane_center_offset_costs(ro, lane_segments, lane_valid)
+            if lane_segments is not None else zeros
+        ),
         "velocity_offset": velocity_offset_costs(ro, desired_velocity),
         "velocity": velocity_costs(ro, desired_avg_velocity),
         "distance_to_reference_path": distance_to_reference_path_costs(ro),

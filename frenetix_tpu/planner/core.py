@@ -48,6 +48,8 @@ class CycleContext(NamedTuple):
     obstacle_xy: jnp.ndarray          # (O, 2) current obstacle positions
     obstacle_valid: jnp.ndarray       # (O,) bool
     corridor: jnp.ndarray             # (R, 2) drivable d_min/d_max per ref vertex
+    lane_segments: jnp.ndarray        # (S, 2, 2) lanelet centerline segments
+    lane_valid: jnp.ndarray           # (S,) bool
     x0_orientation: jnp.ndarray       # scalar
     desired_velocity: jnp.ndarray     # scalar
     desired_avg_velocity: jnp.ndarray  # scalar (velocity cost target)
@@ -117,6 +119,8 @@ def evaluate_cycle(
         obstacle_xy=ctx.obstacle_xy,
         obstacle_valid=ctx.obstacle_valid,
         desired_avg_velocity=ctx.desired_avg_velocity,
+        lane_segments=ctx.lane_segments if ctx.lane_segments.shape[0] else None,
+        lane_valid=ctx.lane_valid,
     )
     cost = costs_mod.weighted_total(cost_terms, ctx.weights)
 

@@ -105,9 +105,10 @@ class ReactivePlanner:
         self.stats = {}
 
     # ------------------------------------------------------------------ setup
-    def set_reference_path(self, polyline: np.ndarray, drivable_polygons=None):
-        """Build device tables + drivable corridor from a raw route polyline
-        (replaces set_reference_and_coordinate_system,
+    def set_reference_path(self, polyline: np.ndarray, drivable_polygons=None,
+                           lanelets=None):
+        """Build device tables + drivable corridor + lane-center segments from
+        a raw route polyline (replaces set_reference_and_coordinate_system,
         reactive_planner_cpp.py:180-195)."""
         from frenetix_tpu.geometry.corridor import (
             corridor_from_polygons, strip_corridor,
@@ -121,6 +122,19 @@ class ReactivePlanner:
             corridor = strip_corridor(ref, 3.5 + self.veh.width)
         self.corridor = self.jnp.asarray(corridor.astype(self.np_dtype))
         self.ref = type(ref)(*(self.jnp.asarray(f) for f in ref))
+
+        # lanelet centerline segments for the lane_center_offset cost
+        segs = []
+        for ll in (lanelets or []):
+            cv = np.asarray(ll.center_vertices, self.np_dtype)
+            segs.append(np.stack([cv[:-1], cv[1:]], axis=1))
+        if segs:
+            seg_arr = np.concatenate(segs, axis=0)
+            self.lane_segments = self.jnp.asarray(seg_arr)
+            self.lane_valid = self.jnp.ones(len(seg_arr), bool)
+        else:
+            self.lane_segments = self.jnp.zeros((0, 2, 2), self.dtype)
+            self.lane_valid = self.jnp.zeros((0,), bool)
 
     def set_predictions(self, preds, obstacle_meta=None):
         self.preds = preds
@@ -173,6 +187,8 @@ class ReactivePlanner:
             obstacle_xy=jnp.asarray(self.obstacle_xy),
             obstacle_valid=jnp.asarray(self.obstacle_valid),
             corridor=self.corridor,
+            lane_segments=self.lane_segments,
+            lane_valid=self.lane_valid,
             x0_orientation=jnp.asarray(x0_orientation, self.dtype),
             desired_velocity=jnp.asarray(self.desired_velocity, self.dtype),
             desired_avg_velocity=jnp.asarray(self.desired_avg_velocity, self.dtype),

@@ -90,7 +90,11 @@ class Agent:
 
         # route + reference path + drivable corridor
         polyline, self.route = reference_path_for_problem(scenario, planning_problem)
-        self.planner.set_reference_path(polyline, scenario.drivable_polygons())
+        self.planner.set_reference_path(
+            polyline, scenario.drivable_polygons(),
+            lanelets=list(scenario.lanelets.values())
+            if config.cost_weights.get("lane_center_offset", 0) != 0 else None,
+        )
 
         # per-agent trajectory logging (logging_helpers.py schemas)
         self.logger = None
