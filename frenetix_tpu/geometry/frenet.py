@@ -73,6 +73,47 @@ def interp_weights(ref_s, idx, lam):
     return jnp.where(cols == i, one - l, 0.0) + jnp.where(cols == i + 1, l, 0.0)
 
 
+def _split_precision_interp(tables, idx, lam):
+    """Exact-in-bf16 table interpolation as ONE default-precision matmul.
+
+    TPU matmuls run at full MXU rate only at DEFAULT precision, which rounds
+    the *inputs* to bfloat16 (8 mantissa bits) — a raw two-hot · table product
+    loses up to ~0.5 m on 300 m-scale position columns, and forcing
+    Precision.HIGHEST breaks XLA's weight-matrix fusion (~600× slower,
+    measured).  Instead the interpolation lo + λ·(table[i+1]-table[i]) is
+    decomposed so every matmul operand is exactly representable in bf16:
+
+        hi   = round(table - table[0])          integers |·| ≤ 256 → exact
+        lo   = (table - table[0]) - hi          |·| ≤ 0.5 → ~2⁻⁹ rel. error
+        diff = table[i+1] - table[i]            row-to-row step, small
+        out  = base + onehot·hi + onehot·lo + λ ⊙ (onehot·diff)
+
+    with the single-hot matrix exact (0/1) and the λ multiply in f32 on the
+    VPU.  Worst-case error ~1-2 mm on positions; one fused matmul with 3×C
+    columns at full MXU rate.
+    """
+    base = tables[0]  # (C,)
+    rel = tables - base
+    # two-level integer split: 256·k is exact in bf16 for k ≤ 255 (paths to
+    # ~65 km), round(rel - hi_a) ∈ [-128, 128] exact, residual ≤ 0.5
+    hi_a = jnp.round(rel / 256.0) * 256.0
+    hi_b = jnp.round(rel - hi_a)
+    lo = rel - hi_a - hi_b
+    diff = jnp.concatenate([tables[1:] - tables[:-1], jnp.zeros_like(tables[:1])])
+    stacked = jnp.concatenate([hi_a, hi_b, lo, diff], axis=1)  # (W, 4C)
+
+    w = tables.shape[0]
+    c = tables.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], w), 1)
+    onehot = (cols == idx[:, None]).astype(lam.dtype)
+    out4 = jnp.dot(onehot, stacked, preferred_element_type=lam.dtype)  # (P, 4C)
+    return (
+        base[None, :]
+        + out4[:, :c] + out4[:, c : 2 * c] + out4[:, 2 * c : 3 * c]
+        + lam[:, None] * out4[:, 3 * c :]
+    )
+
+
 def interp_ref_tables(ref, s, extra_tables=None, window_rows=None, window_anchor=None):
     """Interpolated (alpha, k_r, k_r_d, x, y) at arclengths `s` (any batch
     shape) in one fused two-hot matmul; alpha is the wrapped path orientation
@@ -110,11 +151,16 @@ def interp_ref_tables(ref, s, extra_tables=None, window_rows=None, window_anchor
         idx_local = idx - offset
         in_window = (idx_local >= 0) & (idx_local <= window_rows - 2)
         in_dom = in_dom & in_window
-        idx_w = jnp.clip(idx_local, 0, window_rows - 2)
-        w = interp_weights(tables[:, 0], idx_w.reshape(-1), lam.reshape(-1))
+        idx_use = jnp.clip(idx_local, 0, window_rows - 2)
     else:
-        w = interp_weights(ref.s, idx.reshape(-1), lam.reshape(-1))
-    vals = jnp.dot(w, tables, preferred_element_type=s.dtype)  # (P, 5+K)
+        idx_use = idx
+
+    if s.dtype == jnp.float32:
+        vals = _split_precision_interp(tables, idx_use.reshape(-1), lam.reshape(-1))
+    else:
+        w = interp_weights(tables[:, 0], idx_use.reshape(-1), lam.reshape(-1))
+        vals = jnp.dot(w, tables, preferred_element_type=s.dtype,
+                       precision=jax.lax.Precision.HIGHEST)  # (P, 5+K)
     vals = vals.reshape(batch_shape + (tables.shape[1],))
     return {
         "alpha": wrap_valid_orientation(vals[..., 0]),
