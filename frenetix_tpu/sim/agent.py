@@ -234,21 +234,42 @@ class Agent:
             yaw_rate=self.state.yaw_rate,
         )
 
-    def step(self, predictions, obstacle_xy, obstacle_valid) -> AgentStatus:
-        """One simulation step: maybe replan, then execute the next state."""
-        import time as _time
-
+    def pre_step(self) -> AgentStatus:
+        """Status/goal bookkeeping before planning (agent.py:185-230)."""
         if self.status in (AgentStatus.COMPLETED_SUCCESS, AgentStatus.COLLISION,
                            AgentStatus.TIMELIMIT, AgentStatus.ERROR):
             return self.status
         self.status = AgentStatus.RUNNING
-
         if self.goal_reached():
             self.status = AgentStatus.COMPLETED_SUCCESS
             self.message = "success"
+        return self.status
+
+    def needs_replan(self) -> bool:
+        return self.current_plan is None or self.plan_step >= self.k_replan
+
+    def ensure_x_cl(self):
+        if self.x_cl is None:
+            ra = self._rear_axle_state()
+            self.x_cl = compute_initial_state_np(
+                self.planner.ref_np, ra, self.veh.wheelbase,
+                ra.velocity < self.config.planning.low_vel_mode_threshold,
+            )
+        return self.x_cl
+
+    def apply_external_plan(self, plan) -> None:
+        """Accept a plan computed by the batched device stepper."""
+        self.current_plan = plan
+        self.plan_step = 0
+
+    def step(self, predictions, obstacle_xy, obstacle_valid) -> AgentStatus:
+        """One simulation step: maybe replan, then execute the next state."""
+        import time as _time
+
+        if self.pre_step() != AgentStatus.RUNNING:
             return self.status
 
-        need_replan = self.current_plan is None or self.plan_step >= self.k_replan
+        need_replan = self.needs_replan()
         if need_replan:
             t0 = _time.perf_counter()
             ra = self._rear_axle_state()
@@ -290,7 +311,12 @@ class Agent:
             self.current_plan = plan
             self.plan_step = 0
 
-        # execute the next planned state (frenet_interface.py:229-287)
+        return self.execute_next_state()
+
+    def execute_next_state(self) -> AgentStatus:
+        """Consume the next state of the current plan
+        (frenet_interface.py:229-287)."""
+        # execute the next planned state
         self.plan_step += 1
         j = self.plan_step
         plan = self.current_plan

@@ -259,6 +259,127 @@ class Simulation:
                     self._write_collision_report(a)
                     break
 
+    def _step_agents_batched(self, running, pd_base, ids):
+        """All agents' replanning cycles in one device call
+        (parallel.batched_sim.BatchedAgentStepper); per-agent host work is
+        reduced to bookkeeping + executing the selected state."""
+        import time as _time
+
+        import jax
+
+        from frenetix_tpu.ops.sampling import build_sampling_matrix, pad_matrix
+        from frenetix_tpu.planner.reactive import PlannedTrajectory
+        from frenetix_tpu.sim.prediction import to_device
+
+        if not hasattr(self, "_batched_stepper"):
+            from frenetix_tpu.parallel.batched_sim import BatchedAgentStepper
+
+            self._batched_stepper = BatchedAgentStepper(self.config, self.agents)
+            from frenetix_tpu.ops.costs import COST_TERM_ORDER
+
+            w = np.array([self.config.cost_weights.get(k, 0.0)
+                          for k in COST_TERM_ORDER], self._batched_stepper.np_dtype)
+            self._batched_weights = self.jnp.asarray(w)
+
+        stepper = self._batched_stepper
+        active = [a for a in running if a.pre_step() == AgentStatus.RUNNING]
+        if not active:
+            return
+
+        # per-agent predictions (sensor-filtered + agent-augmented)
+        per_pd = {}
+        for a in active:
+            pd = {k: v.copy() for k, v in pd_base.items()}
+            pd = self._filter_for_agent(pd, ids, a)
+            per_pd[a.id] = self._augment_with_agents(pd, a)
+
+        low_thr = self.config.planning.low_vel_mode_threshold
+        replanners = [a for a in active if a.needs_replan()]
+        batchable = [a for a in replanners if a.state.velocity >= low_thr]
+        host_only = [a for a in replanners if a.state.velocity < low_thr]
+
+        if batchable:
+            t0 = _time.perf_counter()
+            a_index = {a.id: i for i, a in enumerate(self.agents)}
+            mats, v_des, x0_th = {}, {}, {}
+            max_m = 0
+            for a in batchable:
+                a.ensure_x_cl()
+                a.planner.current_velocity = float(a.state.velocity)
+                t1, ss1, d1 = a.planner._sampling_ranges(
+                    self.config.planning.sampling_min, a.x_cl
+                )
+                m = build_sampling_matrix(
+                    t1_vals=t1, ss1_vals=ss1, d1_vals=d1,
+                    x0_lon=a.x_cl[0], x0_lat=a.x_cl[1], dtype=stepper.np_dtype,
+                )
+                mats[a.id] = m
+                v_des[a.id] = a.desired_velocity()
+                x0_th[a.id] = a.state.orientation
+                max_m = max(max_m, len(m))
+            bucket = self.config.debug.matrix_bucket
+            max_m = ((max_m + bucket - 1) // bucket) * bucket
+            # never shrink: keeps the jit cache to a handful of specializations
+            max_m = max(max_m, getattr(self, "_batched_max_m", 0))
+            self._batched_max_m = max_m
+
+            n_agents = len(self.agents)
+            all_mats = np.zeros((n_agents, max_m, 13), stepper.np_dtype)
+            all_masks = np.zeros((n_agents, max_m), bool)
+            all_vdes = np.zeros(n_agents, stepper.np_dtype)
+            all_th = np.zeros(n_agents, stepper.np_dtype)
+            pred_list = []
+            dummy_pd = {k: v.copy() for k, v in pd_base.items()}
+            for i, a in enumerate(self.agents):
+                if a.id in mats:
+                    m, msk = pad_matrix(mats[a.id], max_m)
+                    all_mats[i] = m[:max_m]
+                    all_masks[i] = msk[:max_m]
+                    all_vdes[i] = v_des[a.id]
+                    all_th[i] = x0_th[a.id]
+                    pred_list.append(to_device(per_pd[a.id], self.jnp))
+                else:
+                    all_mats[i] = all_mats[i - 1] if i else 0.001
+                    all_mats[i, :, 1] = 1.0  # harmless dummy rows
+                    pred_list.append(to_device(dummy_pd, self.jnp))
+            preds_stacked = jax.tree.map(
+                lambda *xs: self.jnp.stack(xs), *pred_list
+            )
+            out = stepper.step(
+                all_mats, all_masks, preds_stacked, all_th, all_vdes,
+                self.config.vehicle, self._batched_weights,
+            )
+            batch_time = _time.perf_counter() - t0
+            found = np.asarray(out["found"])
+            for a in batchable:
+                i = a_index[a.id]
+                a.record.planning_times.append(batch_time / max(len(batchable), 1))
+                if found[i]:
+                    g = lambda k: np.asarray(out[k][i], dtype=stepper.np_dtype)
+                    plan = PlannedTrajectory(
+                        x=g("x"), y=g("y"), theta=g("theta"), v=g("v"),
+                        a=g("a"), kappa=g("kappa"), s=g("s"), s_dot=g("s_dot"),
+                        s_ddot=g("s_ddot"), d=g("d"), d_dot=g("d_dot"),
+                        d_ddot=g("d_ddot"), cost=float(out["cost"][i]),
+                        sampling_parameters=all_mats[i, int(out["best"][i])],
+                        mode="optimal", cost_terms=np.asarray(out["terms"][i]),
+                    ).compute_steering(self.config.vehicle.wheelbase)
+                    a.apply_external_plan(plan)
+                else:
+                    host_only.append(a)  # densification/fallback on host
+
+        # host path: low-velocity agents + batched misses (fallback ladder)
+        for a in host_only:
+            pd = per_pd[a.id]
+            a.current_plan = None
+            a.step(to_device(pd, self.jnp), pd["means"][:, 0], pd["valid"][:, 0])
+
+        # everyone else just executes their next planned state
+        done_ids = {a.id for a in host_only}
+        for a in active:
+            if a.id not in done_ids:
+                a.execute_next_state()
+
     def _write_collision_report(self, agent):
         if not self.config.debug.collision_report or self.log_dir is None:
             return
@@ -281,12 +402,15 @@ class Simulation:
             if not running:
                 break
             pd_base, ids = self._predictions_for_step(t)
-            for a in running:
-                pd = {k: v.copy() for k, v in pd_base.items()}
-                pd = self._filter_for_agent(pd, ids, a)
-                pd = self._augment_with_agents(pd, a)
-                preds = to_device(pd, self.jnp)
-                a.step(preds, pd["means"][:, 0], pd["valid"][:, 0])
+            if (self.config.simulation.batched_device_agents and len(self.agents) > 1):
+                self._step_agents_batched(running, pd_base, ids)
+            else:
+                for a in running:
+                    pd = {k: v.copy() for k, v in pd_base.items()}
+                    pd = self._filter_for_agent(pd, ids, a)
+                    pd = self._augment_with_agents(pd, a)
+                    preds = to_device(pd, self.jnp)
+                    a.step(preds, pd["means"][:, 0], pd["valid"][:, 0])
             t += 1
             self._check_collisions(t)
             vis = self.config.visualization
