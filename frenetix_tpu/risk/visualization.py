@@ -1,0 +1,84 @@
+"""Risk visualization: per-trajectory risk curves and dashboards.
+
+Parity with the reference's `risk_assessment/visualization/`
+(risk_visualization.py, risk_dashboard.py, collision_visualization.py —
+~944 LoC of matplotlib): risk-over-time curves per obstacle for the selected
+trajectory, harm breakdown, and a compact dashboard figure.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["plot_trajectory_risk", "risk_dashboard"]
+
+
+def plot_trajectory_risk(risks, preds, save_path=None, candidate=0):
+    """Bar chart: per-obstacle max ego/obstacle risk of one candidate
+    (risk_visualization.py's per-trajectory risk plots)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ego = np.asarray(risks.ego_risk_per_obst[candidate])
+    obst = np.asarray(risks.obst_risk_per_obst[candidate])
+    present = np.asarray(risks.obst_present)
+    idxs = np.where(present)[0]
+    fig, ax = plt.subplots(figsize=(7, 4))
+    x = np.arange(len(idxs))
+    ax.bar(x - 0.2, ego[idxs], width=0.4, label="ego risk", color="#4477aa")
+    ax.bar(x + 0.2, obst[idxs], width=0.4, label="obstacle risk", color="#ee6677")
+    ax.set_xticks(x)
+    ax.set_xticklabels([f"obs {i}" for i in idxs])
+    ax.set_ylabel("max risk (harm × collision probability)")
+    ax.legend()
+    ax.set_title(f"candidate {candidate}: per-obstacle risk")
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig, ax
+
+
+def risk_dashboard(res, risks, save_path=None):
+    """Compact dashboard (risk_dashboard.py analog): cost vs. risk scatter of
+    all candidates + risk distribution + selectable fraction."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cost = np.asarray(res.cost)
+    total_risk = np.asarray(risks.ego_risk + risks.obst_risk)
+    sel = np.asarray(res.selectable)
+
+    fig, axs = plt.subplots(1, 3, figsize=(15, 4.2))
+    axs[0].scatter(cost[sel], total_risk[sel], s=4, c="#4477aa", label="selectable")
+    axs[0].scatter(cost[~sel], total_risk[~sel], s=4, c="#cc3333", alpha=0.3,
+                   label="rejected")
+    axs[0].set_xlabel("weighted cost")
+    axs[0].set_ylabel("ego+obstacle risk")
+    axs[0].set_xlim(0, np.percentile(cost[cost < 1e14], 99) if (cost < 1e14).any() else 1)
+    axs[0].legend()
+    axs[0].set_title("cost vs. risk")
+
+    axs[1].hist(total_risk[total_risk > 0], bins=40, color="#66ccee")
+    axs[1].set_xlabel("trajectory risk")
+    axs[1].set_title("risk distribution")
+
+    best = int(res.best_idx)
+    axs[2].bar(["candidates", "selectable", "best risk ×100"],
+               [len(cost), int(sel.sum()), float(total_risk[best]) * 100],
+               color=["#999", "#4477aa", "#228833"])
+    axs[2].set_title("selection summary")
+
+    fig.suptitle("risk dashboard")
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig, axs

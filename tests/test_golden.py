@@ -1,0 +1,52 @@
+"""Golden-trajectory regression: per-cycle selected sampling parameters.
+
+SURVEY §4's behavioral-fingerprint strategy: the selected (t1, v1, d1) of
+every replanning cycle plus the infeasibility histograms form a tight
+regression signal for the whole pipeline (geometry, kinematics, costs,
+collision, selection).  Regenerate `golden_scenarios.json` deliberately when
+semantics change (see git history for the generator snippet).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_scenarios.json")
+SCENARIO_DIR = "/root/reference/example_scenarios"
+
+
+@pytest.mark.skipif(not os.path.isdir(SCENARIO_DIR), reason="no scenarios")
+@pytest.mark.parametrize("name", ["23", "36"])
+def test_golden_selection(name):
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.utils.config import load_config
+
+    with open(GOLDEN) as f:
+        golden = json.load(f)[name]
+
+    sc = load_scenario(f"{SCENARIO_DIR}/ZAM_Tjunction-1_{name}_T-1.xml")
+    cfg = load_config()
+    cfg.dtype = "float64"
+    sim = Simulation(sc, cfg)
+    a = sim.agents[0]
+    sels = []
+    orig_plan = a.planner.plan
+
+    def wrapped(x0, x_cl):
+        p = orig_plan(x0, x_cl)
+        if p is not None:
+            sels.append([round(float(p.sampling_parameters[i]), 4) for i in (1, 5, 10)])
+        return p
+
+    a.planner.plan = wrapped
+    res = sim.run()
+
+    assert list(res.agent_status.values())[0].name == golden["status"]
+    assert res.steps == golden["steps"]
+    got_final = [round(float(v), 2) for v in res.histories[60000][-1].position]
+    np.testing.assert_allclose(got_final, golden["final_position"], atol=0.05)
+    assert len(sels) == len(golden["selected_tvd"])
+    for i, (got, exp) in enumerate(zip(sels, golden["selected_tvd"])):
+        np.testing.assert_allclose(got, exp, atol=1e-3, err_msg=f"cycle {i}")
