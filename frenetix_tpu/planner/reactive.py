@@ -101,6 +101,8 @@ class ReactivePlanner:
         self.desired_velocity = 0.0
         self.desired_avg_velocity = 0.0
         self.stop_point: Optional[tuple[float, float]] = None  # (s, v) from behavior
+        self.occlusion_module = None
+        self.phantom_mask = None
         self.infeasible_histogram = np.zeros(11, int)
         self.stats = {}
 
@@ -236,7 +238,31 @@ class ReactivePlanner:
                 quintic_lon=quintic_lon,
             )
             last_res, last_matrix, last_mask = res, matrix, mask
-            if bool(res.found):
+            occ_ok = True
+            if (self.occlusion_module is not None and self.phantom_mask is not None
+                    and bool(res.found)):
+                # occlusion safety gate: re-select among candidates whose
+                # phantom risk stays under the thresholds
+                from frenetix_tpu.risk.costs import trajectory_risks
+
+                risks = trajectory_risks(
+                    res.rollout, ctx.preds,
+                    self._default_meta(ctx.preds), self.veh.mass,
+                )
+                safe = np.asarray(
+                    self.occlusion_module.trajectory_safety_assessment(
+                        risks, self.phantom_mask
+                    )
+                )
+                selectable = np.asarray(res.selectable) & safe
+                if selectable.any():
+                    cost_np = np.where(selectable, np.asarray(res.cost), np.inf)
+                    idx = int(np.argmin(cost_np))
+                    mode = "stopping_plan" if quintic_lon else "optimal"
+                    optimal = self._materialize(res, idx, matrix, mode)
+                else:
+                    occ_ok = False
+            if optimal is None and occ_ok and bool(res.found):
                 mode = "stopping_plan" if quintic_lon else "optimal"
                 optimal = self._materialize(res, int(res.best_idx), matrix, mode)
             elif use_stopping:
@@ -274,14 +300,9 @@ class ReactivePlanner:
             return self._materialize(last_res, int(np.argmin(total)), last_matrix, "min_risk")
         return None
 
-    def _risk_totals(self, ro):
-        """(M,) ego_risk + obst_risk via the full risk stack (risk/)."""
-        from frenetix_tpu.risk.costs import trajectory_risks
+    def _default_meta(self, preds):
         from frenetix_tpu.risk.harm import ObstacleMeta
 
-        preds = self.preds
-        if preds is None or preds.num_obstacles == 0:
-            return np.zeros(ro.x.shape[0], self.np_dtype)
         meta = self.obstacle_meta
         if meta is None:
             o = preds.num_obstacles
@@ -293,8 +314,23 @@ class ReactivePlanner:
                 ),
                 protected=self.jnp.ones(o, self.jnp.int32),
             )
-        risks = trajectory_risks(ro, preds, meta, self.veh.mass)
+        return meta
+
+    def _risk_totals(self, ro):
+        """(M,) ego_risk + obst_risk via the full risk stack (risk/)."""
+        from frenetix_tpu.risk.costs import trajectory_risks
+
+        preds = self.preds
+        if preds is None or preds.num_obstacles == 0:
+            return np.zeros(ro.x.shape[0], self.np_dtype)
+        risks = trajectory_risks(ro, preds, self._default_meta(preds), self.veh.mass)
         return risks.ego_risk + risks.obst_risk
+
+    def set_occlusion_module(self, module, phantom_mask=None):
+        """Occlusion-aware safety gating (reference set_occlusion_module,
+        planner.py:271-273; assessment applied at :385-389)."""
+        self.occlusion_module = module
+        self.phantom_mask = phantom_mask
 
     def set_stop_point(self, stop_s, stop_v):
         """Behavior-planner stop point → stopping-trajectory mode

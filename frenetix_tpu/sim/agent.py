@@ -128,6 +128,20 @@ class Agent:
         self._goal_s = self._compute_goal_s()
         self._goal_time = self._goal_time_interval()
 
+        # optional occlusion module (occlusion.yaml use_occlusion_module)
+        self.occlusion = None
+        if config.occlusion.use_occlusion_module:
+            from frenetix_tpu.occlusion import OcclusionModule
+
+            self.occlusion = OcclusionModule(
+                scenario,
+                sensor_radius=config.prediction.sensor_radius,
+                max_phantoms=config.occlusion.max_phantoms,
+                harm_threshold=config.occlusion.harm_threshold,
+                risk_threshold=config.occlusion.risk_threshold,
+                phantom_type=config.occlusion.phantom_type,
+            )
+
         # optional behavior planner (behavior.yaml use_behavior_planner)
         self.behavior = None
         if config.behavior.use_behavior_planner:

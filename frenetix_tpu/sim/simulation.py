@@ -409,6 +409,13 @@ class Simulation:
                     pd = {k: v.copy() for k, v in pd_base.items()}
                     pd = self._filter_for_agent(pd, ids, a)
                     pd = self._augment_with_agents(pd, a)
+                    if a.occlusion is not None:
+                        before = pd["valid"].any(axis=1).copy()
+                        pd, n_ph = a.occlusion.augment_predictions(
+                            pd, a.state, a.state.time_step, self.dt
+                        )
+                        phantom_mask = pd["valid"].any(axis=1) & ~before
+                        a.planner.set_occlusion_module(a.occlusion, phantom_mask)
                     preds = to_device(pd, self.jnp)
                     a.step(preds, pd["means"][:, 0], pd["valid"][:, 0])
             t += 1

@@ -17,6 +17,7 @@ from typing import Optional
 from frenetix_tpu.ops.kinematics import VehicleParams
 
 __all__ = [
+    "OcclusionConfig",
     "BehaviorConfig",
     "VisualizationConfig",
     "PlanningConfig",
@@ -117,6 +118,17 @@ class BehaviorConfig:
 
 
 @dataclass
+class OcclusionConfig:
+    """configurations/simulation/occlusion.yaml subset (off by default)."""
+
+    use_occlusion_module: bool = False
+    harm_threshold: float = 0.1
+    risk_threshold: float = 1.0
+    max_phantoms: int = 4
+    phantom_type: str = "pedestrian"
+
+
+@dataclass
 class VisualizationConfig:
     """configurations/simulation/visualization.yaml subset."""
 
@@ -135,6 +147,7 @@ class FrenetixConfig:
     prediction: PredictionConfig = field(default_factory=PredictionConfig)
     visualization: VisualizationConfig = field(default_factory=VisualizationConfig)
     behavior: BehaviorConfig = field(default_factory=BehaviorConfig)
+    occlusion: OcclusionConfig = field(default_factory=OcclusionConfig)
     vehicle: VehicleParams = field(default_factory=VehicleParams)
     cost_weights: dict = field(default_factory=lambda: dict(DEFAULT_COST_WEIGHTS))
     dtype: str = "float32"      # device dtype ("float32" on TPU, "float64" CPU tests)
