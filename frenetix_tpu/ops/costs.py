@@ -208,7 +208,9 @@ def prediction_costs(ro, preds: PredictionTensors):
     if preds.num_obstacles == 0:
         return jnp.zeros(ro.x.shape[0], ro.x.dtype)
     n1 = ro.x.shape[1]
-    t_traj = min(n1 - 1, preds.horizon)  # pairs (i, i-1) for i in 1..N, i<T
+    # pairs (i, i-1) for i in 1..N with the reference's guard `i < T`
+    # (collision_probability.py:287) — the LAST prediction step is never used
+    t_traj = min(n1 - 1, preds.horizon - 1)
     ego = jnp.stack([ro.x[:, 1 : t_traj + 1], ro.y[:, 1 : t_traj + 1]], axis=-1)
     mean = preds.means[:, :t_traj]          # (O, t, 2)
     icov = preds.inv_covs[:, :t_traj]       # (O, t, 2, 2)

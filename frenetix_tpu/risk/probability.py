@@ -85,7 +85,9 @@ def collision_probability_fast(ro, preds, veh):
     output index j corresponds to ego step j+1 vs. prediction step j.
     """
     n1 = ro.x.shape[1]
-    t = min(n1 - 1, preds.horizon)
+    # guard `i < len(mean_list)` (collision_probability.py:201) → the last
+    # prediction step is never used
+    t = min(n1 - 1, preds.horizon - 1)
     ego_xy = jnp.stack([ro.x[:, 1 : t + 1], ro.y[:, 1 : t + 1]], axis=-1)  # (M, t, 2)
     ego_th = ro.theta_gl[:, 1 : t + 1]
 
@@ -135,7 +137,7 @@ def inv_mahalanobis(ro, preds):
     """(M, O, t) inverse-Mahalanobis surrogate (collision_probability.py:264-299),
     alignment: index j ↔ ego step j+1 vs. prediction step j."""
     n1 = ro.x.shape[1]
-    t = min(n1 - 1, preds.horizon)
+    t = min(n1 - 1, preds.horizon - 1)  # same `i < T` guard as above
     ego = jnp.stack([ro.x[:, 1 : t + 1], ro.y[:, 1 : t + 1]], axis=-1)
     delta = ego[:, None] - preds.means[None, :, :t]
     md2 = jnp.einsum("moti,otij,motj->mot", delta, preds.inv_covs[:, :t], delta)
