@@ -131,6 +131,16 @@ def _best_of_compiles(make_fn, args, n=2, probe_reps=10):
 
 
 def main():
+    # persistent compilation cache: replanning-cycle compiles are expensive
+    # (especially over the remote-TPU tunnel); cache them across runs
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax
 
     from frenetix_tpu.planner.core import evaluate_cycle

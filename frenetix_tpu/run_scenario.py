@@ -60,10 +60,22 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
 
 
 def main(argv=None):
+    # persistent compilation cache: replanning-cycle compiles are expensive
+    # (especially over the remote-TPU tunnel); cache them across runs
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("scenarios", nargs="+",
                     help="CommonRoad XML files or directories of them")
     ap.add_argument("--multiagent", action="store_true")
+    ap.add_argument("--batched-agents", action="store_true",
+                    help="evaluate all agents' cycles in one device call")
     ap.add_argument("--config-dir", default=None)
     ap.add_argument("--logs", default="logs")
     ap.add_argument("--prediction", default=None,
@@ -101,6 +113,7 @@ def main(argv=None):
 
     config = load_config(args.config_dir)
     config.simulation.start_multiagent = args.multiagent
+    config.simulation.batched_device_agents = args.batched_agents
     if args.prediction:
         config.prediction.mode = args.prediction
     if args.plot or args.gif:
