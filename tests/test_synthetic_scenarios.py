@@ -1,0 +1,77 @@
+"""Synthetic scenarios: generation, XML round-trip, end-to-end planning."""
+import os
+
+import numpy as np
+import pytest
+
+
+def _cfg():
+    from frenetix_tpu.utils.config import load_config
+
+    cfg = load_config()
+    cfg.dtype = "float64"
+    return cfg
+
+
+@pytest.mark.parametrize("maker", ["make_highway", "make_curve", "make_s_curve"])
+def test_synthetic_scenarios_plan_to_success(maker):
+    from frenetix_tpu.io import scenario_factory
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    sc = getattr(scenario_factory, maker)()
+    sim = Simulation(sc, _cfg())
+    res = sim.run()
+    assert res.agent_status[60000] == AgentStatus.COMPLETED_SUCCESS, (
+        maker, res.agent_messages,
+    )
+    # the ego must overtake/follow without exceeding the corridor
+    hist = res.histories[60000]
+    assert len(hist) > 10
+
+
+def test_xml_round_trip(tmp_path):
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.io.commonroad_writer import write_scenario
+    from frenetix_tpu.io.scenario_factory import make_highway
+
+    sc = make_highway()
+    path = os.path.join(tmp_path, "syn.xml")
+    write_scenario(sc, path)
+    back = load_scenario(path)
+
+    assert back.scenario_id == sc.scenario_id
+    assert set(back.lanelets) == set(sc.lanelets)
+    assert set(back.obstacles) == set(sc.obstacles)
+    ll_a = sc.lanelets[50000]
+    ll_b = back.lanelets[50000]
+    np.testing.assert_allclose(ll_a.left_vertices, ll_b.left_vertices, atol=1e-3)
+    ob_a = sc.obstacles[100]
+    ob_b = back.obstacles[100]
+    assert len(ob_a.trajectory) == len(ob_b.trajectory)
+    np.testing.assert_allclose(
+        ob_a.trajectory[10].position, ob_b.trajectory[10].position, atol=1e-3
+    )
+    pp_b = list(back.planning_problems.values())[0]
+    assert pp_b.goals[0].velocity_interval is not None
+    assert pp_b.goals[0].position_shape is not None
+
+
+def test_round_trip_scenario_plans_identically(tmp_path):
+    """Planning the written-and-reread scenario matches the original."""
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.io.commonroad_writer import write_scenario
+    from frenetix_tpu.io.scenario_factory import make_curve
+    from frenetix_tpu.sim import Simulation
+
+    sc = make_curve()
+    path = os.path.join(tmp_path, "curve.xml")
+    write_scenario(sc, path)
+    back = load_scenario(path)
+
+    res_a = Simulation(sc, _cfg()).run()
+    res_b = Simulation(back, _cfg()).run()
+    assert res_a.steps == res_b.steps
+    pa = res_a.histories[60000][-1].position
+    pb = res_b.histories[60000][-1].position
+    np.testing.assert_allclose(pa, pb, atol=0.1)
