@@ -14,7 +14,7 @@ from frenetix_tpu.io.commonroad import (
     GoalCondition, Lanelet, Obstacle, PlanningProblem, Scenario, State,
 )
 
-__all__ = ["make_highway", "make_curve", "make_s_curve"]
+__all__ = ["make_highway", "make_curve", "make_s_curve", "make_overtake"]
 
 
 def _lanelet_from_center(lid, center, half_width, successors=(), **kw):
@@ -125,3 +125,39 @@ def make_s_curve(radius=60.0, lane_width=3.6, ego_v=10.0, dt=0.1, n_steps=250):
     obstacles = _traffic(center, [7.0, 9.0], dt, n_steps, [30.0, 70.0])
     return _assemble("SYN_SCurve-1", [center], lane_width, obstacles, ego_v,
                      0.85, dt, n_steps)
+
+
+def make_overtake(length=220.0, lane_width=3.6, ego_v=14.0, lead_v=6.0,
+                  lead_gap=35.0, dt=0.1, n_steps=200):
+    """Two same-direction lanes; a slow lead blocks the right lane — the ego
+    must use the lateral sampling range (and the left lane's drivable area)
+    to get past it."""
+    n = int(length)
+    x = np.linspace(0, length, n)
+    right_center = np.stack([x, np.zeros(n)], axis=1)
+    left_center = np.stack([x, np.full(n, lane_width)], axis=1)
+
+    right = _lanelet_from_center(50000, right_center, lane_width / 2)
+    left = _lanelet_from_center(50001, left_center, lane_width / 2)
+    right.adj_left = 50001
+    right.adj_left_same_direction = True
+    left.adj_right = 50000
+    left.adj_right_same_direction = True
+    lanelets = {50000: right, 50001: left}
+
+    obstacles = _traffic(right_center, [lead_v], dt, n_steps, [lead_gap])
+
+    goal_center = right_center[int(0.92 * (n - 1))]
+    half = np.array([[6.0, 3.2], [6.0, -3.2], [-6.0, -3.2], [-6.0, 3.2]])
+    goal = GoalCondition(
+        position_shape=half + goal_center,
+        time_interval=(0, n_steps),
+        velocity_interval=(0.0, ego_v + 6.0),
+    )
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, right_center[0] + np.array([1.0, 0.0]), 0.0,
+                            float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_Overtake-1", dt, lanelets, obstacles, {60000: pp})

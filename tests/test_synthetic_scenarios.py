@@ -75,3 +75,23 @@ def test_round_trip_scenario_plans_identically(tmp_path):
     pa = res_a.histories[60000][-1].position
     pb = res_b.histories[60000][-1].position
     np.testing.assert_allclose(pa, pb, atol=0.1)
+
+
+def test_overtake_passes_slow_lead():
+    """Two-lane overtake: the ego must end up AHEAD of the slow lead vehicle
+    (it starts behind it and cannot reach the goal in time by following)."""
+    from frenetix_tpu.io.scenario_factory import make_overtake
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    sc = make_overtake()
+    sim = Simulation(sc, _cfg())
+    res = sim.run()
+    assert res.agent_status[60000] == AgentStatus.COMPLETED_SUCCESS, res.agent_messages
+    t_end = res.histories[60000][-1].time_step
+    ego_x = res.histories[60000][-1].position[0]
+    lead = sc.obstacles[100].state_at_time(t_end)
+    assert ego_x > lead.position[0] + 2.0, (ego_x, lead.position)
+    # the maneuver used the lateral range (left of the lane center at some point)
+    max_y = max(s.position[1] for s in res.histories[60000])
+    assert max_y > 1.0, max_y
