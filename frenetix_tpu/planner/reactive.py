@@ -243,11 +243,8 @@ class ReactivePlanner:
                     and bool(res.found)):
                 # occlusion safety gate: re-select among candidates whose
                 # phantom risk stays under the thresholds
-                from frenetix_tpu.risk.costs import trajectory_risks
-
-                risks = trajectory_risks(
-                    res.rollout, ctx.preds,
-                    self._default_meta(ctx.preds), self.veh.mass,
+                risks = self._risk_fn()(
+                    res.rollout, ctx.preds, self._default_meta(ctx.preds)
                 )
                 safe = np.asarray(
                     self.occlusion_module.trajectory_safety_assessment(
@@ -300,6 +297,20 @@ class ReactivePlanner:
             return self._materialize(last_res, int(np.argmin(total)), last_matrix, "min_risk")
         return None
 
+    def _risk_fn(self):
+        """Jitted risk computation (eager per-op dispatch of the bivariate-CDF
+        stack costs seconds per replan)."""
+        if not hasattr(self, "_risk_fn_cached"):
+            import jax
+
+            from frenetix_tpu.risk.costs import trajectory_risks
+
+            mass = self.veh.mass
+            self._risk_fn_cached = jax.jit(
+                lambda ro, preds, meta: trajectory_risks(ro, preds, meta, mass)
+            )
+        return self._risk_fn_cached
+
     def _default_meta(self, preds):
         from frenetix_tpu.risk.harm import ObstacleMeta
 
@@ -318,12 +329,10 @@ class ReactivePlanner:
 
     def _risk_totals(self, ro):
         """(M,) ego_risk + obst_risk via the full risk stack (risk/)."""
-        from frenetix_tpu.risk.costs import trajectory_risks
-
         preds = self.preds
         if preds is None or preds.num_obstacles == 0:
             return np.zeros(ro.x.shape[0], self.np_dtype)
-        risks = trajectory_risks(ro, preds, self._default_meta(preds), self.veh.mass)
+        risks = self._risk_fn()(ro, preds, self._default_meta(preds))
         return risks.ego_risk + risks.obst_risk
 
     def set_occlusion_module(self, module, phantom_mask=None):

@@ -61,3 +61,33 @@ def test_phantom_rows_and_gate():
     safe = np.asarray(mod.trajectory_safety_assessment(risks, phantom_mask))
     assert not safe[0]
     assert safe[1]
+
+
+def test_occlusion_slows_past_blind_spot():
+    """End-to-end behavioral effect: a parked truck creates a blind spot; with
+    the occlusion module on, the ego passes it markedly slower (phantom
+    pedestrian risk gates fast candidates)."""
+    from frenetix_tpu.io.commonroad import Obstacle, State
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.utils.config import load_config
+
+    sc = make_highway(ego_v=13.0, lead_v=13.0, lead_gap=120.0, n_steps=150)
+    sc.obstacles[200] = Obstacle(
+        obstacle_id=200, obstacle_type="truck", role="static", length=9.0,
+        width=2.5, initial_state=State(0, np.array([60.0, 2.6]), 0.0, 0.0),
+    )
+
+    def passing_speed(occ):
+        cfg = load_config()
+        cfg.dtype = "float64"
+        cfg.occlusion.use_occlusion_module = occ
+        cfg.occlusion.harm_threshold = 0.02
+        res = Simulation(sc, cfg).run()
+        assert list(res.agent_status.values())[0].name == "COMPLETED_SUCCESS"
+        v = [s.velocity for s in res.histories[60000] if 45 < s.position[0] < 65]
+        return float(np.mean(v))
+
+    v_off = passing_speed(False)
+    v_on = passing_speed(True)
+    assert v_on < 0.7 * v_off, (v_on, v_off)
