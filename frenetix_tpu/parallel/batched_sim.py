@@ -68,7 +68,6 @@ class BatchedAgentStepper:
 
         from frenetix_tpu.ops import collision as coll
         from frenetix_tpu.ops import costs as costs_mod
-        from frenetix_tpu.ops.costs import PredictionTensors
         from frenetix_tpu.ops.kinematics import rollout_candidates
 
         dt, n_steps = self.dt, self.n_steps
