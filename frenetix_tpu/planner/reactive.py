@@ -105,6 +105,7 @@ class ReactivePlanner:
         self.phantom_mask = None
         self.infeasible_histogram = np.zeros(11, int)
         self.stats = {}
+        self.last_cycle = None  # (CycleResult, matrix, mask) when save_all_traj
 
     # ------------------------------------------------------------------ setup
     def set_reference_path(self, polyline: np.ndarray, drivable_polygons=None,
@@ -270,6 +271,8 @@ class ReactivePlanner:
             level += 1
 
         self.infeasible_histogram = np.asarray(last_res.histogram)
+        if self.config.debug.save_all_traj:
+            self.last_cycle = (last_res, last_matrix, last_mask)
         self.stats = {
             "feasible": int(np.asarray(last_res.rollout.feasible & last_mask).sum()),
             "total": int(last_mask.sum()),

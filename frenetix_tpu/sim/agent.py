@@ -318,6 +318,10 @@ class Agent:
                     self.record.planning_times[-1], self.planner.desired_velocity,
                     cost_weights=self.config.cost_weights,
                 )
+                if (self.config.debug.save_all_traj
+                        and self.planner.last_cycle is not None):
+                    res, mat, msk = self.planner.last_cycle
+                    self.logger.log_all_candidates(self.state.time_step, res, mat, msk)
             if plan is None:
                 self.status = AgentStatus.ERROR
                 self.message = "no feasible trajectory"

@@ -17,7 +17,7 @@ SCENARIO_DIR = "/root/reference/example_scenarios"
 
 
 @pytest.mark.skipif(not os.path.isdir(SCENARIO_DIR), reason="no scenarios")
-@pytest.mark.parametrize("name", ["23", "36"])
+@pytest.mark.parametrize("name", ["23", "24", "27", "36", "42"])
 def test_golden_selection(name):
     from frenetix_tpu.io import load_scenario
     from frenetix_tpu.sim import Simulation
