@@ -85,6 +85,12 @@ class Agent:
 
         self.planner = ReactivePlanner(config, msg_logger)
         self.veh = config.vehicle
+        # planner-interface plugin (sim/planner_interfaces.py registry)
+        from frenetix_tpu.sim.planner_interfaces import get_planner_interface
+
+        self.interface = get_planner_interface(
+            config.simulation.used_planner_interface
+        )(self)
         self.dt = config.planning.dt
         self.k_replan = max(1, config.planning.replanning_frequency)
 
@@ -286,27 +292,9 @@ class Agent:
         need_replan = self.needs_replan()
         if need_replan:
             t0 = _time.perf_counter()
-            ra = self._rear_axle_state()
             try:
-                if self.x_cl is None:
-                    self.x_cl = compute_initial_state_np(
-                        self.planner.ref_np, ra, self.veh.wheelbase,
-                        ra.velocity < self.config.planning.low_vel_mode_threshold,
-                    )
-                self.planner.set_predictions(predictions)
-                self.planner.set_obstacles(obstacle_xy, obstacle_valid)
-                if self.behavior is not None:
-                    b_out = self.behavior.execute(predictions, self.state,
-                                                  self.state.time_step)
-                    self.planner.set_desired_velocity(
-                        min(b_out.desired_velocity, self.desired_velocity())
-                    )
-                    self.planner.set_stop_point(
-                        b_out.stop_point_s, b_out.desired_velocity_stop_point
-                    )
-                else:
-                    self.planner.set_desired_velocity(self.desired_velocity())
-                plan = self.planner.plan(ra, self.x_cl)
+                self.interface.update_planner(predictions, obstacle_xy, obstacle_valid)
+                plan = self.interface.step_interface()
             except Exception as e:  # containment: agent degrades, sim continues
                 self.status = AgentStatus.ERROR
                 self.message = f"planner error: {e}"

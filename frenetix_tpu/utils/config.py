@@ -86,6 +86,7 @@ class SimulationConfig:
     max_steps_factor: float = 1.7   # "max_steps" — fraction of scenario horizon
     fallback_max_steps: int = 200
     start_multiagent: bool = False
+    used_planner_interface: str = "FrenetPlannerInterface"  # simulation.yaml:9
     batched_device_agents: bool = False  # all agents' cycles in ONE device call
     number_of_agents: int = -1
     ego_agent_id: int = 60000
