@@ -1,0 +1,260 @@
+"""Static route plan: intermediate behavior goals along the navigation route.
+
+Port of the reference's `RoutePlan` (behavior_planner/utils/path_planner.py:
+290-880): walk the route's lanelets, detect traffic lights / stop & yield
+signs (via stop lines), lane merges (multi-predecessor lanelets) and
+intersections, wrap each in a (Prepare*, *) goal pair whose lengths scale with
+the local speed limit, then straighten overlapping goals by priority and fill
+the gaps with StaticDefault so the plan tiles [0, route_length] exactly.
+
+The resulting plan drives the FSM's static behavior layer
+(`LogicBehaviorStatic`, FSM_logic_modules.py:58-87): the goal containing the
+ego's current s-position is the `current_static_goal`.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from frenetix_tpu.io.commonroad import Scenario, speed_limit_for_lanelets
+
+__all__ = ["StaticGoal", "GOAL_PRIORITY", "build_static_route_plan"]
+
+
+# StaticGoalPrio (path_planner.py:676-706): larger wins overlaps.
+GOAL_PRIORITY = {
+    "TrafficLight": 95, "StopSign": 90, "YieldSign": 85, "Crosswalk": 80,
+    "PrepareTrafficLight": 75, "PrepareStopSign": 70, "PrepareYieldSign": 65,
+    "PrepareCrosswalk": 60,
+    "TurnRight": 46, "TurnLeft": 45, "PrepareTurnRight": 41, "PrepareTurnLeft": 40,
+    "LaneMerge": 35, "RoadExit": 30, "PrepareLaneMerge": 25, "PrepareRoadExit": 20,
+    "Intersection": 11, "PrepareIntersection": 10,
+    "StaticDefault": 1,
+}
+
+# default speed by street setting when no sign applies (path_planner.py:348-357)
+_DEFAULT_SPEED = {"Highway": 130 / 3.6, "Country": 100 / 3.6, "Urban": 50 / 3.6}
+
+
+@dataclass
+class StaticGoal:
+    goal_type: str
+    start_s: float
+    end_s: float
+    stop_point_s: Optional[float] = None
+    stop_point_xy: Optional[np.ndarray] = None
+    goal_object: object = None        # TrafficLight / TrafficSign
+    goal_lanelet_id: Optional[int] = None
+
+    def contains(self, s: float) -> bool:
+        return self.start_s <= s < self.end_s
+
+    @property
+    def priority(self) -> int:
+        return GOAL_PRIORITY.get(self.goal_type, 1)
+
+
+def _detect_stop_line_goals(scenario: Scenario, route_ids, frame):
+    """Traffic lights + stop/yield signs attached to route stop lines
+    (path_planner.py:499-584)."""
+    goals = []
+    for lid in route_ids:
+        ll = scenario.lanelets.get(lid)
+        if ll is None or ll.stop_line is None:
+            continue
+        stop_xy = ll.stop_line.center
+        stop_s, _ = frame.project(stop_xy)
+        for sign_id in ll.stop_line.traffic_sign_refs:
+            sign = scenario.traffic_signs.get(sign_id)
+            if sign is None:
+                continue
+            pos_s = frame.project(sign.position)[0] if sign.position is not None else stop_s
+            gtype = "StopSign" if sign.is_stop else ("YieldSign" if sign.is_yield else None)
+            if gtype is None:
+                continue
+            goals.append(dict(type=gtype, position_s=pos_s, stop_position_s=stop_s,
+                              stop_position_xy=stop_xy, obj=sign, lanelet_id=lid))
+        for light_id in ll.stop_line.traffic_light_refs:
+            light = scenario.traffic_lights.get(light_id)
+            if light is None or not light.active:
+                continue
+            pos_s = frame.project(light.position)[0] if light.position is not None else stop_s
+            goals.append(dict(type="TrafficLight", position_s=pos_s, stop_position_s=stop_s,
+                              stop_position_xy=stop_xy, obj=light, lanelet_id=lid))
+    return goals
+
+
+def _detect_lane_merges(scenario: Scenario, route_ids, frame):
+    """Lanelets with ≥2 predecessors sharing an end point + similar
+    orientation (path_planner.py:586-610)."""
+    merges = []
+    for lid in route_ids:
+        ll = scenario.lanelets.get(lid)
+        if ll is None or len(ll.predecessors) < 2:
+            continue
+        p1 = scenario.lanelets.get(ll.predecessors[0])
+        p2 = scenario.lanelets.get(ll.predecessors[1])
+        if p1 is None or p2 is None:
+            continue
+        if not np.allclose(p1.center_vertices[-1], p2.center_vertices[-1]):
+            continue
+        o1 = p1.center_vertices[1] - p1.center_vertices[0]
+        o2 = p2.center_vertices[1] - p2.center_vertices[0]
+        o1 = o1 / max(np.linalg.norm(o1), 1e-9)
+        o2 = o2 / max(np.linalg.norm(o2), 1e-9)
+        if not np.allclose(o1, o2, atol=0.1):
+            continue
+        merge_s, _ = frame.project(ll.center_vertices[0])
+        merges.append(dict(type="LaneMerge", position_s=merge_s, lanelet_id=lid))
+    return merges
+
+
+def _detect_intersections(scenario: Scenario, route_ids, frame):
+    """Route lanelets that are successors of an intersection incoming
+    (path_planner.py:612-656)."""
+    found = []
+    for inter in scenario.intersections:
+        for lid in route_ids:
+            for inc in inter.incomings:
+                if (lid in inc.successors_left or lid in inc.successors_right
+                        or lid in inc.successors_straight):
+                    ll = scenario.lanelets.get(lid)
+                    if ll is None:
+                        continue
+                    start_s = frame.project(ll.center_vertices[0])[0]
+                    end_s = frame.project(ll.center_vertices[-1])[0]
+                    if end_s <= start_s:
+                        end_s = min(start_s + 15.0, frame.length)
+                    found.append(dict(type="Intersection", start_s=start_s,
+                                      end_s=end_s, lanelet_id=lid))
+    return found
+
+
+def _resolve_overlaps(goals: list[StaticGoal]) -> list[StaticGoal]:
+    """Priority-based overlap trimming (the reference's
+    `_straighten_static_route_plan` recursion, path_planner.py:673-867,
+    restated as a fixed-point sweep): on overlap the lower-priority goal is
+    trimmed away from the higher-priority one and dropped when empty."""
+    for _ in range(16):  # fixed-point; plans are short
+        goals.sort(key=lambda g: (g.start_s, -g.priority))
+        changed = False
+        out = []
+        for g in goals:
+            if g.end_s - g.start_s <= 1e-9:
+                changed = True
+                continue
+            keep = True
+            for h in out:
+                if g.start_s >= h.end_s or g.end_s <= h.start_s:
+                    continue  # no overlap
+                changed = True
+                if g.priority > h.priority:
+                    # g wins: trim h (already emitted → adjust in place)
+                    if h.start_s < g.start_s and h.end_s > g.end_s:
+                        # h spans g: keep the front part of h
+                        h.end_s = g.start_s
+                    elif h.start_s < g.start_s:
+                        h.end_s = g.start_s
+                    else:
+                        h.start_s = g.end_s
+                    if h.end_s - h.start_s <= 1e-9:
+                        h.goal_type = "__drop__"
+                else:
+                    # h wins: trim g
+                    if g.end_s > h.end_s:
+                        g.start_s = h.end_s
+                    else:
+                        keep = False
+                        break
+            if keep and g.end_s - g.start_s > 1e-9:
+                out.append(g)
+        goals = [g for g in out if g.goal_type != "__drop__"]
+        if not changed:
+            break
+    goals.sort(key=lambda g: g.start_s)
+    return goals
+
+
+def _fill_defaults(goals: list[StaticGoal], route_length: float) -> list[StaticGoal]:
+    """Tile [0, route_length] with StaticDefault between goals
+    (path_planner.py:829-860)."""
+    plan: list[StaticGoal] = []
+    cursor = 0.0
+    for g in goals:
+        if g.start_s > cursor + 1e-9:
+            plan.append(StaticGoal("StaticDefault", cursor, g.start_s))
+        plan.append(g)
+        cursor = max(cursor, g.end_s)
+    if cursor < route_length - 1e-9:
+        plan.append(StaticGoal("StaticDefault", cursor, route_length))
+    if not plan:
+        plan = [StaticGoal("StaticDefault", 0.0, route_length)]
+    return plan
+
+
+def build_static_route_plan(
+    scenario: Scenario,
+    route_ids,
+    frame,
+    street_setting: str = "Urban",
+    preparation_time: float = 3.0,
+    goal_time: float = 2.0,
+) -> list[StaticGoal]:
+    """Full static planning pass (`RoutePlan.execute_static_planning`,
+    path_planner.py:316-497)."""
+    raw = (
+        _detect_stop_line_goals(scenario, route_ids, frame)
+        + _detect_lane_merges(scenario, route_ids, frame)
+        + _detect_intersections(scenario, route_ids, frame)
+    )
+
+    goals: list[StaticGoal] = []
+    for item in raw:
+        lid = item.get("lanelet_id")
+        preds = scenario.lanelets[lid].predecessors if lid in scenario.lanelets else []
+        speed = speed_limit_for_lanelets(scenario, [lid] + list(preds))
+        if speed is None:
+            speed = _DEFAULT_SPEED.get(street_setting, 50 / 3.6)
+        speed = min(130 / 3.6, speed)
+        prep_len = speed * preparation_time
+        goal_len = speed * goal_time
+
+        if item["type"] in ("StopSign", "YieldSign", "TrafficLight", "Crosswalk"):
+            start_s = max(0.001, item["stop_position_s"] - goal_len)
+            end_s = max(item["position_s"], item["stop_position_s"])
+            goals.append(StaticGoal(item["type"], start_s, end_s,
+                                    stop_point_s=item["stop_position_s"],
+                                    stop_point_xy=item.get("stop_position_xy"),
+                                    goal_object=item["obj"], goal_lanelet_id=lid))
+            goals.append(StaticGoal("Prepare" + item["type"],
+                                    max(0.001, start_s - prep_len), start_s,
+                                    stop_point_s=item["stop_position_s"],
+                                    stop_point_xy=item.get("stop_position_xy"),
+                                    goal_object=item["obj"], goal_lanelet_id=lid))
+        elif item["type"] in ("LaneMerge", "RoadExit"):
+            end_s = item["position_s"]
+            start_s = max(0.001, end_s - goal_len)
+            goals.append(StaticGoal(item["type"], start_s, end_s, goal_lanelet_id=lid))
+            goals.append(StaticGoal("Prepare" + item["type"],
+                                    max(0.001, start_s - prep_len), start_s,
+                                    goal_lanelet_id=lid))
+        elif item["type"] == "Intersection":
+            start_s, end_s = item["start_s"], item["end_s"]
+            goals.append(StaticGoal("Intersection", start_s, end_s, goal_lanelet_id=lid))
+            goals.append(StaticGoal("PrepareIntersection",
+                                    max(0.001, start_s - prep_len), start_s,
+                                    goal_lanelet_id=lid))
+
+    # drop yield/stop signs that duplicate an active traffic light at the same
+    # stop line (path_planner.py:741-766)
+    tl_stops = {round(g.stop_point_s or -1.0, 1) for g in goals
+                if g.goal_type == "TrafficLight"}
+    goals = [g for g in goals
+             if not (g.goal_type in ("StopSign", "YieldSign",
+                                     "PrepareStopSign", "PrepareYieldSign")
+                     and round(g.stop_point_s or -1.0, 1) in tl_stops)]
+
+    goals = _resolve_overlaps(goals)
+    return _fill_defaults(goals, frame.length)

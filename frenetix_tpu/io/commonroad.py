@@ -21,8 +21,14 @@ __all__ = [
     "State",
     "GoalCondition",
     "PlanningProblem",
+    "StopLine",
+    "TrafficSign",
+    "TrafficLight",
+    "Intersection",
+    "IntersectionIncoming",
     "Scenario",
     "load_scenario",
+    "speed_limit_for_lanelets",
 ]
 
 
@@ -39,6 +45,96 @@ class State:
 
 
 @dataclass
+class StopLine:
+    """Lanelet stop line (CommonRoad `<stopLine>`): geometry + the traffic
+    signs/lights it belongs to (used by the behavior planner's static route
+    scan, reference behavior_planner/utils/path_planner.py:499-584)."""
+
+    start: np.ndarray  # (2,)
+    end: np.ndarray    # (2,)
+    line_marking: str = "solid"
+    traffic_sign_refs: list[int] = field(default_factory=list)
+    traffic_light_refs: list[int] = field(default_factory=list)
+
+    @property
+    def center(self) -> np.ndarray:
+        return (self.start + self.end) / 2.0
+
+
+@dataclass
+class TrafficSign:
+    """CommonRoad `<trafficSign>`: elements are (sign_id, additional_values)
+    pairs; positions/values are SI (speed limits in m/s)."""
+
+    sign_id: int
+    elements: list[tuple[str, list[float]]]
+    position: Optional[np.ndarray] = None  # (2,)
+    virtual: bool = False
+
+    def max_speed(self) -> Optional[float]:
+        """Speed limit in m/s if this is a max-speed sign (DEU/ZAM id 274,
+        USA R2-1), else None."""
+        for sid, vals in self.elements:
+            if sid in ("274", "R2-1", "r2-1") and vals:
+                return float(vals[0])
+        return None
+
+    def has(self, *names: str) -> bool:
+        """True if any element id matches one of the given ids."""
+        return any(sid in names for sid, _ in self.elements)
+
+    @property
+    def is_stop(self) -> bool:
+        return self.has("206", "R1-1")   # DEU 206 / USA R1-1 = STOP
+
+    @property
+    def is_yield(self) -> bool:
+        return self.has("205", "R1-2")   # DEU 205 / USA R1-2 = YIELD
+
+
+@dataclass
+class TrafficLight:
+    """CommonRoad `<trafficLight>`: a fixed signal cycle of (color, duration)
+    phases in scenario time steps, shifted by `time_offset`."""
+
+    light_id: int
+    cycle: list[tuple[str, int]] = field(default_factory=list)  # (color, #steps)
+    position: Optional[np.ndarray] = None
+    time_offset: int = 0
+    active: bool = True
+
+    @property
+    def cycle_length(self) -> int:
+        return sum(d for _, d in self.cycle)
+
+    def state_at_time(self, time_step: int) -> str:
+        """Color ('red'|'redYellow'|'yellow'|'green'|'inactive') at a step."""
+        if not self.cycle or not self.active:
+            return "inactive"
+        t = (time_step - self.time_offset) % self.cycle_length
+        for color, duration in self.cycle:
+            if t < duration:
+                return color
+            t -= duration
+        return self.cycle[-1][0]
+
+
+@dataclass
+class IntersectionIncoming:
+    incoming_id: int
+    incoming_lanelets: list[int] = field(default_factory=list)
+    successors_left: list[int] = field(default_factory=list)
+    successors_right: list[int] = field(default_factory=list)
+    successors_straight: list[int] = field(default_factory=list)
+
+
+@dataclass
+class Intersection:
+    intersection_id: int
+    incomings: list[IntersectionIncoming] = field(default_factory=list)
+
+
+@dataclass
 class Lanelet:
     lanelet_id: int
     left_vertices: np.ndarray   # (V, 2)
@@ -51,6 +147,11 @@ class Lanelet:
     adj_right: Optional[int] = None
     adj_right_same_direction: bool = False
     lanelet_type: str = ""
+    stop_line: Optional[StopLine] = None
+    traffic_sign_refs: list[int] = field(default_factory=list)
+    traffic_light_refs: list[int] = field(default_factory=list)
+    line_marking_left: str = ""    # '' (unknown) | dashed | solid | broad_* …
+    line_marking_right: str = ""
 
     @property
     def polygon(self) -> np.ndarray:
@@ -117,6 +218,15 @@ class Scenario:
     lanelets: dict[int, Lanelet]
     obstacles: dict[int, Obstacle]
     planning_problems: dict[int, PlanningProblem]
+    traffic_signs: dict[int, TrafficSign] = field(default_factory=dict)
+    traffic_lights: dict[int, TrafficLight] = field(default_factory=dict)
+    intersections: list[Intersection] = field(default_factory=list)
+    tags: list[str] = field(default_factory=list)
+
+    @property
+    def country(self) -> str:
+        """Country code from the benchmark id (e.g. 'ZAM_Tjunction-…' → ZAM)."""
+        return self.scenario_id[:3] if len(self.scenario_id) >= 3 else ""
 
     @property
     def dynamic_obstacles(self) -> list[Obstacle]:
@@ -204,8 +314,9 @@ def _parse_state(el) -> State:
 
 
 def _parse_lanelet(el) -> Lanelet:
-    left = _points(el.find("leftBound"))
-    right = _points(el.find("rightBound"))
+    left_el, right_el = el.find("leftBound"), el.find("rightBound")
+    left = _points(left_el)
+    right = _points(right_el)
     n = min(len(left), len(right))
     left, right = left[:n], right[:n]
     ll = Lanelet(
@@ -216,6 +327,10 @@ def _parse_lanelet(el) -> Lanelet:
         successors=[int(s.attrib["ref"]) for s in el.findall("successor")],
         predecessors=[int(s.attrib["ref"]) for s in el.findall("predecessor")],
         lanelet_type=(el.findtext("laneletType") or "").strip(),
+        traffic_sign_refs=[int(s.attrib["ref"]) for s in el.findall("trafficSignRef")],
+        traffic_light_refs=[int(s.attrib["ref"]) for s in el.findall("trafficLightRef")],
+        line_marking_left=(left_el.findtext("lineMarking") or "").strip(),
+        line_marking_right=(right_el.findtext("lineMarking") or "").strip(),
     )
     adj_l = el.find("adjacentLeft")
     if adj_l is not None:
@@ -225,7 +340,105 @@ def _parse_lanelet(el) -> Lanelet:
     if adj_r is not None:
         ll.adj_right = int(adj_r.attrib["ref"])
         ll.adj_right_same_direction = adj_r.attrib.get("drivingDir", "same") == "same"
+    sl_el = el.find("stopLine")
+    if sl_el is not None:
+        pts = sl_el.findall("point")
+        if len(pts) >= 2:
+            p0 = np.array([float(pts[0].findtext("x")), float(pts[0].findtext("y"))])
+            p1 = np.array([float(pts[1].findtext("x")), float(pts[1].findtext("y"))])
+        elif len(pts) == 1:
+            p0 = p1 = np.array([float(pts[0].findtext("x")), float(pts[0].findtext("y"))])
+        else:  # stop line spanning the lanelet end (no explicit points)
+            p0, p1 = left[-1], right[-1]
+        ll.stop_line = StopLine(
+            start=p0, end=p1,
+            line_marking=(sl_el.findtext("lineMarking") or "solid").strip(),
+            traffic_sign_refs=[int(s.attrib["ref"]) for s in sl_el.findall("trafficSignRef")],
+            traffic_light_refs=[int(s.attrib["ref"]) for s in sl_el.findall("trafficLightRef")],
+        )
     return ll
+
+
+def _parse_traffic_sign(el) -> TrafficSign:
+    elements = []
+    for se in el.findall("trafficSignElement"):
+        sid = (se.findtext("trafficSignID") or "").strip()
+        vals = [float(v.text) for v in se.findall("additionalValue") if v.text]
+        elements.append((sid, vals))
+    pos_el = el.find("position")
+    pos = None
+    if pos_el is not None:
+        pt = pos_el.find("point")
+        if pt is not None:
+            pos = np.array([float(pt.findtext("x")), float(pt.findtext("y"))])
+    return TrafficSign(
+        sign_id=int(el.attrib["id"]),
+        elements=elements,
+        position=pos,
+        virtual=(el.findtext("virtual") or "false").strip() == "true",
+    )
+
+
+def _parse_traffic_light(el) -> TrafficLight:
+    cycle = []
+    cycle_el = el.find("cycle")
+    if cycle_el is not None:
+        for ce in cycle_el.findall("cycleElement"):
+            color = (ce.findtext("color") or "red").strip()
+            duration = int(float(ce.findtext("duration") or "1"))
+            cycle.append((color, duration))
+        offset = int(float(cycle_el.findtext("timeOffset") or "0"))
+    else:
+        offset = 0
+    pos_el = el.find("position")
+    pos = None
+    if pos_el is not None:
+        pt = pos_el.find("point")
+        if pt is not None:
+            pos = np.array([float(pt.findtext("x")), float(pt.findtext("y"))])
+    return TrafficLight(
+        light_id=int(el.attrib["id"]),
+        cycle=cycle,
+        position=pos,
+        time_offset=offset,
+        active=(el.findtext("active") or "true").strip() != "false",
+    )
+
+
+def _parse_intersection(el) -> Intersection:
+    incomings = []
+    for inc in el.findall("incoming"):
+        incomings.append(IntersectionIncoming(
+            incoming_id=int(inc.attrib.get("id", "0")),
+            incoming_lanelets=[int(r.attrib["ref"]) for r in inc.findall("incomingLanelet")],
+            successors_left=[int(r.attrib["ref"]) for r in inc.findall("successorsLeft")],
+            successors_right=[int(r.attrib["ref"]) for r in inc.findall("successorsRight")],
+            successors_straight=[int(r.attrib["ref"]) for r in inc.findall("successorsStraight")],
+        ))
+    return Intersection(intersection_id=int(el.attrib.get("id", "0")), incomings=incomings)
+
+
+# speed-limit sign ids by country family (values stored in m/s in the XML)
+_MAX_SPEED_SIGN_IDS = ("274", "R2-1", "r2-1")
+
+
+def speed_limit_for_lanelets(scenario: "Scenario", lanelet_ids) -> Optional[float]:
+    """Minimum speed limit over max-speed signs attached to the given lanelets
+    (the reference's TrafficSignInterpreter.speed_limit,
+    behavior_planner/utils/helper_functions.py:196-198)."""
+    limits = []
+    for lid in lanelet_ids:
+        ll = scenario.lanelets.get(lid)
+        if ll is None:
+            continue
+        for sid in ll.traffic_sign_refs:
+            sign = scenario.traffic_signs.get(sid)
+            if sign is None:
+                continue
+            v = sign.max_speed()
+            if v is not None:
+                limits.append(v)
+    return min(limits) if limits else None
 
 
 def _parse_shape(el) -> tuple[str, float, float]:
@@ -331,10 +544,30 @@ def load_scenario(path: str) -> Scenario:
         pp = _parse_planning_problem(el, lanelets)
         problems[pp.problem_id] = pp
 
+    signs = {}
+    for el in root.findall("trafficSign"):
+        ts = _parse_traffic_sign(el)
+        signs[ts.sign_id] = ts
+    lights = {}
+    for el in root.findall("trafficLight"):
+        tl = _parse_traffic_light(el)
+        lights[tl.light_id] = tl
+    intersections = [
+        _parse_intersection(el)
+        for el in root.findall("intersection")
+        if el.find("incoming") is not None
+    ]
+    tags_el = root.find("scenarioTags")
+    tags = [child.tag for child in tags_el] if tags_el is not None else []
+
     return Scenario(
         scenario_id=scenario_id,
         dt=dt,
         lanelets=lanelets,
         obstacles=obstacles,
         planning_problems=problems,
+        traffic_signs=signs,
+        traffic_lights=lights,
+        intersections=intersections,
+        tags=tags,
     )

@@ -12,9 +12,14 @@ import numpy as np
 
 from frenetix_tpu.io.commonroad import (
     GoalCondition, Lanelet, Obstacle, PlanningProblem, Scenario, State,
+    StopLine, TrafficLight, TrafficSign,
 )
 
-__all__ = ["make_highway", "make_curve", "make_s_curve", "make_overtake"]
+__all__ = [
+    "make_highway", "make_curve", "make_s_curve", "make_overtake",
+    "make_lane_change", "make_traffic_light", "make_stop_sign",
+    "make_yield_sign", "make_lane_merge", "make_behavior_overtake",
+]
 
 
 def _lanelet_from_center(lid, center, half_width, successors=(), **kw):
@@ -161,3 +166,190 @@ def make_overtake(length=220.0, lane_width=3.6, ego_v=14.0, lead_v=6.0,
         goals=[goal],
     )
     return Scenario("SYN_Overtake-1", dt, lanelets, obstacles, {60000: pp})
+
+
+# ---------------------------------------------------------------------------
+# behavior-planner scenario families (round 2): lane change, traffic light,
+# stop/yield sign, lane merge, overtake — exercising the FSM states of
+# frenetix_tpu.behavior (reference analogs: behavior_planner/FSM_model.py)
+# ---------------------------------------------------------------------------
+
+
+def _straight(length, y=0.0, x0=0.0, step=2.0):
+    n = max(int((length) / step) + 1, 2)
+    x = np.linspace(x0, x0 + length, n)
+    return np.stack([x, np.full(n, y)], axis=1)
+
+
+def make_lane_change(length=260.0, lane_width=3.6, ego_v=12.0, dt=0.1,
+                     n_steps=260, with_traffic=False):
+    """Two same-direction lanes; the goal sits on the LEFT lane, so the
+    navigation route requires one lane change left — driving the behavior
+    FSM through PrepareLaneChangeLeft → LaneChangeLeft → complete."""
+    right_center = _straight(length, 0.0)
+    left_center = _straight(length, lane_width)
+    right = _lanelet_from_center(50000, right_center, lane_width / 2)
+    left = _lanelet_from_center(50001, left_center, lane_width / 2)
+    right.adj_left, right.adj_left_same_direction = 50001, True
+    left.adj_right, left.adj_right_same_direction = 50000, True
+    lanelets = {50000: right, 50001: left}
+
+    obstacles = {}
+    if with_traffic:
+        obstacles = _traffic(left_center, [9.0], dt, n_steps, [60.0])
+
+    goal_center = left_center[int(0.9 * (len(left_center) - 1))]
+    half = np.array([[8.0, 1.6], [8.0, -1.6], [-8.0, -1.6], [-8.0, 1.6]])
+    goal = GoalCondition(position_shape=half + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, right_center[0] + np.array([2.0, 0.0]), 0.0,
+                            float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_LaneChange-1", dt, lanelets, obstacles, {60000: pp})
+
+
+def make_traffic_light(length=160.0, stop_at=90.0, lane_width=3.6, ego_v=10.0,
+                       dt=0.1, n_steps=300, red_steps=80, green_steps=400):
+    """Single-lane road with a stop line + traffic light at `stop_at`;
+    the light is red for `red_steps`, then green.  Drives
+    PrepareTrafficLight/TrafficLight (Stopping → WaitingForGreenLight →
+    ContinueDriving)."""
+    c1 = _straight(stop_at, 0.0)
+    c2 = _straight(length - stop_at, 0.0, x0=stop_at)
+    l1 = _lanelet_from_center(50000, c1, lane_width / 2, successors=[50001])
+    l2 = _lanelet_from_center(50001, c2, lane_width / 2)
+    l2.predecessors = [50000]
+    light = TrafficLight(
+        light_id=70000,
+        cycle=[("red", red_steps), ("redYellow", 10), ("green", green_steps)],
+        position=np.array([stop_at, lane_width]),
+    )
+    l1.stop_line = StopLine(
+        start=np.array([stop_at, -lane_width / 2]),
+        end=np.array([stop_at, lane_width / 2]),
+        traffic_light_refs=[70000],
+    )
+    lanelets = {50000: l1, 50001: l2}
+
+    goal_center = np.array([length - 12.0, 0.0])
+    half = np.array([[8.0, 1.6], [8.0, -1.6], [-8.0, -1.6], [-8.0, 1.6]])
+    goal = GoalCondition(position_shape=half + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, np.array([2.0, 0.0]), 0.0, float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_TrafficLight-1", dt, lanelets, {}, {60000: pp},
+                    traffic_lights={70000: light})
+
+
+def _sign_scenario(sign_element: str, scenario_id: str, length=130.0,
+                   stop_at=60.0, lane_width=3.6, ego_v=9.0, dt=0.1,
+                   n_steps=300):
+    """Single-lane road with a stop line + stop/yield sign at `stop_at`."""
+    c1 = _straight(stop_at, 0.0)
+    c2 = _straight(length - stop_at, 0.0, x0=stop_at)
+    l1 = _lanelet_from_center(50000, c1, lane_width / 2, successors=[50001])
+    l2 = _lanelet_from_center(50001, c2, lane_width / 2)
+    l2.predecessors = [50000]
+    sign = TrafficSign(sign_id=70000, elements=[(sign_element, [])],
+                       position=np.array([stop_at, lane_width]))
+    l1.stop_line = StopLine(
+        start=np.array([stop_at, -lane_width / 2]),
+        end=np.array([stop_at, lane_width / 2]),
+        traffic_sign_refs=[70000],
+    )
+    lanelets = {50000: l1, 50001: l2}
+    goal_center = np.array([length - 12.0, 0.0])
+    half = np.array([[8.0, 1.6], [8.0, -1.6], [-8.0, -1.6], [-8.0, 1.6]])
+    goal = GoalCondition(position_shape=half + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, np.array([2.0, 0.0]), 0.0, float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario(scenario_id, dt, lanelets, {}, {60000: pp},
+                    traffic_signs={70000: sign})
+
+
+def make_stop_sign(**kw):
+    """Stop sign: the FSM must reach WaitingForStopYieldSignClearance (full
+    stop ≥ 1 s) before ContinueDriving."""
+    return _sign_scenario("206", "SYN_StopSign-1", **kw)
+
+
+def make_yield_sign(**kw):
+    """Yield sign: passable without stopping when clear
+    (StopYieldSignClear)."""
+    return _sign_scenario("205", "SYN_YieldSign-1", **kw)
+
+
+def make_lane_merge(length=220.0, merge_at=120.0, lane_width=3.6, ego_v=11.0,
+                    dt=0.1, n_steps=250):
+    """Two parallel approach lanes merging into one: the merged lanelet has
+    two predecessors with a shared end point (static_route._detect_lane_merges
+    criterion, reference path_planner.py:586-610)."""
+    cm = _straight(length - merge_at, 0.0, x0=merge_at)
+    ca = _straight(merge_at, 0.0)
+    # merging lane bends into the main lane over its final 40 m
+    n = max(int(merge_at / 2.0) + 1, 2)
+    x = np.linspace(0.0, merge_at, n)
+    y = np.where(x < merge_at - 40.0, lane_width,
+                 lane_width * (merge_at - x) / 40.0)
+    cb = np.stack([x, y], axis=1)
+    main_in = _lanelet_from_center(50000, ca, lane_width / 2, successors=[50002])
+    ramp = _lanelet_from_center(50001, cb, lane_width / 2, successors=[50002])
+    merged = _lanelet_from_center(50002, cm, lane_width / 2)
+    merged.predecessors = [50000, 50001]
+    lanelets = {50000: main_in, 50001: ramp, 50002: merged}
+
+    goal_center = cm[int(0.85 * (len(cm) - 1))]
+    half = np.array([[8.0, 1.6], [8.0, -1.6], [-8.0, -1.6], [-8.0, 1.6]])
+    goal = GoalCondition(position_shape=half + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, ca[0] + np.array([2.0, 0.0]), 0.0, float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_LaneMerge-1", dt, lanelets, {}, {60000: pp})
+
+
+def make_behavior_overtake(length=300.0, lane_width=3.6, ego_v=13.0,
+                           lead_v=4.0, lead_gap=45.0, dt=0.1, n_steps=300):
+    """Two same-direction lanes with a slow lead on the ego lane and the goal
+    on the SAME (right) lane — forcing a behavior-level overtake
+    (PrepareOvertake → lane change left → Overtake → FinishOvertake → lane
+    change right), not just lateral sampling."""
+    right_center = _straight(length, 0.0)
+    left_center = _straight(length, lane_width)
+    right = _lanelet_from_center(50000, right_center, lane_width / 2)
+    left = _lanelet_from_center(50001, left_center, lane_width / 2)
+    right.adj_left, right.adj_left_same_direction = 50001, True
+    left.adj_right, left.adj_right_same_direction = 50000, True
+    lanelets = {50000: right, 50001: left}
+
+    obstacles = _traffic(right_center, [lead_v], dt, n_steps, [lead_gap])
+
+    goal_center = right_center[int(0.93 * (len(right_center) - 1))]
+    half = np.array([[8.0, 1.6], [8.0, -1.6], [-8.0, -1.6], [-8.0, 1.6]])
+    goal = GoalCondition(position_shape=half + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, right_center[0] + np.array([2.0, 0.0]), 0.0,
+                            float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_BehaviorOvertake-1", dt, lanelets, obstacles,
+                    {60000: pp})

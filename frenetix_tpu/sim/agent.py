@@ -148,17 +148,19 @@ class Agent:
                 phantom_type=config.occlusion.phantom_type,
             )
 
-        # optional behavior planner (behavior.yaml use_behavior_planner)
+        # optional behavior planner (behavior.yaml use_behavior_planner);
+        # it owns the reference path from here on (frenet_interface.py:116-125)
         self.behavior = None
         if config.behavior.use_behavior_planner:
             from frenetix_tpu.behavior import BehaviorModule
 
+            # behavior timing follows the planner (frenet_interface.py:117-118)
+            config.behavior.dt = config.planning.dt
+            config.behavior.replanning_frequency = config.planning.replanning_frequency
             self.behavior = BehaviorModule(
-                scenario, planning_problem,
-                self.planner.ref_np.s, self.planner.ref_np.xy, self._goal_s,
-                dt=self.dt,
-                time_headway=config.behavior.time_headway,
-                ttc_threshold=config.behavior.ttc_threshold,
+                scenario, planning_problem, config,
+                reference_path=polyline, route_ids=self.route,
+                ego_id=agent_id, msg_logger=msg_logger,
             )
 
     # ------------------------------------------------------------------ goal

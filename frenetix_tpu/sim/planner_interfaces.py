@@ -64,18 +64,36 @@ class FrenetPlannerInterface(PlannerInterface):
 
     def update_planner(self, predictions, obstacle_xy, obstacle_valid):
         a = self.agent
-        a.ensure_x_cl()  # desired_velocity() projects the goal against x_cl
         a.planner.set_predictions(predictions)
         a.planner.set_obstacles(obstacle_xy, obstacle_valid)
         if a.behavior is not None:
+            # behavior module drives velocity, stop point AND reference path
+            # (frenet_interface.py:188-205)
             b_out = a.behavior.execute(predictions, a.state, a.state.time_step)
-            a.planner.set_desired_velocity(
-                min(b_out.desired_velocity, a.desired_velocity())
-            )
+            if b_out.reference_path is not None:
+                # lane change: swap the planner's coordinate system and
+                # recompute the curvilinear state on the new path
+                # (planner.py:232-237 set_new_ref_path)
+                a.planner.set_reference_path(
+                    b_out.reference_path, a.scenario.drivable_polygons(),
+                    lanelets=list(a.scenario.lanelets.values())
+                    if a.config.cost_weights.get("lane_center_offset", 0) != 0
+                    else None,
+                )
+                a.x_cl = None
+                a._goal_s = a._compute_goal_s()
+            a.ensure_x_cl()
+            a.planner.set_desired_velocity(b_out.desired_velocity)
+            # behavior stop points are vehicle-center s; the planner's
+            # curvilinear state is rear-axle s — shift, or every stop ends
+            # wb_rear_axle short of intent (a creeping hold at stop lines)
             a.planner.set_stop_point(
-                b_out.stop_point_s, b_out.desired_velocity_stop_point
+                None if b_out.stop_point_s is None
+                else b_out.stop_point_s - a.veh.wb_rear_axle,
+                b_out.desired_velocity_stop_point,
             )
         else:
+            a.ensure_x_cl()  # desired_velocity() projects the goal against x_cl
             a.planner.set_desired_velocity(a.desired_velocity())
 
     def step_interface(self):

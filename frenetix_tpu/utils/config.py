@@ -109,13 +109,37 @@ class PredictionConfig:
 
 @dataclass
 class BehaviorConfig:
-    """configurations/simulation/behavior.yaml subset (off by default, :2)."""
+    """configurations/simulation/behavior.yaml (off by default, :2)."""
 
     use_behavior_planner: bool = False
     replanning_frequency: int = 3
+    dt: float = 0.1
+    stopping_mode_threshold: float = 10.0  # reactive_planner_cpp.py:332
+
+    # path planner (behavior.yaml path_planner configs)
+    dist_between_points: float = 0.125
+    stepwise_lane_changes: bool = True
+    preparation_time: float = 3.0   # s, static Prepare* goal length
+    goal_time: float = 2.0          # s, static goal length
+    distance_self_intersection: float = 10.0
+
+    # velocity planner (behavior.yaml velocity_planner configs)
+    ttc_norm: float = 8.0
+    safety_distance_buffer: float = 2.0    # s
+    a_max_delta: float = 0.3               # s
+    comfortable_deceleration_rate: float = 3.4  # m/s²
+    zero_velocity_threshold: float = 0.278      # m/s
+
+    # stop point (behavior.yaml stop_point configs)
+    default_time_horizon: float = 2.0
+    min_stop_point_dist: float = 1.4
+    min_stop_point_time: float = 1.0
+    standing_obstacle_vel: float = 1.0
+
+    # retained knobs of the round-1 module (still honored by the velocity
+    # planner's TTC conditioning)
     time_headway: float = 1.8
     ttc_threshold: float = 4.0
-    stopping_mode_threshold: float = 10.0  # reactive_planner_cpp.py:332
 
 
 @dataclass

@@ -1,51 +1,294 @@
-"""Behavior planner: FSM transitions, TTC following, stop points."""
+"""Behavior planner: io parsing, static route plan, velocity planner, FSM
+transitions, and end-to-end maneuvers (behavior-initiated lane change,
+red-light stop, stop-sign full stop, overtake).
+
+Reference analogs: behavior_planner/behavior_module.py, FSM_model.py,
+FSM_logic_modules.py, path_planner.py, velocity_planner.py.
+"""
 import numpy as np
+import pytest
+
+REF_SCENARIO = "/root/reference/example_scenarios/ZAM_Tjunction-1_23_T-1.xml"
+
+
+# --------------------------------------------------------------------- io
+
+
+def test_traffic_sign_parsing_shipped_scenario():
+    from frenetix_tpu.io.commonroad import load_scenario, speed_limit_for_lanelets
+
+    sc = load_scenario(REF_SCENARIO)
+    assert len(sc.traffic_signs) == 12
+    assert sc.country == "ZAM"
+    # every sign is a 274 (max speed) carrying 14 m/s
+    assert speed_limit_for_lanelets(sc, sc.lanelets.keys()) == 14.0
+    # signs attach through lanelet trafficSignRef
+    assert any(ll.traffic_sign_refs for ll in sc.lanelets.values())
+
+
+def test_traffic_light_cycle():
+    from frenetix_tpu.io.commonroad import TrafficLight
+
+    tl = TrafficLight(1, cycle=[("red", 10), ("green", 20)], time_offset=5)
+    assert tl.state_at_time(5) == "red"
+    assert tl.state_at_time(14) == "red"
+    assert tl.state_at_time(15) == "green"
+    assert tl.state_at_time(34) == "green"
+    assert tl.state_at_time(35) == "red"      # cycle wraps
+    assert tl.state_at_time(0) == "green"     # before offset wraps backwards
+
+
+# ------------------------------------------------------------ static route
+
+
+def _behavior_module(maker, **cfg_overrides):
+    from frenetix_tpu.behavior import BehaviorModule
+    from frenetix_tpu.planner.route import reference_path_for_problem
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.behavior.use_behavior_planner = True
+    for k, v in cfg_overrides.items():
+        setattr(cfg.behavior, k, v)
+    sc = maker()
+    pp = list(sc.planning_problems.values())[0]
+    polyline, route = reference_path_for_problem(sc, pp)
+    return BehaviorModule(sc, pp, cfg, polyline, route, ego_id=60000), sc
+
+
+def test_static_route_plan_traffic_light():
+    from frenetix_tpu.io.scenario_factory import make_traffic_light
+
+    mod, sc = _behavior_module(make_traffic_light)
+    plan = mod.bm.PP_state.static_route_plan
+    types = [g.goal_type for g in plan]
+    assert "TrafficLight" in types and "PrepareTrafficLight" in types
+    # tiles [0, L] without gaps or overlaps
+    assert plan[0].start_s == 0.0
+    for a, b in zip(plan[:-1], plan[1:]):
+        assert abs(a.end_s - b.start_s) < 1e-6
+    # prep comes immediately before the goal
+    i = types.index("TrafficLight")
+    assert types[i - 1] == "PrepareTrafficLight"
+    # stop point projects to the stop line (x = 90 in scenario coordinates)
+    tl_goal = plan[i]
+    stop_xy = mod.bm.PP_state.frame.to_cartesian(tl_goal.stop_point_s)
+    assert abs(stop_xy[0] - 90.0) < 1.0
+
+
+def test_static_route_plan_lane_merge_detection():
+    from frenetix_tpu.io.scenario_factory import make_lane_merge
+
+    mod, sc = _behavior_module(make_lane_merge)
+    types = [g.goal_type for g in mod.bm.PP_state.static_route_plan]
+    assert "LaneMerge" in types and "PrepareLaneMerge" in types
+
+
+def test_nav_lane_changes_from_route():
+    from frenetix_tpu.io.scenario_factory import make_lane_change
+
+    mod, sc = _behavior_module(make_lane_change)
+    assert mod.bm.nav_lane_changes_left == 1
+    assert mod.bm.nav_lane_changes_right == 0
+
+
+# -------------------------------------------------------- velocity planner
+
+
+def _vp_fixture(v_ego=10.0, v_lead=None, gap=None):
+    from frenetix_tpu.behavior.behavior_module import BMState
+    from frenetix_tpu.behavior.velocity_planner import VelocityPlanner
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    class Ego:
+        position = np.zeros(2)
+        orientation = 0.0
+        velocity = v_ego
+        time_step = 0
+
+    bm = BMState()
+    bm.config = FrenetixConfig(dtype="float64")
+    bm.vehicle_params = bm.config.vehicle
+    bm.ego_state = Ego()
+    bm.FSM_state.street_setting = "Urban"
+    vp = VelocityPlanner(bm)
+    bm.VP_state.dist_preceding_veh = gap
+    bm.VP_state.vel_preceding_veh = v_lead
+    return vp, bm
+
+
+def test_velocity_planner_max_mode():
+    vp, bm = _vp_fixture(v_ego=10.0)
+    vp.execute()
+    # urban default 50 km/h, condition factor 1
+    assert bm.VP_state.MAX == pytest.approx(50 / 3.6)
+    assert bm.VP_state.velocity_mode == "MAX"
+    # clipped into the acceleration envelope around v_ego
+    assert bm.VP_state.desired_velocity <= 10.0 + bm.vehicle_params.a_max * 0.3
+
+
+def test_velocity_planner_ttc_mode():
+    # close slow lead → TTC < MAX
+    vp, bm = _vp_fixture(v_ego=12.0, v_lead=5.0, gap=15.0)
+    vp.execute()
+    assert bm.VP_state.velocity_mode == "TTC"
+    assert bm.VP_state.TTC < 50 / 3.6
+    # safety distance uses the "ego behind other" branch
+    assert bm.VP_state.safety_dist > 0
+
+
+def test_safety_distance_situations():
+    from frenetix_tpu.behavior.velocity_planner import stop_distance
+
+    # approaching head-on: safety distance includes both stopping distances
+    vp, bm = _vp_fixture(v_ego=10.0, v_lead=-5.0, gap=50.0)
+    relevant = vp._calc_safety_distance()
+    assert relevant
+    a_max = bm.vehicle_params.a_max
+    assert bm.VP_state.min_safety_dist > (
+        stop_distance(10.0, a_max) + stop_distance(5.0, a_max)
+    )
+    # driving away from each other: irrelevant
+    vp2, bm2 = _vp_fixture(v_ego=-3.0, v_lead=5.0, gap=20.0)
+    assert not vp2._calc_safety_distance()
+
+
+# ------------------------------------------------------------------- FSM
 
 
 class _Ego:
-    def __init__(self, x, v, t=0):
-        self.position = np.array([x, 0.0])
+    def __init__(self, x, v, t=0, y=0.0):
+        self.position = np.array([float(x), float(y)])
         self.orientation = 0.0
-        self.velocity = v
+        self.velocity = float(v)
         self.time_step = t
 
 
-def _module(scenario, goal_s=200.0):
-    from frenetix_tpu.behavior import BehaviorModule
-    from frenetix_tpu.geometry.refpath import polyline_pathlength
+def test_fsm_traffic_light_states():
+    """Drive the FSM through Prepare → Stopping → Waiting → ContinueDriving
+    by scripting ego positions against the light's cycle."""
+    from frenetix_tpu.io.scenario_factory import make_traffic_light
 
-    xy = np.stack([np.linspace(0, 250, 250), np.zeros(250)], axis=1)
-    pp = list(scenario.planning_problems.values())[0]
-    return BehaviorModule(scenario, pp, polyline_pathlength(xy), xy, goal_s)
-
-
-def test_vehicle_following_reduces_speed():
-    from frenetix_tpu.behavior.behavior_module import BehaviorState
-    from frenetix_tpu.io.scenario_factory import make_highway
-
-    sc = make_highway(lead_v=6.0, lead_gap=15.0)  # close slow lead
-    mod = _module(sc)
-    out = mod.execute({}, _Ego(0.0, 14.0), 0)
-    assert mod.state == BehaviorState.VEHICLE_FOLLOWING
-    assert out.desired_velocity < 10.0  # pulled toward the lead's speed
-
-    # far lead → free lane following at the limit envelope
-    sc2 = make_highway(lead_v=6.0, lead_gap=150.0)
-    mod2 = _module(sc2, goal_s=1000.0)
-    out2 = mod2.execute({}, _Ego(0.0, 14.0), 0)
-    assert out2.desired_velocity > out.desired_velocity
-
-
-def test_goal_approach_and_stop_point():
-    from frenetix_tpu.behavior.behavior_module import BehaviorState
-    from frenetix_tpu.io.scenario_factory import make_highway
-
-    sc = make_highway(lead_gap=500.0)
-    # goal with a near-zero velocity interval close ahead → STOPPING
-    pp = list(sc.planning_problems.values())[0]
-    pp.goals[0].velocity_interval = (0.0, 1.0)
-    mod = _module(sc, goal_s=30.0)
-    out = mod.execute({}, _Ego(15.0, 10.0), 0)
-    assert mod.state == BehaviorState.STOPPING
+    mod, sc = _behavior_module(make_traffic_light)
+    fsm = mod.bm.FSM_state
+    # far before the light at t=0 (red): StaticDefault or Prepare depending
+    # on the prep-goal extent
+    mod.execute(None, _Ego(30.0, 10.0, 0), 0)
+    # inside the TrafficLight goal while red, slow → Stopping then Waiting
+    mod.execute(None, _Ego(80.0, 5.0, 30), 30)
+    assert fsm.behavior_state_static == "TrafficLight"
+    assert fsm.situation_state_static == "Stopping"
+    out = mod.execute(None, _Ego(85.0, 0.3, 33), 33)
+    assert fsm.situation_state_static == "WaitingForGreenLight"
+    # the stop point holds the vehicle; the envelope keeps desired velocity
+    # near zero (exact 0 only below the zero-velocity threshold)
+    assert out.desired_velocity < 2.5
+    assert out.desired_velocity_stop_point == 0.0
     assert out.stop_point_s is not None
-    assert out.desired_velocity < 10.0  # comfortable-deceleration envelope
+    # green (after step 90: 80 red + 10 redYellow) → ContinueDriving
+    mod.execute(None, _Ego(85.0, 0.0, 93), 93)
+    assert fsm.situation_state_static == "ContinueDriving"
+    assert not fsm.waiting_for_green_light
+
+
+def test_fsm_lane_change_preparation_blocked_then_free():
+    """Free-space search fails while a vehicle sits next to the ego on the
+    target lane, succeeds once it clears (FSM_model.py:1443-1512)."""
+    from frenetix_tpu.io.scenario_factory import make_lane_change
+
+    mod, sc = _behavior_module(lambda: make_lane_change(with_traffic=True))
+    fsm = mod.bm.FSM_state
+    # the left-lane vehicle starts at x=60: place the ego right next to it
+    mod.execute(None, _Ego(60.0, 12.0, 3), 3)
+    assert fsm.behavior_state_dynamic in (
+        "PrepareLaneChangeLeft", "LaneChangeLeft"
+    )
+    mod.execute(None, _Ego(60.0, 12.0, 6), 6)
+    if fsm.behavior_state_dynamic == "PrepareLaneChangeLeft":
+        assert not fsm.free_space_on_target_lanelet
+
+
+# ------------------------------------------------------------- end-to-end
+
+
+def _run(maker, **cfg_overrides):
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.behavior.use_behavior_planner = True
+    for k, v in cfg_overrides.items():
+        setattr(cfg.behavior, k, v)
+    sim = Simulation(maker(), cfg)
+    agent = sim.agents[0]
+    ref_updates = []
+    orig = agent.behavior.execute
+
+    def wrapped(preds, st, t):
+        out = orig(preds, st, t)
+        if out.reference_path is not None:
+            ref_updates.append(t)
+        return out
+
+    agent.behavior.execute = wrapped
+    res = sim.run()
+    xs = np.array([s.position[0] for s in agent.record.states])
+    ys = np.array([s.position[1] for s in agent.record.states])
+    vs = np.array([s.velocity for s in agent.record.states])
+    return res, xs, ys, vs, ref_updates
+
+
+def test_e2e_red_light_stop():
+    """The ego must hold behind the stop line (x=90) for the whole red+yellow
+    phase and still reach the goal after green."""
+    from frenetix_tpu.io.scenario_factory import make_traffic_light
+
+    res, xs, ys, vs, _ = _run(make_traffic_light)
+    assert res.success
+    assert xs[:81].max() < 90.0          # behind the line during red
+    assert (vs < 0.3).sum() >= 5         # actually held
+    assert xs[-1] > 130.0                # proceeded to the goal
+
+
+def test_e2e_behavior_lane_change():
+    """Goal on the left lane: the FSM initiates a lane change that REBUILDS
+    the reference path (not just lateral sampling), and the ego ends on the
+    left lane (VERDICT r1 item 1 'done' criterion)."""
+    from frenetix_tpu.io.scenario_factory import make_lane_change
+
+    res, xs, ys, vs, ref_updates = _run(make_lane_change)
+    assert res.success
+    assert len(ref_updates) >= 1         # behavior-initiated ref-path switch
+    assert ys[-1] > 3.0                  # on the left lane (y=3.6)
+
+
+def test_e2e_stop_sign_full_stop():
+    """Stop sign demands a ≥1 s full stop behind the line before continuing."""
+    from frenetix_tpu.io.scenario_factory import make_stop_sign
+
+    res, xs, ys, vs, _ = _run(make_stop_sign)
+    assert res.success
+    full_stop = vs < 0.1
+    assert full_stop.sum() >= 10         # ≥ 1 s at dt=0.1
+    assert xs[full_stop].max() < 60.0    # behind the line (x=60)
+
+
+def test_e2e_yield_sign_clear_no_stop():
+    """A clear yield sign is passable without stopping."""
+    from frenetix_tpu.io.scenario_factory import make_yield_sign
+
+    res, xs, ys, vs, _ = _run(make_yield_sign)
+    assert res.success
+    assert vs.min() > 2.0
+
+
+def test_e2e_overtake_via_lane_changes():
+    """Slow lead + goal on the same lane: behavior-level overtake (lane
+    change left → pass → lane change right), beyond the reference's TODO."""
+    from frenetix_tpu.io.scenario_factory import make_behavior_overtake
+
+    res, xs, ys, vs, ref_updates = _run(make_behavior_overtake)
+    assert res.success
+    assert ys.max() > 2.5                # used the left lane
+    assert abs(ys[-1]) < 1.2             # merged back to the right lane
+    assert len(ref_updates) >= 2         # out and back
