@@ -26,7 +26,7 @@ import numpy as np
 BASELINE_CAND_EVALS_PER_SEC = 100_000.0
 
 
-def build_workload(dtype=np.float32):
+def build_workload(dtype=np.float32, density=5, bucket=1024):
     import jax.numpy as jnp
 
     from frenetix_tpu.geometry.refpath import prepare_reference_path
@@ -54,12 +54,12 @@ def build_workload(dtype=np.float32):
     # dense sweep: level-5 velocity/lateral grids → 12·65·65 ≈ 35k candidates
     # (BASELINE.json config: 10-50k candidates/replan, full cost stack)
     t1 = np.unique(np.concatenate([time_samples(1.1, 3.0, dt, 2), [n_steps * dt]]))
-    ss1 = np.union1d(linspace_samples(5.0, 15.0, 5), [x0_lon[1]])
-    d1 = np.union1d(linspace_samples(-3.0, 3.0, 5), [x0_lat[0]])
+    ss1 = np.union1d(linspace_samples(5.0, 15.0, density), [x0_lon[1]])
+    d1 = np.union1d(linspace_samples(-3.0, 3.0, density), [x0_lat[0]])
     matrix = build_sampling_matrix(
         t1_vals=t1, ss1_vals=ss1, d1_vals=d1, x0_lon=x0_lon, x0_lat=x0_lat, dtype=dtype
     )
-    matrix, mask = pad_matrix(matrix, bucket=1024)
+    matrix, mask = pad_matrix(matrix, bucket=bucket)
 
     o, t_pred = 4, n_steps
     means = np.zeros((o, t_pred, 2), dtype)
@@ -145,43 +145,91 @@ def main():
 
     from frenetix_tpu.planner.core import evaluate_cycle
 
-    matrix, mask, ctx, dt, n_steps, n_valid = build_workload()
-    m_padded = matrix.shape[0]
-
-    def cycle(matrix, mask, ctx):
-        res = evaluate_cycle(
-            matrix, mask, ctx, dt=dt, n_steps=n_steps, low_vel_mode=False
+    def measure(density, bucket, reps=30, outer=7, compiles=2):
+        """One workload size → timing + accounting dict."""
+        matrix, mask, ctx, dt, n_steps, n_valid = build_workload(
+            density=density, bucket=bucket
         )
-        # reduce to the per-replan outputs a host would fetch
-        return res.best_idx, res.found, res.cost[res.best_idx], res.histogram
+        m_padded = matrix.shape[0]
 
-    fn = _best_of_compiles(
-        lambda: jax.jit(cycle), (matrix, mask, ctx)
-    )
+        def cycle(matrix, mask, ctx):
+            res = evaluate_cycle(
+                matrix, mask, ctx, dt=dt, n_steps=n_steps, low_vel_mode=False
+            )
+            # reduce to the per-replan outputs a host would fetch
+            return res.best_idx, res.found, res.cost[res.best_idx], res.histogram
 
-    # median over batches to be robust against tunnel/scheduling noise
-    reps = 30
-    batch_times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(matrix, mask, ctx)
-        jax.block_until_ready(out)
-        batch_times.append((time.perf_counter() - t0) / reps)
-    elapsed = float(np.median(batch_times)) * reps
+        fn = _best_of_compiles(
+            lambda: jax.jit(cycle), (matrix, mask, ctx), n=compiles
+        )
+        # FLOPs from the compiled executable (for the MFU estimate)
+        flops = None
+        try:
+            cost = jax.jit(cycle).lower(matrix, mask, ctx).compile().cost_analysis()
+            if cost and "flops" in cost:
+                flops = float(cost["flops"])
+        except Exception:
+            pass
 
-    replans_per_sec = reps / elapsed
-    cand_evals_per_sec = m_padded * replans_per_sec
+        # median over batches to be robust against tunnel/scheduling noise
+        batch_times = []
+        for _ in range(outer):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(matrix, mask, ctx)
+            jax.block_until_ready(out)
+            batch_times.append((time.perf_counter() - t0) / reps)
+        cycle_s = float(np.median(batch_times))
+        return dict(
+            m_padded=m_padded, n_valid=n_valid, cycle_s=cycle_s, flops=flops,
+        )
+
+    # headline config (dense sweep, ~35k candidates) + a candidates sweep
+    # (VERDICT r1 item 8: report valid-candidate throughput AND the sweep)
+    headline = measure(density=5, bucket=1024)
+    sweep = []
+    # density 6 (≈200k candidates) exceeds the 16G HBM of one v5e chip at
+    # N=30 with the fused rollout live — the sweep tops out at ~35k
+    for density, bucket in ((2, 256), (3, 256), (4, 512), (5, 1024)):
+        r = measure(density=density, bucket=bucket, reps=20, outer=3,
+                    compiles=1)
+        sweep.append({
+            "candidates_padded": r["m_padded"],
+            "candidates_valid": r["n_valid"],
+            "p50_cycle_latency_ms": round(1000.0 * r["cycle_s"], 3),
+            "valid_cand_evals_per_sec": round(r["n_valid"] / r["cycle_s"], 1),
+        })
+
+    replans_per_sec = 1.0 / headline["cycle_s"]
+    # honest accounting: padding rows are computed but are not useful work —
+    # the headline counts only valid candidates (bench.py r1 counted padded)
+    valid_evals_per_sec = headline["n_valid"] * replans_per_sec
+    padded_evals_per_sec = headline["m_padded"] * replans_per_sec
+
+    # MFU estimate: compiler-reported FLOPs per cycle / measured time, against
+    # TPU v5e peak (197 TFLOP/s bf16 — default-precision matmuls run bf16).
+    # The HLO flops count is NOMINAL (pre-optimization; one-hot interp matmuls
+    # may be folded to gathers on the device) — when it implies >100% peak it
+    # is an overcount, reported as null with the raw number kept in detail.
+    mfu = None
+    if headline["flops"]:
+        est = headline["flops"] / headline["cycle_s"] / 197e12
+        mfu = round(est, 4) if est <= 1.0 else None
 
     result = {
-        "metric": "candidate_trajectory_evals_per_sec_per_chip",
-        "value": round(cand_evals_per_sec, 1),
+        "metric": "valid_candidate_trajectory_evals_per_sec_per_chip",
+        "value": round(valid_evals_per_sec, 1),
         "unit": "candidates/s",
-        "vs_baseline": round(cand_evals_per_sec / BASELINE_CAND_EVALS_PER_SEC, 2),
+        "vs_baseline": round(valid_evals_per_sec / BASELINE_CAND_EVALS_PER_SEC, 2),
         "detail": {
-            "candidates_per_replan": m_padded,
+            "candidates_valid": headline["n_valid"],
+            "candidates_padded": headline["m_padded"],
+            "padded_cand_evals_per_sec": round(padded_evals_per_sec, 1),
             "replans_per_sec": round(replans_per_sec, 2),
-            "p50_cycle_latency_ms": round(1000.0 * elapsed / reps, 3),
+            "p50_cycle_latency_ms": round(1000.0 * headline["cycle_s"], 3),
+            "flops_per_cycle": headline["flops"],
+            "mfu_vs_v5e_bf16_peak": mfu,
+            "sweep": sweep,
             "device": str(jax.devices()[0]),
             "dtype": "float32",
         },

@@ -1,7 +1,11 @@
 """Device-mesh parallelism: agents/scenarios sharded over TPU chips."""
 
 from frenetix_tpu.parallel.mesh import (  # noqa: F401
+    agent_pose_predictions,
+    batched_full_cycle,
+    concat_obstacles,
     make_agent_mesh,
-    multi_agent_cycle_sharded,
+    sharded_full_cycle,
     stack_contexts,
+    stack_cycle_contexts,
 )

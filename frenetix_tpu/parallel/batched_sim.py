@@ -3,8 +3,13 @@
 The host-loop Simulation steps agents sequentially (one jit call each); this
 module evaluates every running agent's replanning cycle in a single device
 program — agents become a leading vmap axis (single chip) that `shard_map`
-splits across a mesh (multi-chip; see parallel.mesh for the collective-based
-variant with ICI pose exchange).
+splits across a mesh (multi-chip; parallel.mesh.sharded_full_cycle with ICI
+pose exchange).
+
+Both paths run the COMPLETE cycle (`planner.core.evaluate_cycle` — boundary/
+corridor checking, lane-center costs, full cost stack), so batched selections
+are bit-identical to the sequential host path on the same inputs (asserted by
+tests/test_multichip.py).
 
 This is the TPU answer to the reference's `AgentBatch` worker processes
 (SURVEY §2.3 P2): instead of ⌈A/num_procs⌉ agents per OS process exchanging
@@ -12,8 +17,6 @@ pickled scenarios through queues, A is an array axis and the "batch
 synchronization" is the natural SPMD program order.
 """
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
@@ -24,95 +27,118 @@ class BatchedAgentStepper:
     """Evaluates a batch of per-agent (matrix, context) cycles in one call.
 
     Agents must share static config (dt, N, bucket); heterogeneous reference
-    paths are stacked to a common R (parallel.mesh.stack_contexts).
+    paths/corridors are stacked to a common R.  Low-velocity and stopping-mode
+    agents are handled by the host path (their cycles use different static
+    flags); occlusion gating is incompatible with batching and rejected at
+    Simulation init.
+
+    `mesh`: optional jax.sharding.Mesh — when given (and the agent count is
+    padded to a mesh multiple) the batch runs through
+    `parallel.mesh.sharded_full_cycle` instead of single-device vmap, and
+    executed poses are all-gathered over ICI.
     """
 
-    def __init__(self, config, agents):
-        import jax
+    def __init__(self, config, agents, mesh=None):
         import jax.numpy as jnp
 
-        from frenetix_tpu.parallel.mesh import stack_contexts
+        from frenetix_tpu.parallel.mesh import _pad_table
 
         self.jnp = jnp
         self.config = config
         self.dt = config.planning.dt
         self.n_steps = config.planning.n_steps
         self.agents = agents
+        self.mesh = mesh
 
-        refs = [a.planner.ref_np for a in agents]
-        stacked_ref, _, _ = stack_contexts(
-            refs,
-            x0_orientations=np.zeros(len(agents)),
-            desired_velocities=np.zeros(len(agents)),
-            preds=None, weights=None,
-        )
         dtype = np.float64 if config.dtype == "float64" else np.float32
-        self.ref = type(stacked_ref)(
-            *(jnp.asarray(f.astype(dtype)) for f in stacked_ref)
-        )
-        # per-agent corridors, padded to the common R
-        r_max = self.ref.s.shape[1]
-        cors = []
-        for a in agents:
-            c = np.asarray(a.planner.corridor)
-            if len(c) < r_max:
-                c = np.concatenate([c, np.repeat(c[-1:], r_max - len(c), axis=0)])
-            cors.append(c[:r_max])
-        self.corridors = jnp.asarray(np.stack(cors).astype(dtype))
         self.np_dtype = dtype
 
-        self._step_fn = None
+        refs = [a.planner.ref_np for a in agents]
+        r_max = max(r.s.shape[0] for r in refs)
+        from frenetix_tpu.geometry.refpath import RefPathTable
 
-    def _build(self, m_rows, o_obs, t_pred):
+        self.ref = RefPathTable(**{
+            name: jnp.asarray(np.stack([
+                _pad_table(getattr(r, name), r_max, is_pathlength=(name == "s"))
+                for r in refs
+            ]).astype(dtype))
+            for name in RefPathTable._fields
+        })
+        self.corridors = jnp.asarray(np.stack([
+            _pad_table(np.asarray(a.planner.corridor), r_max) for a in agents
+        ]).astype(dtype))
+
+        # lane segments (for the lane_center_offset cost), padded to common S
+        seg_arrays = [np.asarray(a.planner.lane_segments) for a in agents]
+        s_max = max(s.shape[0] for s in seg_arrays)
+        if s_max:
+            segs, valids = [], []
+            for a, s in zip(agents, seg_arrays):
+                v = np.asarray(a.planner.lane_valid)
+                k = s_max - s.shape[0]
+                if k > 0:
+                    s = np.concatenate([s, np.zeros((k, 2, 2), s.dtype)], axis=0)
+                    v = np.concatenate([v, np.zeros(k, bool)])
+                segs.append(s)
+                valids.append(v)
+            self.lane_segments = jnp.asarray(np.stack(segs).astype(dtype))
+            self.lane_valid = jnp.asarray(np.stack(valids))
+        else:
+            a_n = len(agents)
+            self.lane_segments = jnp.zeros((a_n, 0, 2, 2), dtype)
+            self.lane_valid = jnp.zeros((a_n, 0), bool)
+
+        self._step_fn = None
+        self._key = None
+
+    def _build(self):
+        if self.mesh is not None:
+            from frenetix_tpu.parallel.mesh import sharded_full_cycle
+
+            return sharded_full_cycle(
+                self.mesh, dt=self.dt, n_steps=self.n_steps, low_vel_mode=False,
+            )
+        from frenetix_tpu.parallel.mesh import batched_full_cycle
+
+        fn = batched_full_cycle(
+            dt=self.dt, n_steps=self.n_steps, low_vel_mode=False,
+        )
+        # uniform return shape with the sharded variant: (out, poses_all)
         import jax
 
-        from frenetix_tpu.ops import collision as coll
-        from frenetix_tpu.ops import costs as costs_mod
-        from frenetix_tpu.ops.kinematics import rollout_candidates
+        from frenetix_tpu.parallel.mesh import _poses_from
 
-        dt, n_steps = self.dt, self.n_steps
+        def wrapped(m, msk, ctx):
+            out = fn(m, msk, ctx)
+            return out, _poses_from(out)
 
-        def one_agent(matrix, mask, ref, corridor, preds, x0_th, v_des, veh, weights):
-            ro = rollout_candidates(
-                matrix, ref, veh, dt=dt, n_steps=n_steps, low_vel_mode=False,
-                x0_orientation=x0_th, extra_ref_tables=corridor,
-            )
-            terms = costs_mod.compute_cost_terms(
-                ro, dt=dt, desired_velocity=v_des, preds=preds,
-                obstacle_xy=preds.means[:, 0], obstacle_valid=preds.valid[:, 0],
-            )
-            cost = costs_mod.weighted_total(terms, weights)
-            collides = coll.prediction_collisions(ro, preds, veh)
-            b_step, v_at = coll.road_departure_corridor(ro, veh)
-            sel = ro.feasible & ro.valid & ~collides & (b_step < 0) & mask
-            masked = self.jnp.where(sel, cost, 1e15)
-            best = self.jnp.argmin(masked)
-            return dict(
-                best=best, found=self.jnp.any(sel), cost=cost[best],
-                x=ro.x[best], y=ro.y[best], theta=ro.theta_gl[best],
-                v=ro.v[best], a=ro.a[best], kappa=ro.kappa_gl[best],
-                s=ro.s[best], s_dot=ro.s_vel[best], s_ddot=ro.s_acc[best],
-                d=ro.d[best], d_dot=ro.d_vel[best], d_ddot=ro.d_acc[best],
-                terms=terms[best],
-            )
-
-        batched = jax.vmap(
-            one_agent,
-            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None),
-        )
-        return jax.jit(batched)
+        return jax.jit(wrapped)
 
     def step(self, matrices, masks, preds_stacked, x0_orients, v_desireds,
              veh, weights):
-        """matrices (A, M, 13) … → dict of (A, ...) selected-trajectory arrays."""
+        """matrices (A, M, 13) … → (dict of (A, ...) selected-trajectory
+        arrays, poses_all (A, 4) device-resident)."""
+        from frenetix_tpu.planner.core import CycleContext
+
+        jnp = self.jnp
         key = (matrices.shape[1], preds_stacked.means.shape[1],
                preds_stacked.means.shape[2])
         if self._step_fn is None or self._key != key:
-            self._step_fn = self._build(*key)
+            self._step_fn = self._build()
             self._key = key
-        jnp = self.jnp
-        return self._step_fn(
-            jnp.asarray(matrices), jnp.asarray(masks), self.ref, self.corridors,
-            preds_stacked, jnp.asarray(x0_orients), jnp.asarray(v_desireds),
-            veh, weights,
+        ctx = CycleContext(
+            ref=self.ref,
+            veh=veh,
+            weights=weights,
+            preds=preds_stacked,
+            obstacle_xy=preds_stacked.means[:, :, 0],
+            obstacle_valid=preds_stacked.valid[:, :, 0],
+            corridor=self.corridors,
+            lane_segments=self.lane_segments,
+            lane_valid=self.lane_valid,
+            x0_orientation=jnp.asarray(x0_orients),
+            desired_velocity=jnp.asarray(v_desireds),
+            desired_avg_velocity=jnp.asarray(v_desireds),
         )
+        out, poses_all = self._step_fn(jnp.asarray(matrices), jnp.asarray(masks), ctx)
+        return out, poses_all

@@ -1,19 +1,26 @@
-"""Multi-agent planning sharded over a TPU device mesh.
+"""Multi-agent planning sharded over a TPU device mesh — FULL cycle.
 
 Replaces the reference's process-pool agent parallelism — `AgentBatch`
 worker processes exchanging pickled CommonRoad objects over
 `multiprocessing.Queue`s (cr_scenario_handler/simulation/agent_batch.py:19-222,
 simulation.py:410-471, SURVEY.md §2.3 P2 / §2.4) — with the TPU-native layout:
 
-  - agents are a *leading array axis* A over the whole cycle computation
-    (vmap of the fused cycle),
-  - the agent axis is sharded over the mesh with `shard_map`,
+  - agents are a *leading array axis* A over the COMPLETE replanning cycle
+    (`planner.core.evaluate_cycle` — polynomials, Frenet→Cartesian,
+    feasibility, the full cost stack incl. lane-center costs, prediction
+    collisions AND road-boundary/corridor checking) — not a reduced subset,
+  - the agent axis is sharded over the mesh with `shard_map`; inside a shard
+    the per-agent cycles run vmapped,
   - the only cross-agent communication is one `all_gather` of executed poses
     per step (the analog of the reference's scenario-mutation sync,
-    simulation.py:743-779), riding ICI — no pickling, no queues, no timeouts.
+    simulation.py:743-779), riding ICI — no pickling, no queues, no timeouts,
+  - gathered poses stay device-resident: `agent_pose_predictions` rebuilds
+    the per-agent obstacle tensors for the NEXT cycle on device
+    (SURVEY §2.4 "all-gather of executed poses → rebuild per-agent obstacle
+    tensors on-device").
 
-Per-agent reference paths are stacked tables (A, R, ...), padded to a common R
-on host, so heterogeneous roads shard with their agents.
+Per-agent reference paths/corridors are stacked tables (A, R, ...), padded to
+a common R on host, so heterogeneous roads shard with their agents.
 """
 from __future__ import annotations
 
@@ -21,14 +28,30 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from frenetix_tpu.geometry.refpath import RefPathTable
-from frenetix_tpu.ops import collision as coll
-from frenetix_tpu.ops import costs as costs_mod
-from frenetix_tpu.ops.kinematics import rollout_candidates
+from frenetix_tpu.ops.costs import PredictionTensors
+from frenetix_tpu.planner.core import CycleContext, evaluate_cycle
 
-__all__ = ["make_agent_mesh", "stack_contexts", "multi_agent_cycle_sharded"]
+__all__ = [
+    "make_agent_mesh",
+    "stack_contexts",
+    "stack_cycle_contexts",
+    "batched_full_cycle",
+    "sharded_full_cycle",
+    "agent_pose_predictions",
+    "concat_obstacles",
+    "CTX_IN_AXES",
+    "CTX_PSPECS",
+]
+
+# selected-trajectory fields returned per agent (Rollout attr → output key)
+_SEL_FIELDS = (
+    ("x", "x"), ("y", "y"), ("theta_gl", "theta"), ("v", "v"), ("a", "a"),
+    ("kappa_gl", "kappa"), ("s", "s"), ("s_vel", "s_dot"), ("s_acc", "s_ddot"),
+    ("d", "d"), ("d_vel", "d_dot"), ("d_acc", "d_ddot"),
+)
 
 
 def make_agent_mesh(devices=None, axis_name: str = "agents") -> Mesh:
@@ -40,6 +63,19 @@ def make_agent_mesh(devices=None, axis_name: str = "agents") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def _pad_table(a, r_max, is_pathlength=False):
+    import numpy as np
+
+    a = np.asarray(a)
+    k = r_max - a.shape[0]
+    if k <= 0:
+        return a[:r_max]
+    if is_pathlength:
+        step = a[-1] - a[-2]
+        return np.concatenate([a, a[-1] + step * np.arange(1, k + 1)])
+    return np.concatenate([a, np.repeat(a[-1:], k, axis=0)])
+
+
 def stack_contexts(refs, x0_orientations, desired_velocities, preds, weights):
     """Host helper: per-agent RefPathTables (padded to common R by repeating the
     last vertex) + scalars → pytrees with a leading agent axis."""
@@ -48,20 +84,10 @@ def stack_contexts(refs, x0_orientations, desired_velocities, preds, weights):
     r_max = max(r.s.shape[0] for r in refs)
 
     def pad_field(name):
-        out = []
-        for r in refs:
-            a = np.asarray(getattr(r, name))
-            k = r_max - a.shape[0]
-            if k > 0:
-                # extend pathlength monotonically; repeat everything else
-                if name == "s":
-                    step = a[-1] - a[-2]
-                    ext = a[-1] + step * np.arange(1, k + 1)
-                    a = np.concatenate([a, ext])
-                else:
-                    a = np.concatenate([a, np.repeat(a[-1:], k, axis=0)])
-            out.append(a)
-        return np.stack(out)
+        return np.stack([
+            _pad_table(getattr(r, name), r_max, is_pathlength=(name == "s"))
+            for r in refs
+        ])
 
     stacked_ref = RefPathTable(
         xy=pad_field("xy"), s=pad_field("s"), theta=pad_field("theta"),
@@ -71,67 +97,211 @@ def stack_contexts(refs, x0_orientations, desired_velocities, preds, weights):
     return stacked_ref, jnp.asarray(x0_orientations), jnp.asarray(desired_velocities)
 
 
-def _single_agent_cycle(matrix, valid_mask, ref, x0_orientation, desired_velocity,
-                        preds, veh, weights, dt, n_steps, low_vel_mode):
-    """One agent's cycle body (non-jitted inner; vmapped + shard_mapped)."""
-    ro = rollout_candidates(
-        matrix, ref, veh, dt=dt, n_steps=n_steps, low_vel_mode=low_vel_mode,
-        x0_orientation=x0_orientation,
+def stack_cycle_contexts(ctxs: list[CycleContext]) -> CycleContext:
+    """Stack per-agent CycleContexts along a new leading agent axis.
+
+    Reference tables + corridors are padded to a common R, lane segments to a
+    common S, predictions to a common O (they normally already match — the
+    prediction pipeline pads to max_obstacles).  `veh` and `weights` must be
+    shared across agents (they are config-level) and stay unstacked.
+    """
+    import numpy as np
+
+    r_max = max(int(c.ref.s.shape[0]) for c in ctxs)
+    s_max = max(int(c.lane_segments.shape[0]) for c in ctxs)
+    o_max = max(int(c.preds.means.shape[0]) for c in ctxs)
+
+    def stack_ref():
+        fields = {}
+        for name in RefPathTable._fields:
+            fields[name] = jnp.asarray(np.stack([
+                _pad_table(getattr(c.ref, name), r_max, is_pathlength=(name == "s"))
+                for c in ctxs
+            ]))
+        return RefPathTable(**fields)
+
+    def pad0(a, n):
+        a = np.asarray(a)
+        if a.shape[0] >= n:
+            return a[:n]
+        pad = np.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    def stack_preds():
+        fields = {}
+        for name in PredictionTensors._fields:
+            fields[name] = jnp.asarray(
+                np.stack([pad0(getattr(c.preds, name), o_max) for c in ctxs])
+            )
+        return PredictionTensors(**fields)
+
+    return CycleContext(
+        ref=stack_ref(),
+        veh=ctxs[0].veh,
+        weights=ctxs[0].weights,
+        preds=stack_preds(),
+        obstacle_xy=jnp.asarray(np.stack([pad0(c.obstacle_xy, o_max) for c in ctxs])),
+        obstacle_valid=jnp.asarray(np.stack([pad0(c.obstacle_valid, o_max) for c in ctxs])),
+        corridor=jnp.asarray(np.stack([_pad_table(c.corridor, r_max) for c in ctxs])),
+        lane_segments=jnp.asarray(np.stack([pad0(c.lane_segments, s_max) for c in ctxs])),
+        lane_valid=jnp.asarray(np.stack([pad0(c.lane_valid, s_max) for c in ctxs])),
+        x0_orientation=jnp.stack([jnp.asarray(c.x0_orientation) for c in ctxs]),
+        desired_velocity=jnp.stack([jnp.asarray(c.desired_velocity) for c in ctxs]),
+        desired_avg_velocity=jnp.stack([jnp.asarray(c.desired_avg_velocity) for c in ctxs]),
     )
-    cost_terms = costs_mod.compute_cost_terms(
-        ro, dt=dt, desired_velocity=desired_velocity, preds=preds,
-        obstacle_xy=preds.means[:, 0], obstacle_valid=preds.valid[:, 0],
-    )
-    cost = costs_mod.weighted_total(cost_terms, weights)
-    collides = coll.prediction_collisions(ro, preds, veh)
-    selectable = ro.feasible & ro.valid & ~collides & valid_mask
-    masked = jnp.where(selectable, cost, 1e15)
-    best = jnp.argmin(masked)
-    # executed pose of the argmin trajectory at the next control step
-    nxt = jnp.minimum(1, n_steps)
-    pose = jnp.stack([ro.x[best, nxt], ro.y[best, nxt], ro.theta_gl[best, nxt],
-                      ro.v[best, nxt]])
-    return best, jnp.any(selectable), pose, cost[best]
 
 
-def multi_agent_cycle_sharded(
+# vmap axes over a stacked CycleContext: everything per-agent except the
+# config-level vehicle parameters and cost weights
+CTX_IN_AXES = CycleContext(
+    ref=0, veh=None, weights=None, preds=0,
+    obstacle_xy=0, obstacle_valid=0, corridor=0,
+    lane_segments=0, lane_valid=0,
+    x0_orientation=0, desired_velocity=0, desired_avg_velocity=0,
+)
+
+
+def _ctx_pspecs(axis_name: str) -> CycleContext:
+    """shard_map PartitionSpecs (prefix pytree) matching CTX_IN_AXES."""
+    sh, rep = P(axis_name), P()
+    return CycleContext(
+        ref=sh, veh=rep, weights=rep, preds=sh,
+        obstacle_xy=sh, obstacle_valid=sh, corridor=sh,
+        lane_segments=sh, lane_valid=sh,
+        x0_orientation=sh, desired_velocity=sh, desired_avg_velocity=sh,
+    )
+
+
+CTX_PSPECS = _ctx_pspecs  # exported for callers building their own programs
+
+
+def _one_agent_select(matrix, mask, ctx, *, dt, n_steps, low_vel_mode,
+                      table_window):
+    """One agent's FULL cycle + on-device selection gather."""
+    res = evaluate_cycle(
+        matrix, mask, ctx, dt=dt, n_steps=n_steps, low_vel_mode=low_vel_mode,
+        check_boundary=True, table_window=table_window,
+    )
+    b = res.best_idx
+    out = {key: getattr(res.rollout, attr)[b] for attr, key in _SEL_FIELDS}
+    out.update(
+        best=b, found=res.found, cost=res.cost[b], terms=res.cost_terms[b],
+        histogram=res.histogram,
+    )
+    return out
+
+
+def _vmapped_body(dt, n_steps, low_vel_mode, table_window):
+    body = functools.partial(
+        _one_agent_select, dt=dt, n_steps=n_steps, low_vel_mode=low_vel_mode,
+        table_window=table_window,
+    )
+    return jax.vmap(body, in_axes=(0, 0, CTX_IN_AXES))
+
+
+def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768):
+    """Single-device (vmap) full multi-agent cycle.
+
+    Returns fn(matrices (A,M,13), masks (A,M), stacked_ctx) → dict of (A,...)
+    selected-trajectory arrays + best/found/cost/terms/histogram.
+    """
+    return jax.jit(_vmapped_body(dt, n_steps, low_vel_mode, table_window))
+
+
+def _poses_from(out):
+    """Executed pose of every agent at the next control step."""
+    return jnp.stack(
+        [out["x"][:, 1], out["y"][:, 1], out["theta"][:, 1], out["v"][:, 1]],
+        axis=-1,
+    )
+
+
+def sharded_full_cycle(
     mesh: Mesh,
     *,
     dt: float,
     n_steps: int,
     low_vel_mode: bool = False,
+    table_window: int = 768,
     axis_name: str = "agents",
 ):
-    """Build the jitted sharded multi-agent step.
+    """Mesh-sharded full multi-agent cycle with ICI pose exchange.
 
-    Returns fn(matrices (A,M,13), masks (A,M), stacked_ref (A,...), x0_th (A,),
-    v_des (A,), preds_stacked (A,...), veh, weights) →
-    (best (A,), found (A,), poses_all (A, 4), costs (A,)).
+    fn(matrices (A,M,13), masks (A,M), stacked_ctx) → (out, poses_all) where
+    `out` is the per-agent selection dict (sharded along the agent axis) and
+    `poses_all` (A, 4: x,y,θ,v) is replicated on every device (all_gather) —
+    feed it to `agent_pose_predictions` to build the next cycle's obstacle
+    tensors without ever leaving the device.
 
-    A must be divisible by the mesh size.  Inside the shard the per-agent
-    cycles run vmapped; executed poses are all-gathered across the mesh (the
-    cross-agent occupancy exchange) before returning.
+    A must be divisible by the mesh size (pad with dummy agents whose masks
+    are all-False; their `found` comes back False).
     """
+    vbody = _vmapped_body(dt, n_steps, low_vel_mode, table_window)
 
-    def sharded_body(matrices, masks, ref, x0_th, v_des, preds, veh, weights):
-        body = functools.partial(
-            _single_agent_cycle, dt=dt, n_steps=n_steps, low_vel_mode=low_vel_mode,
-        )
-        best, found, poses, best_cost = jax.vmap(
-            lambda m, vm, r, th, dv, pr: body(m, vm, r, th, dv, pr, veh, weights)
-        )(matrices, masks, ref, x0_th, v_des, preds)
-        # cross-agent occupancy exchange over ICI: every shard sees all poses
+    def sharded_body(matrices, masks, ctx):
+        out = vbody(matrices, masks, ctx)
+        poses = _poses_from(out)
         poses_all = jax.lax.all_gather(poses, axis_name, axis=0, tiled=True)
-        return best, found, poses_all, best_cost
-
-    spec_sharded = P(axis_name)
-    spec_repl = P()
+        return out, poses_all
 
     fn = jax.shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(spec_sharded,) * 6 + (spec_repl, spec_repl),
-        out_specs=(spec_sharded, spec_sharded, spec_repl, spec_sharded),
+        in_specs=(P(axis_name), P(axis_name), _ctx_pspecs(axis_name)),
+        out_specs=(P(axis_name), P()),
         check_vma=False,  # all_gather output is replicated; checker can't infer
     )
     return jax.jit(fn)
+
+
+@functools.partial(jax.jit, static_argnames=("horizon",))
+def agent_pose_predictions(
+    poses_all: jnp.ndarray,
+    *,
+    horizon: int,
+    dt: float,
+    length: float,
+    width: float,
+    cov_pos: float,
+):
+    """Device-side obstacle tensors from gathered agent poses.
+
+    poses_all (A, 4: x,y,θ,v) → PredictionTensors with O=A obstacles per
+    agent: constant-velocity extrapolation of every agent's executed pose
+    (the device-resident replacement for the host's `_augment_with_agents`,
+    sim/simulation.py).  `valid[i, j] = (i != j)` masks each agent's own row.
+
+    Returns a PredictionTensors whose leading axis is the observing agent —
+    concatenate with scenario-obstacle tensors along the obstacle axis.
+    """
+    a = poses_all.shape[0]
+    dtype = poses_all.dtype
+    pos, th, v = poses_all[:, :2], poses_all[:, 2], poses_all[:, 3]
+    steps = (jnp.arange(1, horizon + 1, dtype=dtype) * dt)          # (T,)
+    heading = jnp.stack([jnp.cos(th), jnp.sin(th)], axis=-1)        # (A, 2)
+    base_means = pos[:, None, :] + (v[:, None] * steps[None, :])[:, :, None] * heading[:, None, :]  # (A, T, 2)
+
+    means = jnp.broadcast_to(base_means[None], (a, a, horizon, 2))
+    orientations = jnp.broadcast_to(th[None, :, None], (a, a, horizon))
+    velocities = jnp.broadcast_to(v[None, :, None], (a, a, horizon))
+    cov = jnp.eye(2, dtype=dtype) * jnp.maximum(cov_pos, 0.1)
+    covs = jnp.broadcast_to(cov, (a, a, horizon, 2, 2))
+    inv_covs = jnp.broadcast_to(
+        jnp.eye(2, dtype=dtype) / jnp.maximum(cov_pos, 0.1), (a, a, horizon, 2, 2)
+    )
+    not_self = ~jnp.eye(a, dtype=bool)
+    valid = jnp.broadcast_to(not_self[:, :, None], (a, a, horizon))
+    lengths = jnp.full((a, a), length, dtype)
+    widths = jnp.full((a, a), width, dtype)
+    return PredictionTensors(
+        means=means, inv_covs=inv_covs, covs=covs, orientations=orientations,
+        velocities=velocities, lengths=lengths, widths=widths, valid=valid,
+    )
+
+
+def concat_obstacles(p1: PredictionTensors, p2: PredictionTensors) -> PredictionTensors:
+    """Concatenate two (A, O, ...) prediction-tensor sets along the obstacle
+    axis (scenario obstacles + agent poses)."""
+    return PredictionTensors(*(
+        jnp.concatenate([a, b], axis=1) for a, b in zip(p1, p2)
+    ))

@@ -103,6 +103,7 @@ class ReactivePlanner:
         self.stop_point: Optional[tuple[float, float]] = None  # (s, v) from behavior
         self.occlusion_module = None
         self.phantom_mask = None
+        self.reach_grid = None   # lanelet reach sets (responsibility cost)
         self.infeasible_histogram = np.zeros(11, int)
         self.stats = {}
         self.last_cycle = None  # (CycleResult, matrix, mask) when save_all_traj
@@ -238,6 +239,7 @@ class ReactivePlanner:
                 dt=self.dt, n_steps=self.n_steps, low_vel_mode=low_vel,
                 quintic_lon=quintic_lon,
             )
+            res = self._apply_responsibility(res)
             last_res, last_matrix, last_mask = res, matrix, mask
             occ_ok = True
             if (self.occlusion_module is not None and self.phantom_mask is not None
@@ -343,6 +345,46 @@ class ReactivePlanner:
         planner.py:271-273; assessment applied at :385-389)."""
         self.occlusion_module = module
         self.phantom_mask = phantom_mask
+
+    def set_reach_grid(self, grid):
+        """Lanelet-following reach sets for the responsibility cost
+        (set_reach_set, planner.py:219; risk_assessment/responsibility.py)."""
+        self.reach_grid = grid
+
+    def _apply_responsibility(self, res):
+        """Add the reach-set responsibility term to the cycle's costs and
+        re-select (the reference evaluates it inside the per-trajectory cost
+        loop, partial_cost_functions.py responsibility; here it runs as one
+        batched post-pass over the rollout — active only when the weight is
+        non-zero, like cost.yaml's 0 default)."""
+        w = self.config.cost_weights.get("responsibility", 0.0)
+        if w == 0.0 or self.reach_grid is None or self.preds is None \
+                or self.preds.num_obstacles == 0:
+            return res
+        import jax
+
+        from frenetix_tpu.risk.reachable_set import responsibility_reach_grid
+
+        if not hasattr(self, "_resp_fn"):
+            risk_fn = self._risk_fn()
+
+            def resp(ro, preds, meta, grid):
+                risks = risk_fn(ro, preds, meta)
+                return responsibility_reach_grid(ro, grid, risks, self.dt)
+
+            self._resp_fn = jax.jit(resp)
+        term = np.asarray(self._resp_fn(
+            res.rollout, self.preds, self._default_meta(self.preds),
+            self.reach_grid,
+        ))
+        cost = np.asarray(res.cost) + w * term
+        selectable = np.asarray(res.selectable)
+        masked = np.where(selectable, cost, np.inf)
+        best = int(np.argmin(masked)) if selectable.any() else int(res.best_idx)
+        return res._replace(
+            cost=self.jnp.asarray(cost),
+            best_idx=self.jnp.asarray(best, self.jnp.int32),
+        )
 
     def set_stop_point(self, stop_s, stop_v):
         """Behavior-planner stop point → stopping-trajectory mode

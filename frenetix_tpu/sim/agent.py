@@ -68,6 +68,9 @@ class _RearAxleState:
 class AgentRecord:
     states: list = field(default_factory=list)        # executed EgoStates
     planning_times: list = field(default_factory=list)
+    # fused-batch calls cover many agents at once; (wall_time, batch_size)
+    # per call — planning_times then carries the amortized share
+    batch_planning_times: list = field(default_factory=list)
     messages: list = field(default_factory=list)
 
 

@@ -63,9 +63,25 @@ class FrenetPlannerInterface(PlannerInterface):
     (the reference's FrenetPlannerInterface, frenet_interface.py:35-287)."""
 
     def update_planner(self, predictions, obstacle_xy, obstacle_valid):
+        import numpy as np
+
         a = self.agent
         a.planner.set_predictions(predictions)
         a.planner.set_obstacles(obstacle_xy, obstacle_valid)
+        if a.config.cost_weights.get("responsibility", 0.0) != 0.0 \
+                and predictions is not None:
+            # lanelet-following reach sets per obstacle (reachable_set.py)
+            from frenetix_tpu.risk.reachable_set import build_reach_set_grids
+
+            a.planner.set_reach_grid(build_reach_set_grids(
+                a.scenario,
+                np.asarray(predictions.means[:, 0]),
+                np.asarray(predictions.orientations[:, 0]),
+                np.asarray(predictions.velocities[:, 0]),
+                np.asarray(predictions.lengths),
+                np.asarray(predictions.widths),
+                np.asarray(predictions.valid[:, 0]),
+            ))
         if a.behavior is not None:
             # behavior module drives velocity, stop point AND reference path
             # (frenet_interface.py:188-205)

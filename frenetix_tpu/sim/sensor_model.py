@@ -53,27 +53,18 @@ def filter_cone_angle(scenario, ids, ego_position, ego_orientation, time_step,
     return keep
 
 
-def _occluded(ego_position, target_pos, blocker_pos, blocker_half_extent):
-    """Ray-cast occlusion test: is the segment ego→target blocked by the
-    blocker's bounding circle?"""
-    d = target_pos - ego_position
-    L = np.linalg.norm(d)
-    if L < 1e-6:
-        return False
-    b = blocker_pos - ego_position
-    t = np.dot(b, d) / (L * L)
-    if not (0.05 < t < 0.95):
-        return False  # blocker not between ego and target
-    closest = ego_position + t * d
-    return np.linalg.norm(blocker_pos - closest) < blocker_half_extent
-
-
 def visible_obstacles(scenario, ego_id, ego_state, time_step, *, sensor_radius=50.0,
                       occlusions=True, cone_filter=True, veh_length=4.508,
-                      cone_angle=20.0, cone_safety_dist=6.0, agent_ids=()):
-    """Full sensor pipeline: radius → rear-cone → occlusion filtering.
+                      cone_angle=20.0, cone_safety_dist=6.0, agent_ids=(),
+                      return_area=False):
+    """Full sensor pipeline: radius → rear-cone → visible-area occlusion.
 
-    ego_state: object with .position and .orientation.  Returns visible IDs.
+    The occlusion stage uses the polar visible-area model
+    (sim.visible_area.compute_visible_area — road-boundary walls + obstacle
+    shadow wedges, matching get_visible_objects, sensor_model.py:119-269).
+
+    ego_state: object with .position and .orientation.  Returns visible IDs
+    (and the VisibleArea when `return_area`).
     """
     pos = np.asarray(ego_state.position, dtype=float)
     ids = obstacles_in_radius(
@@ -86,23 +77,20 @@ def visible_obstacles(scenario, ego_id, ego_state, time_step, *, sensor_radius=5
             cone_safety_dist=cone_safety_dist,
         )
     if not occlusions:
-        return ids
-    states = {
-        oid: scenario.obstacles[oid].state_at_time(time_step) for oid in ids
-    }
+        return (ids, None) if return_area else ids
+
+    from frenetix_tpu.sim.visible_area import compute_visible_area
+
+    area = compute_visible_area(
+        scenario, ego_id, pos, time_step, sensor_radius,
+        agent_ids=agent_ids,
+    )
     visible = []
     for oid in ids:
-        target = np.asarray(states[oid].position, dtype=float)
-        blocked = False
-        for bid in ids:
-            if bid == oid:
-                continue
-            blocker = scenario.obstacles[bid]
-            bpos = np.asarray(states[bid].position, dtype=float)
-            half = min(blocker.length, blocker.width) / 2.0
-            if _occluded(pos, target, bpos, half):
-                blocked = True
-                break
-        if not blocked:
+        ob = scenario.obstacles[oid]
+        st = ob.state_at_time(time_step)
+        if st is not None and area.obstacle_visible(
+            st.position, st.orientation, ob.length, ob.width
+        ):
             visible.append(oid)
-    return visible
+    return (visible, area) if return_area else visible

@@ -83,6 +83,17 @@ class Simulation:
         else:
             self.max_steps = self.config.simulation.fallback_max_steps
 
+        if (self.config.simulation.batched_device_agents
+                and self.config.occlusion.use_occlusion_module):
+            # the occlusion safety gate re-selects on host per agent
+            # (planner.set_occlusion_module); silently dropping it in the
+            # fused batch would remove phantom-risk gating — explicit error
+            raise ValueError(
+                "batched_device_agents is incompatible with "
+                "occlusion.use_occlusion_module (host-side safety gating); "
+                "disable one of them"
+            )
+
         self.agents: list[Agent] = []
         ego_id = self.config.simulation.ego_agent_id
         for pid, pp in scenario.planning_problems.items():
@@ -274,7 +285,21 @@ class Simulation:
         if not hasattr(self, "_batched_stepper"):
             from frenetix_tpu.parallel.batched_sim import BatchedAgentStepper
 
-            self._batched_stepper = BatchedAgentStepper(self.config, self.agents)
+            mesh = None
+            if self.config.simulation.sharded_device_agents:
+                devs = jax.devices()
+                # the agent axis must divide evenly over the mesh; otherwise
+                # stay on single-device vmap (same program, no shard_map)
+                n_use = len(devs)
+                while n_use > 1 and len(self.agents) % n_use != 0:
+                    n_use //= 2
+                if n_use > 1:
+                    from frenetix_tpu.parallel.mesh import make_agent_mesh
+
+                    mesh = make_agent_mesh(devs[:n_use])
+            self._batched_stepper = BatchedAgentStepper(
+                self.config, self.agents, mesh=mesh
+            )
             from frenetix_tpu.ops.costs import COST_TERM_ORDER
 
             w = np.array([self.config.cost_weights.get(k, 0.0)
@@ -298,17 +323,21 @@ class Simulation:
         batchable = [a for a in replanners if a.state.velocity >= low_thr]
         host_only = [a for a in replanners if a.state.velocity < low_thr]
 
-        if batchable:
+        # progressive densification stays batched: agents that miss at one
+        # sampling level re-run in the next level's batch
+        # (reactive_planner_cpp.py:329-377); only the terminal fallback
+        # ladder (standstill / stopping / min-risk) goes to host
+        pending = list(batchable)
+        level = self.config.planning.sampling_min
+        while pending and level < self.config.planning.sampling_max:
             t0 = _time.perf_counter()
             a_index = {a.id: i for i, a in enumerate(self.agents)}
             mats, v_des, x0_th = {}, {}, {}
             max_m = 0
-            for a in batchable:
+            for a in pending:
                 a.ensure_x_cl()
                 a.planner.current_velocity = float(a.state.velocity)
-                t1, ss1, d1 = a.planner._sampling_ranges(
-                    self.config.planning.sampling_min, a.x_cl
-                )
+                t1, ss1, d1 = a.planner._sampling_ranges(level, a.x_cl)
                 m = build_sampling_matrix(
                     t1_vals=t1, ss1_vals=ss1, d1_vals=d1,
                     x0_lon=a.x_cl[0], x0_lat=a.x_cl[1], dtype=stepper.np_dtype,
@@ -345,15 +374,22 @@ class Simulation:
             preds_stacked = jax.tree.map(
                 lambda *xs: self.jnp.stack(xs), *pred_list
             )
-            out = stepper.step(
+            out, poses_all = stepper.step(
                 all_mats, all_masks, preds_stacked, all_th, all_vdes,
                 self.config.vehicle, self._batched_weights,
             )
+            # device-resident executed poses (feeds device-side obstacle
+            # rebuild, parallel.mesh.agent_pose_predictions)
+            self._last_poses_all = poses_all
             batch_time = _time.perf_counter() - t0
             found = np.asarray(out["found"])
-            for a in batchable:
+            still_pending = []
+            for a in pending:
                 i = a_index[a.id]
-                a.record.planning_times.append(batch_time / max(len(batchable), 1))
+                # honest accounting: one fused call covers the whole batch —
+                # record the batch wall time + size, and the amortized share
+                a.record.batch_planning_times.append((batch_time, len(pending)))
+                a.record.planning_times.append(batch_time / max(len(pending), 1))
                 if found[i]:
                     g = lambda k: np.asarray(out[k][i], dtype=stepper.np_dtype)
                     plan = PlannedTrajectory(
@@ -366,7 +402,10 @@ class Simulation:
                     ).compute_steering(self.config.vehicle.wheelbase)
                     a.apply_external_plan(plan)
                 else:
-                    host_only.append(a)  # densification/fallback on host
+                    still_pending.append(a)
+            pending = still_pending
+            level += 1
+        host_only.extend(pending)  # exhausted all levels → host fallback ladder
 
         # host path: low-velocity agents + batched misses (fallback ladder)
         for a in host_only:
@@ -405,6 +444,11 @@ class Simulation:
             if (self.config.simulation.batched_device_agents and len(self.agents) > 1):
                 self._step_agents_batched(running, pd_base, ids)
             else:
+                # build every agent's predictions from the SAME pre-step
+                # snapshot before any agent executes (lockstep semantics —
+                # the reference's prestep, simulation.py:677-700; also keeps
+                # the sequential and batched paths bit-identical)
+                per_pd = {}
                 for a in running:
                     pd = {k: v.copy() for k, v in pd_base.items()}
                     pd = self._filter_for_agent(pd, ids, a)
@@ -416,6 +460,9 @@ class Simulation:
                         )
                         phantom_mask = pd["valid"].any(axis=1) & ~before
                         a.planner.set_occlusion_module(a.occlusion, phantom_mask)
+                    per_pd[a.id] = pd
+                for a in running:
+                    pd = per_pd[a.id]
                     preds = to_device(pd, self.jnp)
                     a.step(preds, pd["means"][:, 0], pd["valid"][:, 0])
             t += 1

@@ -1,0 +1,177 @@
+"""Visible-area computation: polar ray-cast visibility over road + obstacles.
+
+Behavioral spec: `get_visible_objects`
+(/root/reference/cr_scenario_handler/utils/sensor_model.py:119-269), which
+builds the visible area with shapely booleans:
+
+    circle(sensor_radius) ∩ (∪ lanelet polygons)
+      − shadows behind the road-union boundary (:171-178)
+      − obstacle shapes and the wedges behind them (:181-221)
+
+and reports obstacles whose shape intersects the result (:226-245).
+
+TPU-first redesign: visibility from a point is a *star-shaped* region, so it
+is exactly represented in polar form — K rays from the ego, each clipped at
+the first occluding segment:
+
+    r_vis(φ_k) = min(sensor_radius, min_t over occluder segments)
+
+Occluders are (a) the dissolved road-union boundary (wall assumption, same as
+the reference's boundary-shadow subtraction) and (b) obstacle OBB edges.  The
+whole computation is ONE vectorized (K × S) ray-segment intersection — no
+polygon boolean stack, no shapely dependency — and the polygon for
+visualization falls out as the polar ring.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "road_boundary_segments",
+    "obstacle_obb_segments",
+    "polar_visibility",
+    "VisibleArea",
+    "compute_visible_area",
+]
+
+
+def road_boundary_segments(scenario) -> np.ndarray:
+    """(S, 2, 2) boundary segments of the dissolved lanelet union.
+
+    Edges shared by two lanelet polygons (adjacent lanes / successor joints)
+    are interior to the union and do not block sight; they appear twice in
+    the per-lanelet edge lists and are dropped by parity (the segment-space
+    analog of shapely's union dissolve used at sensor_model.py:146-160).
+    """
+    counts: dict = {}
+    segs: dict = {}
+    for ll in scenario.lanelets.values():
+        ring = ll.polygon
+        a = ring
+        b = np.roll(ring, -1, axis=0)
+        for p, q in zip(a, b):
+            if np.allclose(p, q):
+                continue
+            key = tuple(sorted((
+                (round(float(p[0]), 3), round(float(p[1]), 3)),
+                (round(float(q[0]), 3), round(float(q[1]), 3)),
+            )))
+            counts[key] = counts.get(key, 0) + 1
+            segs[key] = (p, q)
+    out = [segs[k] for k, c in counts.items() if c == 1]
+    if not out:
+        return np.zeros((0, 2, 2))
+    return np.asarray(out)
+
+
+def obstacle_obb_segments(position, orientation, length, width) -> np.ndarray:
+    """(4, 2, 2) OBB edge segments of one obstacle (sensor_model.py:272-285)."""
+    c, s = np.cos(orientation), np.sin(orientation)
+    rot = np.array([[c, -s], [s, c]])
+    half = np.array([
+        [length / 2, width / 2], [length / 2, -width / 2],
+        [-length / 2, -width / 2], [-length / 2, width / 2],
+    ])
+    corners = half @ rot.T + np.asarray(position)
+    nxt = np.roll(corners, -1, axis=0)
+    return np.stack([corners, nxt], axis=1)
+
+
+def polar_visibility(ego_pos, segments, radius, n_rays: int = 720):
+    """Clip K rays at their first occluder: (phi (K,), r_vis (K,)).
+
+    One vectorized (K, S) intersection solve — ego + t·u = a + s·(b−a) with
+    t > 0, s ∈ [0, 1] — replacing the reference's iterative polygon
+    differences."""
+    ego = np.asarray(ego_pos, dtype=np.float64)
+    phi = np.linspace(-np.pi, np.pi, n_rays, endpoint=False)
+    u = np.stack([np.cos(phi), np.sin(phi)], axis=1)          # (K, 2)
+    if len(segments) == 0:
+        return phi, np.full(n_rays, float(radius))
+    a = segments[:, 0]                                         # (S, 2)
+    d = segments[:, 1] - segments[:, 0]                        # (S, 2)
+    ao = a - ego                                               # (S, 2)
+    denom = u[:, None, 0] * d[None, :, 1] - u[:, None, 1] * d[None, :, 0]  # (K, S)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (ao[None, :, 0] * d[None, :, 1] - ao[None, :, 1] * d[None, :, 0]) / denom
+        s = (ao[None, :, 0] * u[:, None, 1] - ao[None, :, 1] * u[:, None, 0]) / denom
+    hit = (np.abs(denom) > 1e-12) & (s >= 0.0) & (s <= 1.0) & (t > 1e-9)
+    t = np.where(hit, t, np.inf)
+    r_vis = np.minimum(t.min(axis=1), float(radius))
+    return phi, r_vis
+
+
+class VisibleArea:
+    """Polar visible-area map with point/obstacle queries + a viz polygon."""
+
+    def __init__(self, ego_pos, phi, r_vis):
+        self.ego = np.asarray(ego_pos, dtype=np.float64)
+        self.phi = phi
+        self.r_vis = r_vis
+
+    def r_at(self, angles) -> np.ndarray:
+        """Visible range at arbitrary angles (nearest-ray lookup)."""
+        k = len(self.phi)
+        idx = np.round((np.asarray(angles) + np.pi) / (2 * np.pi) * k).astype(int) % k
+        return self.r_vis[idx]
+
+    def points_visible(self, points, tol: float = 0.3) -> np.ndarray:
+        """(P,) bool — within the clipped range of their ray (tol covers
+        points ON an occluder edge, e.g. an obstacle's own silhouette)."""
+        d = np.atleast_2d(points) - self.ego[None]
+        r = np.linalg.norm(d, axis=1)
+        ang = np.arctan2(d[:, 1], d[:, 0])
+        return r <= self.r_at(ang) + tol
+
+    def obstacle_visible(self, position, orientation, length, width,
+                         tol: float = 0.3) -> bool:
+        """Any silhouette corner (or the center) visible — the analog of
+        `obst_shape.intersects(visible_area)` (sensor_model.py:244)."""
+        segs = obstacle_obb_segments(position, orientation, length, width)
+        probes = np.concatenate([segs[:, 0], np.atleast_2d(position)])
+        return bool(self.points_visible(probes, tol=tol).any())
+
+    def polygon(self) -> np.ndarray:
+        """(K, 2) ring of the visible area (for plotting overlays)."""
+        return self.ego[None] + self.r_vis[:, None] * np.stack(
+            [np.cos(self.phi), np.sin(self.phi)], axis=1
+        )
+
+
+def compute_visible_area(
+    scenario,
+    ego_id,
+    ego_position,
+    time_step: int,
+    sensor_radius: float = 50.0,
+    *,
+    n_rays: int = 720,
+    road_segments: np.ndarray = None,
+    include_obstacles: bool = True,
+    agent_ids=(),
+) -> VisibleArea:
+    """Full visible-area model: road walls + obstacle shadows.
+
+    `road_segments` can be precomputed once per scenario
+    (road_boundary_segments) — it is static geometry.
+    """
+    if road_segments is None:
+        road_segments = road_boundary_segments(scenario)
+    segs = [road_segments.reshape(-1, 2, 2)]
+    if include_obstacles:
+        excluded = set(agent_ids) | {ego_id}
+        for ob in scenario.obstacles.values():
+            if ob.obstacle_id in excluded:
+                continue
+            st = ob.state_at_time(time_step)
+            if st is None:
+                continue
+            if np.linalg.norm(np.asarray(st.position) - np.asarray(ego_position)) \
+                    > sensor_radius + max(ob.length, ob.width):
+                continue
+            segs.append(obstacle_obb_segments(
+                st.position, st.orientation, ob.length, ob.width
+            ))
+    all_segs = np.concatenate(segs, axis=0) if segs else np.zeros((0, 2, 2))
+    phi, r_vis = polar_visibility(ego_position, all_segs, sensor_radius, n_rays)
+    return VisibleArea(ego_position, phi, r_vis)

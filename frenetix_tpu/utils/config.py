@@ -88,6 +88,8 @@ class SimulationConfig:
     start_multiagent: bool = False
     used_planner_interface: str = "FrenetPlannerInterface"  # simulation.yaml:9
     batched_device_agents: bool = False  # all agents' cycles in ONE device call
+    sharded_device_agents: bool = False  # shard the agent axis over the mesh
+                                         # (requires batched_device_agents)
     number_of_agents: int = -1
     ego_agent_id: int = 60000
 

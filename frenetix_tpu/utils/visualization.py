@@ -58,11 +58,14 @@ def _cov_ellipse(ax, mean, cov, color, n_sigma=1.0, alpha=0.25, zorder=5):
 def plot_scenario_at_timestep(
     scenario, agents, t, *, cycle_result=None, matrix_mask=None, predictions=None,
     save_path=None, window=60.0, veh_length=4.508, veh_width=1.61, show_ref=True,
+    visible_area=None,
 ):
     """One frame: scenario + agents + (optional) candidate set + predictions.
 
     cycle_result: a planner CycleResult to draw all candidates, colored by
     cost (the reference's draw_traj_set mode, visualization.py:236-340).
+    visible_area: a sim.visible_area.VisibleArea to overlay the sensor's
+    visible region (the reference's visible-area rendering).
     """
     import matplotlib
 
@@ -71,6 +74,14 @@ def plot_scenario_at_timestep(
 
     fig, ax = plt.subplots(figsize=(11, 9))
     _draw_lanelets(ax, scenario)
+
+    if visible_area is not None:
+        from matplotlib.patches import Polygon as MplPolygon
+
+        ax.add_patch(MplPolygon(
+            visible_area.polygon(), closed=True, facecolor="#ffdd55",
+            edgecolor="#bb9900", alpha=0.25, zorder=2,
+        ))
 
     # scenario obstacles at t
     agent_ids = {a.id for a in agents}

@@ -65,3 +65,22 @@ def test_route_and_refpath_quality():
     assert np.abs(ref.kappa).max() < 0.3
     assert np.abs(ref.kappa_d).max() < 0.1  # << 0.4 hard limit
     assert np.all(np.diff(ref.s) > 0)
+
+
+def test_responsibility_cost_scenario_run():
+    """Risk-aware config: responsibility weight ≠ 0 activates the lanelet
+    reach-set grid path (planner._apply_responsibility) end-to-end."""
+    from frenetix_tpu.io.commonroad import load_scenario
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.cost_weights["responsibility"] = 0.2
+    sc = load_scenario(
+        "/root/reference/example_scenarios/ZAM_Tjunction-1_23_T-1.xml"
+    )
+    sim = Simulation(sc, cfg)
+    res = sim.run()
+    assert res.success
+    a = sim.agents[0]
+    assert a.planner.reach_grid is not None   # grids were actually built

@@ -1,0 +1,158 @@
+"""Multi-chip / batched agent parallelism: equivalence guarantees.
+
+VERDICT r1 items 2 & 6: the sharded full-cycle program must select the SAME
+trajectories as the single-device batched path and as the per-agent
+sequential `evaluate_cycle`; the batched Simulation mode must produce the
+same agent outcomes as the sequential host loop; occlusion + batching is an
+explicit configuration error.
+
+Runs on the 8-device virtual CPU mesh (conftest.py).
+"""
+import numpy as np
+import pytest
+
+
+# ----------------------------------------------------- program equivalence
+
+
+@pytest.fixture(scope="module")
+def stacked_problem():
+    from bench_scaling import build_stacked_problem
+
+    # 8 agents, 30-step horizon, well-separated roads
+    return build_stacked_problem(8, dtype=np.float64, n_steps=30, spread=12.0)
+
+
+def test_sharded_equals_vmap_equals_sequential(stacked_problem):
+    import jax
+    import jax.numpy as jnp
+
+    from frenetix_tpu.parallel.mesh import (
+        CTX_IN_AXES, batched_full_cycle, make_agent_mesh, sharded_full_cycle,
+    )
+    from frenetix_tpu.planner.core import evaluate_cycle
+
+    matrices, masks, ctx = stacked_problem
+    a = matrices.shape[0]
+    dt, n_steps = 0.1, 30
+
+    from frenetix_tpu.planner.core import CycleContext
+
+    def slice_ctx(ctx, i):
+        return CycleContext(
+            ref=jax.tree.map(lambda x: x[i], ctx.ref),
+            veh=ctx.veh, weights=ctx.weights,
+            preds=jax.tree.map(lambda x: x[i], ctx.preds),
+            obstacle_xy=ctx.obstacle_xy[i], obstacle_valid=ctx.obstacle_valid[i],
+            corridor=ctx.corridor[i],
+            lane_segments=ctx.lane_segments[i], lane_valid=ctx.lane_valid[i],
+            x0_orientation=ctx.x0_orientation[i],
+            desired_velocity=ctx.desired_velocity[i],
+            desired_avg_velocity=ctx.desired_avg_velocity[i],
+        )
+
+    # sequential per-agent full cycles (the production single-agent path)
+    seq_best, seq_found, seq_cost = [], [], []
+    for i in range(a):
+        ctx_i = slice_ctx(ctx, i)
+        res = evaluate_cycle(
+            matrices[i], masks[i], ctx_i, dt=dt, n_steps=n_steps,
+            low_vel_mode=False, check_boundary=True,
+        )
+        seq_best.append(int(res.best_idx))
+        seq_found.append(bool(res.found))
+        seq_cost.append(float(res.cost[res.best_idx]))
+
+    # single-device vmap batch
+    vmap_fn = batched_full_cycle(dt=dt, n_steps=n_steps)
+    out_v = vmap_fn(matrices, masks, ctx)
+
+    # 8-device sharded batch
+    mesh = make_agent_mesh(jax.devices()[:8])
+    shard_fn = sharded_full_cycle(mesh, dt=dt, n_steps=n_steps)
+    out_s, poses_all = shard_fn(matrices, masks, ctx)
+
+    assert np.asarray(out_v["best"]).tolist() == seq_best
+    assert np.asarray(out_s["best"]).tolist() == seq_best
+    assert np.asarray(out_v["found"]).tolist() == seq_found
+    assert np.asarray(out_s["found"]).tolist() == seq_found
+    np.testing.assert_allclose(np.asarray(out_v["cost"]), seq_cost, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_s["cost"]), seq_cost, rtol=1e-12)
+    # gathered poses are replicated and match the vmap selection's step-1 pose
+    assert poses_all.shape == (a, 4)
+    np.testing.assert_allclose(
+        np.asarray(poses_all[:, 0]), np.asarray(out_v["x"][:, 1]), rtol=1e-12
+    )
+
+
+def test_agent_pose_predictions_device_rebuild(stacked_problem):
+    """Constant-velocity obstacle tensors from gathered poses: straight-line
+    extrapolation, self-row invalid."""
+    import jax.numpy as jnp
+
+    from frenetix_tpu.parallel.mesh import agent_pose_predictions
+
+    poses = jnp.asarray(np.array([
+        [0.0, 0.0, 0.0, 10.0],     # heading +x at 10 m/s
+        [5.0, 3.0, np.pi / 2, 4.0],  # heading +y at 4 m/s
+    ]))
+    preds = agent_pose_predictions(
+        poses, horizon=5, dt=0.1, length=5.0, width=2.2, cov_pos=0.5
+    )
+    assert preds.means.shape == (2, 2, 5, 2)
+    # agent 0 advances +1 m/step along x
+    np.testing.assert_allclose(
+        np.asarray(preds.means[1, 0, :, 0]), [1.0, 2.0, 3.0, 4.0, 5.0], atol=1e-6
+    )
+    # agent 1 advances +0.4 m/step along y
+    np.testing.assert_allclose(
+        np.asarray(preds.means[0, 1, :, 1]), 3.0 + 0.4 * np.arange(1, 6), atol=1e-6
+    )
+    valid = np.asarray(preds.valid)
+    assert not valid[0, 0].any() and not valid[1, 1].any()  # self masked
+    assert valid[0, 1].all() and valid[1, 0].all()
+
+
+# ----------------------------------------------- simulation-level parity
+
+
+def _run_sim(batched: bool):
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.simulation.start_multiagent = True
+    cfg.simulation.batched_device_agents = batched
+    sim = Simulation(make_highway(n_steps=80), cfg)
+    res = sim.run()
+    states = {
+        a.id: np.array([[*s.position, s.velocity] for s in a.record.states])
+        for a in sim.agents
+    }
+    return res, states
+
+
+def test_batched_matches_sequential_outcomes():
+    """Same multi-agent scenario, sequential host loop vs fused device batch:
+    identical statuses and executed trajectories (VERDICT r1 weak #2)."""
+    res_seq, st_seq = _run_sim(batched=False)
+    res_bat, st_bat = _run_sim(batched=True)
+    assert {k: v.name for k, v in res_seq.agent_status.items()} == \
+           {k: v.name for k, v in res_bat.agent_status.items()}
+    assert res_seq.steps == res_bat.steps
+    for aid in st_seq:
+        assert st_seq[aid].shape == st_bat[aid].shape
+        np.testing.assert_allclose(st_seq[aid], st_bat[aid], atol=1e-9)
+
+
+def test_batched_with_occlusion_is_config_error():
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.simulation.batched_device_agents = True
+    cfg.occlusion.use_occlusion_module = True
+    with pytest.raises(ValueError, match="occlusion"):
+        Simulation(make_highway(), cfg)

@@ -91,3 +91,102 @@ def test_occlusion_slows_past_blind_spot():
     v_off = passing_speed(False)
     v_on = passing_speed(True)
     assert v_on < 0.7 * v_off, (v_on, v_off)
+
+
+# -------------------------------------------------- visible-area polar model
+
+
+def test_polar_visibility_known_shadow():
+    """A wall segment at x=10 spanning y∈[-5,5]: rays through it clip at the
+    wall, rays past its ends reach the sensor radius."""
+    from frenetix_tpu.sim.visible_area import polar_visibility
+
+    segs = np.array([[[10.0, -5.0], [10.0, 5.0]]])
+    phi, r = polar_visibility([0.0, 0.0], segs, radius=50.0, n_rays=720)
+    # straight ahead (phi=0): clipped at exactly 10
+    k0 = np.argmin(np.abs(phi))
+    assert abs(r[k0] - 10.0) < 1e-9
+    # behind (phi=pi): free
+    k_pi = np.argmin(np.abs(np.abs(phi) - np.pi))
+    assert r[k_pi] == 50.0
+    # at 45°: ray exits past the wall end (y=5 at x=5 < 10) → free
+    k45 = np.argmin(np.abs(phi - np.pi / 4))
+    assert r[k45] == 50.0
+
+
+def test_visible_area_obstacle_shadow():
+    """A vehicle between ego and a target hides it; moving the target
+    sideways out of the wedge makes it visible (the reference's occlusion
+    wedge, sensor_model.py:204-221)."""
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim.visible_area import (
+        compute_visible_area, obstacle_obb_segments,
+    )
+
+    sc = make_highway()
+    # blocker: car at (20, 0) heading +x; ego at origin
+    area = compute_visible_area(sc, 60000, [0.0, 0.0], 0, 60.0,
+                                road_segments=np.zeros((0, 2, 2)),
+                                include_obstacles=False)
+    # manually: only blocker as occluder
+    from frenetix_tpu.sim.visible_area import VisibleArea, polar_visibility
+
+    segs = obstacle_obb_segments([20.0, 0.0], 0.0, 4.5, 2.0)
+    phi, r = polar_visibility([0.0, 0.0], segs, radius=60.0, n_rays=1440)
+    va = VisibleArea([0.0, 0.0], phi, r)
+    assert not va.points_visible(np.array([[40.0, 0.0]]))[0]   # in the shadow
+    assert va.points_visible(np.array([[40.0, 6.0]]))[0]       # beside it
+    assert va.points_visible(np.array([[10.0, 0.0]]))[0]       # in front
+    # the blocker itself stays visible (silhouette-corner tolerance)
+    assert va.obstacle_visible([20.0, 0.0], 0.0, 4.5, 2.0)
+
+
+def test_road_boundary_segments_dissolve():
+    """Adjacent lanelets share an edge — the shared bound is interior and
+    must not appear in the union boundary."""
+    from frenetix_tpu.io.scenario_factory import make_lane_change
+    from frenetix_tpu.sim.visible_area import road_boundary_segments
+
+    sc = make_lane_change()
+    segs = road_boundary_segments(sc)
+    assert len(segs) > 0
+    # the shared bound is the right lane's LEFT bound at y = 1.8
+    mids = segs.mean(axis=1)
+    assert not np.any(np.abs(mids[:, 1] - 1.8) < 1e-6), \
+        "shared lane boundary leaked into the union boundary"
+    # outer bounds at y=-1.8 and y=5.4 must be there
+    assert np.any(np.abs(mids[:, 1] + 1.8) < 1e-6)
+    assert np.any(np.abs(mids[:, 1] - 5.4) < 1e-6)
+
+
+def test_visible_obstacles_with_area_model():
+    """End-to-end sensor pipeline: a lead car hides a further car on the same
+    ray; both visible without the blocker."""
+    from frenetix_tpu.io.commonroad import Obstacle, State
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim.sensor_model import visible_obstacles
+
+    sc = make_highway()
+
+    class Ego:
+        position = np.array([0.0, 0.0])
+        orientation = 0.0
+
+    # place two obstacles on one ray: blocker at 20 m, target at 40 m
+    for oid, x in ((300, 20.0), (301, 40.0)):
+        st = State(0, np.array([x, 0.0]), 0.0, 0.0)
+        sc.obstacles[oid] = Obstacle(
+            obstacle_id=oid, obstacle_type="car", role="static",
+            length=4.5, width=2.0, initial_state=st,
+        )
+    del sc.obstacles[100]  # remove the factory's lead vehicle
+
+    ids, area = visible_obstacles(
+        sc, 60000, Ego(), 0, sensor_radius=60.0, occlusions=True,
+        cone_filter=False, return_area=True,
+    )
+    assert 300 in ids
+    assert 301 not in ids          # shadowed by 300
+    assert area is not None
+    poly = area.polygon()
+    assert poly.shape[1] == 2 and len(poly) >= 360

@@ -162,3 +162,126 @@ def test_trajectory_risks_sanity():
                               ObstacleMeta(mass=jnp.zeros(0), protected=jnp.zeros(0, jnp.int32)),
                               veh.mass)
     assert np.all(np.asarray(risks0.ego_risk) == 0)
+
+
+# ------------------------------------------------ lanelet-following reach sets
+
+
+def test_spot_hexagon_params_formulas():
+    """cv / bx / racc match the published formulas
+    (reachable_set_simple.py:220-291)."""
+    from frenetix_tpu.risk.reachable_set import spot_hexagon_params
+
+    v, dt_rs, t_max, a_max = 10.0, 0.2, 2.0, 8.0
+    c, bx, r, rear = spot_hexagon_params(v, dt_rs, t_max, a_max)
+    t = np.arange(0.0, t_max + dt_rs / 2, dt_rs)
+    np.testing.assert_allclose(c, v * t)
+    np.testing.assert_allclose(r, 0.5 * a_max * t**2)
+    t_bmax = np.sqrt(2 / 3) * v / a_max
+    bx_expect = v * t - a_max**2 * t**3 / (2 * v)
+    bx_expect[t > t_bmax] = v * t_bmax - a_max**2 * t_bmax**3 / (2 * v)
+    np.testing.assert_allclose(bx, bx_expect)
+    # rear clamp is monotone non-decreasing
+    assert np.all(np.diff(rear) >= -1e-12)
+
+
+def test_reachable_lanelet_closure_branching():
+    """On the T-junction the closure from an approach lanelet contains its
+    successor branches (depth recursion, reachable_set.py:201-248)."""
+    from frenetix_tpu.io.commonroad import load_scenario
+    from frenetix_tpu.risk.reachable_set import reachable_lanelet_ids
+
+    sc = load_scenario(
+        "/root/reference/example_scenarios/ZAM_Tjunction-1_23_T-1.xml"
+    )
+    # pick a lanelet that has successors (junction approach)
+    start = next(l for l in sc.lanelets.values() if len(l.successors) >= 2)
+    ids = reachable_lanelet_ids(sc, [start.lanelet_id], depth=3)
+    assert start.lanelet_id in ids
+    for suc in start.successors:
+        assert suc in ids          # both branches reachable
+
+
+def test_reach_grid_matches_host_oracle_on_junction():
+    """Differential test (VERDICT r1 item 5): rasterized grid + device gather
+    vs the exact host hexagon ∩ lanelet-union membership, on the branching
+    T-junction, for probe points away from cell boundaries."""
+    import jax.numpy as jnp
+
+    from frenetix_tpu.io.commonroad import load_scenario
+    from frenetix_tpu.risk.reachable_set import (
+        build_reach_set_grids, point_in_lanelet_reach_set,
+        points_in_reach_grids, reachable_lanelet_ids,
+    )
+
+    sc = load_scenario(
+        "/root/reference/example_scenarios/ZAM_Tjunction-1_23_T-1.xml"
+    )
+    ob = sc.dynamic_obstacles[0]
+    st = ob.initial_state
+    grid = build_reach_set_grids(
+        sc, [st.position], [st.orientation], [max(st.velocity, 3.0)],
+        [ob.length], [ob.width], [True], cell=0.75, grid_n=96,
+    )
+
+    rng = np.random.default_rng(0)
+    # probes across the grid, snapped to cell centers (the rasterization is
+    # exact at cell centers; edges differ by construction)
+    cell = grid.cell
+    offsets = (rng.integers(-40, 40, size=(400, 2)) + 0.5) * cell
+    probes = np.asarray(st.position)[None] + offsets
+
+    ids = reachable_lanelet_ids(
+        sc, sc.find_lanelets_by_position(np.asarray(st.position)), 3
+    )
+    rings = [sc.lanelets[l].polygon for l in ids]
+
+    t_rs = grid.occupancy.shape[1]
+    for j in (1, t_rs - 1):
+        expect = point_in_lanelet_reach_set(
+            probes, j, position=st.position, orientation=st.orientation,
+            velocity=max(st.velocity, 3.0), length=ob.length, width=ob.width,
+            lanelet_rings=rings,
+        )
+        got = np.asarray(points_in_reach_grids(
+            jnp.asarray(probes)[:, None, :], jnp.full((1,), j, jnp.int32), grid
+        ))[:, 0, 0]
+        agree = (got == expect).mean()
+        assert agree > 0.97, f"step {j}: grid/oracle agreement {agree:.3f}"
+    # sanity: the reach set is non-trivial at the final step
+    assert np.asarray(grid.occupancy[0, -1]).sum() > 10
+
+
+def test_responsibility_reach_grid_direction():
+    """A candidate driving INTO an obstacle's reach set keeps the obstacle's
+    risk (cost contribution 0); a candidate outside it gets the risk
+    subtracted (negative cost)."""
+    import jax.numpy as jnp
+
+    from frenetix_tpu.risk.reachable_set import (
+        ReachSetGrid, responsibility_reach_grid,
+    )
+
+    g = 32
+    occ = np.zeros((1, 3, g, g), bool)
+    occ[0, :, g // 2:, :] = True   # x ≥ 0 half-plane reachable (i indexes x)
+    grid = ReachSetGrid(
+        origin=jnp.zeros((1, 2)), occupancy=jnp.asarray(occ),
+        valid=jnp.ones(1, bool), cell=1.0, dt_rs=0.2,
+    )
+
+    class Risks:
+        obst_present = jnp.ones(1)
+        obst_risk_per_obst = jnp.full((1, 1), 0.7)[0:1, 0]
+
+    risks = Risks()
+    risks.obst_risk_per_obst = jnp.asarray([0.7])
+
+    class RO:
+        # two candidates, 5 steps: one in the reachable half, one outside
+        x = jnp.asarray([[0.0, 1, 2, 3, 4, 5], [0.0, -1, -2, -3, -4, -5]])
+        y = jnp.asarray([[0.0, 3, 3, 3, 3, 3], [0.0, 3, 3, 3, 3, 3]])
+
+    cost = np.asarray(responsibility_reach_grid(RO(), grid, risks, dt=0.1))
+    assert cost[0] == 0.0          # inside → obstacle keeps responsibility
+    assert cost[1] == -0.7         # outside → risk subtracted
