@@ -6,11 +6,16 @@ in configurations/simulation/evaluation.yaml): HW, THW, TTC, TIT, TET, DCE,
 TTCE, a_long_req, BTN, a_lat_req, STN, ET, PET, MSD, PSD, jerk(/lat/long),
 acc(/lat/long), v(/lat/long).
 
-Implementation notes (differences to the reference documented per metric):
-computed post-hoc on host NumPy over the recorded state history; leading-
-vehicle search uses the ego frame (ahead within a lateral corridor) instead of
-the reference's curvilinear lanelet projection; ET/PET use a conflict-cell
-grid approximation instead of lanelet intersection polygons.
+Implementation notes: computed post-hoc on host NumPy over the recorded
+state history.  The leading-vehicle search projects ego and obstacles onto
+curvilinear frames of the ego's lanelet successor chains (metrics.py:258-297
+semantics: Δs minus orientation-projected half-lengths), with an ego-frame
+corridor fallback when the scenario has no lanelet network.  ET/PET use
+lanelet conflict areas from the intersection elements (metrics.py:613-727):
+the conflict region is the overlap of the ego's and the obstacle's merged
+successor-lane polygons, with entering/exit times from OBB-sample membership
+— equivalent to the reference's shapely intersection tests without
+constructing the intersection polygon.
 """
 from __future__ import annotations
 
@@ -105,17 +110,117 @@ class Measures:
         self._dist = rel
         return rel
 
+    def _ego_chain_frames(self):
+        """Curvilinear frames over the ego's lanelet successor chains
+        (every branch; the reference's `self.cosys` built from
+        all_lanelets_by_merging_successors, metrics.py:72-84, 158-174).
+        Returns [(HostFrame, set(lanelet_ids))]; [] without a network."""
+        if getattr(self, "_chains", None) is not None:
+            return self._chains
+        self._chains = []
+        lanelets = getattr(self.scenario, "lanelets", None)
+        if not lanelets:
+            return self._chains
+        start_ids = self.scenario.find_lanelets_by_position(self.pos[0])
+        chains: list[list[int]] = []
+
+        def walk(chain, length):
+            ll = lanelets.get(chain[-1])
+            succ = [s for s in (ll.successors if ll else [])
+                    if s in lanelets and s not in chain]
+            if not succ or length > self.radius:
+                chains.append(chain)
+                return
+            for s in succ:
+                seg = lanelets[s].center_vertices
+                seg_len = float(np.linalg.norm(np.diff(seg, axis=0), axis=1).sum())
+                walk(chain + [s], length + seg_len)
+
+        for sid in start_ids:
+            walk([sid], 0.0)
+        from frenetix_tpu.behavior.frame import HostFrame
+
+        for chain in chains:
+            pts = np.concatenate(
+                [lanelets[l].center_vertices for l in chain], axis=0
+            )
+            keep = np.concatenate(
+                [[True], np.linalg.norm(np.diff(pts, axis=0), axis=1) > 1e-9]
+            )
+            try:
+                self._chains.append((HostFrame(pts[keep]), set(chain)))
+            except Exception:
+                continue
+        return self._chains
+
+    @staticmethod
+    def _projected_half_length(theta_cl, length, width):
+        """Silhouette half-length along the lane direction
+        (metrics.py:286-289)."""
+        return (abs(length / 2 * np.cos(theta_cl))
+                + abs(width / 2 * np.sin(theta_cl)))
+
     def _leading(self):
-        """Per-step index/headway/velocity of the closest obstacle ahead in
-        the ego corridor (stand-in for the curvilinear same-lane search)."""
+        """Per-step headway/velocity of the closest obstacle ahead on any of
+        the ego's lanelet chains — curvilinear Δs minus the orientation-
+        projected half-lengths (hw(), metrics.py:258-297).  Falls back to the
+        ego-frame corridor when the scenario has no lanelet network."""
         if self._lead is not None:
             return self._lead
+        chains = self._ego_chain_frames()
+        t_len = len(self.states)
+        if chains:
+            hw = np.full(t_len, np.inf)
+            v_lead = np.zeros(t_len)
+            ego_s = {}
+            ego_th = {}
+            for ci, (frame, _ids) in enumerate(chains):
+                s, _d = frame.project(self.pos)
+                ego_s[ci] = s
+                # local orientation of the ego on this chain
+                ds = np.maximum(frame.s[1] - frame.s[0], 1e-9)
+                idx = np.clip((s / ds).astype(int), 0, len(frame.theta) - 1)
+                ego_th[ci] = self.theta - frame.theta[idx]
+            for ti in range(t_len):
+                t = int(self.t_steps[ti])
+                for entry in self._others:
+                    st = self._other_state(entry, t)
+                    if st is None:
+                        continue
+                    p_obs = np.asarray(st.position)
+                    if np.linalg.norm(p_obs - self.pos[ti]) > self.radius:
+                        continue
+                    obs_ids = set(self.scenario.find_lanelets_by_position(p_obs))
+                    if not obs_ids:
+                        continue
+                    ob = entry[1] if entry[0] == "obs" else None
+                    l_o = ob.length if ob is not None else self.veh_length
+                    w_o = ob.width if ob is not None else self.veh_width
+                    for ci, (frame, ids) in enumerate(chains):
+                        if not (obs_ids & ids):
+                            continue
+                        s_obs, _ = frame.project(p_obs)
+                        ds = np.maximum(frame.s[1] - frame.s[0], 1e-9)
+                        k = int(np.clip(s_obs / ds, 0, len(frame.theta) - 1))
+                        th_obs = st.orientation - frame.theta[k]
+                        gap = (
+                            s_obs - ego_s[ci][ti]
+                            - self._projected_half_length(th_obs, l_o, w_o)
+                            - self._projected_half_length(
+                                ego_th[ci][ti], self.veh_length, self.veh_width)
+                        )
+                        if 0 < gap < hw[ti]:
+                            hw[ti] = gap
+                            v_lead[ti] = st.velocity
+            self._lead = (hw, v_lead)
+            return self._lead
+        # fallback: ego-frame corridor (no lanelet network)
         rel = self._relative_states()
         ahead = (rel[:, :, 1] > 0) & (np.abs(rel[:, :, 2]) < self.lane_halfwidth)
         long_gap = np.where(ahead, rel[:, :, 1], np.inf)
-        idx = np.argmin(long_gap, axis=1) if rel.shape[1] else np.zeros(len(self.states), int)
-        hw = np.take_along_axis(long_gap, idx[:, None], axis=1)[:, 0] if rel.shape[1] else np.full(len(self.states), np.inf)
-        v_obs = np.take_along_axis(rel[:, :, 3], idx[:, None], axis=1)[:, 0] if rel.shape[1] else np.zeros(len(self.states))
+        idx = np.argmin(long_gap, axis=1) if rel.shape[1] else np.zeros(t_len, int)
+        hw = np.take_along_axis(long_gap, idx[:, None], axis=1)[:, 0] if rel.shape[1] else np.full(t_len, np.inf)
+        v_obs = np.take_along_axis(rel[:, :, 3], idx[:, None], axis=1)[:, 0] if rel.shape[1] else np.zeros(t_len)
         hw = hw - self.veh_length  # bumper-to-bumper
         self._lead = (hw, v_obs)
         return self._lead
@@ -240,51 +345,175 @@ class Measures:
         with np.errstate(divide="ignore", invalid="ignore"):
             return np.where(msd > 0.1, hw / msd, np.inf)
 
+    # --------------------------------------------- intersection conflict areas
+    def _intersection_successor_lanelets(self) -> list:
+        """Lanelets that are successors of any intersection incoming
+        (metrics.py:620-624)."""
+        out = []
+        for inter in getattr(self.scenario, "intersections", []):
+            for inc in inter.incomings:
+                out.extend(inc.successors_left + inc.successors_right
+                           + inc.successors_straight)
+        return out
+
+    def _vehicle_lane_rings(self, positions, intersec_lanelets):
+        """The merged successor chain a vehicle fully drives on, restricted
+        to chains touching the intersection — returned as its lanelet rings
+        (the `_obs_lane_poly` merged polygon, metrics.py:236-256; membership
+        in the merged polygon = membership in any constituent ring)."""
+        lanelets = self.scenario.lanelets
+        start_ids = self.scenario.find_lanelets_by_position(positions[0])
+        from frenetix_tpu.io.commonroad import _point_in_ring
+
+        best = None
+        for sid in start_ids:
+            # depth-first successor chains from this start lanelet
+            stack = [[sid]]
+            while stack:
+                chain = stack.pop()
+                ll = lanelets.get(chain[-1])
+                succ = [s for s in (ll.successors if ll else [])
+                        if s in lanelets and s not in chain]
+                total_len = sum(
+                    float(np.linalg.norm(np.diff(lanelets[c].center_vertices, axis=0), axis=1).sum())
+                    for c in chain
+                )
+                if succ and total_len < self.radius:
+                    stack.extend(chain + [s] for s in succ)
+                    continue
+                if not (set(chain) & set(intersec_lanelets)):
+                    continue
+                rings = [lanelets[c].polygon for c in chain]
+                contains_all = all(
+                    any(_point_in_ring(np.asarray(p), r) for r in rings)
+                    for p in positions
+                )
+                if contains_all:
+                    best = rings
+                    break
+            if best:
+                break
+        return best
+
+    @staticmethod
+    def _obb_samples(position, orientation, length, width, n_l=5, n_w=3):
+        """Sample points covering a vehicle OBB (footprint-membership probes)."""
+        xs = np.linspace(-length / 2, length / 2, n_l)
+        ys = np.linspace(-width / 2, width / 2, n_w)
+        gx, gy = np.meshgrid(xs, ys)
+        local = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        c, s = np.cos(orientation), np.sin(orientation)
+        rot = np.array([[c, -s], [s, c]])
+        return local @ rot.T + np.asarray(position)
+
+    def _in_conflict_area(self, position, orientation, length, width,
+                          rings_a, rings_b) -> bool:
+        """Vehicle shape intersects (A ∩ B)?  Probed by footprint samples in
+        BOTH merged-lane polygons — the reference's
+        `veh_shape.intersects(ego_poly ∩ obs_poly)` without constructing the
+        intersection (metrics.py:209-233)."""
+        from frenetix_tpu.io.commonroad import _point_in_ring
+
+        pts = self._obb_samples(position, orientation, length, width)
+        for p in pts:
+            if any(_point_in_ring(p, r) for r in rings_a) and \
+                    any(_point_in_ring(p, r) for r in rings_b):
+                return True
+        return False
+
+    def _ca_times(self, rings_a, rings_b, traj_fn, length, width):
+        """Enter/exit steps of a vehicle w.r.t. the conflict area
+        (metrics.py:209-233): enter = step before first contact, exit =
+        first step after contact ends."""
+        enter, exit_, inside = np.inf, np.inf, False
+        for t in range(int(self.t_steps[0]), int(self.t_steps[-1]) + 1):
+            st = traj_fn(t)
+            if st is None:
+                continue
+            hit = self._in_conflict_area(
+                st.position, st.orientation, length, width, rings_a, rings_b
+            )
+            if hit and not inside:
+                enter, inside = max(t - 1, 0), True
+            if not hit and inside:
+                exit_ = t
+                break
+        return enter, exit_
+
+    def _conflict_results(self):
+        """[(et, ego_enter, pet, pet_step)] per obstacle sharing a conflict
+        area with the ego (et(), pet(), metrics.py:613-727)."""
+        if getattr(self, "_ca_cache", None) is not None:
+            return self._ca_cache
+        self._ca_cache = []
+        intersec = self._intersection_successor_lanelets()
+        if not intersec:
+            return self._ca_cache
+        ego_rings = self._vehicle_lane_rings(self.pos, intersec)
+        if not ego_rings:
+            return self._ca_cache
+
+        def ego_traj(t):
+            idx = np.where(self.t_steps == t)[0]
+            return self.states[int(idx[0])] if len(idx) else None
+
+        for entry in self._others:
+            if entry[0] != "obs":
+                continue
+            ob = entry[1]
+            traj_pts = [np.asarray(s.position)
+                        for s in [ob.initial_state] + ob.trajectory]
+            obs_rings = self._vehicle_lane_rings(traj_pts, intersec)
+            if not obs_rings:
+                continue
+            ego_in, ego_out = self._ca_times(
+                ego_rings, obs_rings, ego_traj, self.veh_length, self.veh_width
+            )
+            obs_in, obs_out = self._ca_times(
+                ego_rings, obs_rings, ob.state_at_time, ob.length, ob.width
+            )
+            et = ego_out - ego_in
+            if np.isinf(ego_in) or np.isinf(ego_out) or np.isinf(obs_in) \
+                    or np.isinf(obs_out):
+                pet, pet_step = np.inf, np.inf
+            elif obs_in > ego_out:
+                pet, pet_step = abs(obs_in - ego_out), ego_out
+            elif ego_in > obs_out:
+                pet, pet_step = abs(ego_in - obs_out), obs_out
+            else:
+                pet, pet_step = 0, 0
+            self._ca_cache.append((et, ego_in, pet, pet_step))
+        return self._ca_cache
+
     def et(self):
-        """Encroachment time: per-step dt spent within the conflict cell (any
-        other participant's path cell, 2 m grid)."""
-        cells = self._conflict_cells()
-        if not cells:
-            return np.zeros(len(self.states))
-        ego_cells = {tuple((p // 2.0).astype(int)) for p in self.pos}
-        out = np.array(
-            [self.dt if tuple((p // 2.0).astype(int)) in cells else 0.0
-             for p in self.pos]
-        )
+        """Encroachment time: steps the ego needs to cross the lanelet
+        conflict area, counting down while inside (metrics.py:613-664).
+        inf without intersections — reference parity."""
+        out = np.full(len(self.states), np.inf)
+        res = self._conflict_results()
+        if not res:
+            return out
+        et, t_start, _, _ = min(res)
+        for ti, t in enumerate(self.t_steps):
+            if t <= t_start:
+                out[ti] = et
+            elif t <= t_start + et:
+                out[ti] = et - (t - t_start)
         return out
 
     def pet(self):
-        """Post-encroachment time: min |t_ego - t_other| over shared 2 m path
-        cells (per step: the scenario-global PET)."""
-        cells = self._conflict_cell_times()
-        pet = np.inf
-        for ti, p in enumerate(self.pos):
-            key = tuple((p // 2.0).astype(int))
-            if key in cells:
-                for t_other in cells[key]:
-                    pet = min(pet, abs(self.t_steps[ti] - t_other) * self.dt)
-        return np.full(len(self.states), pet)
-
-    def _conflict_cells(self):
-        cells = set()
-        for entry in self._others:
-            for t in self.t_steps:
-                st = self._other_state(entry, int(t))
-                if st is not None:
-                    cells.add(tuple((np.asarray(st.position) // 2.0).astype(int)))
-        return cells
-
-    def _conflict_cell_times(self):
-        cells: dict = {}
-        for entry in self._others:
-            kind, data = entry
-            t_range = range(int(self.t_steps[0]), int(self.t_steps[-1]) + 1)
-            for t in t_range:
-                st = self._other_state(entry, t)
-                if st is not None:
-                    key = tuple((np.asarray(st.position) // 2.0).astype(int))
-                    cells.setdefault(key, []).append(t)
-        return cells
+        """Post-encroachment time: steps between one vehicle leaving and the
+        other entering the shared conflict area (metrics.py:666-727)."""
+        out = np.full(len(self.states), np.inf)
+        res = self._conflict_results()
+        if not res:
+            return out
+        best = min(res, key=lambda r: (r[2], r[3]))
+        _, _, pet, pet_step = best
+        for ti, t in enumerate(self.t_steps):
+            if t <= pet_step:
+                out[ti] = pet
+        return out
 
     def compute(self, metrics=None):
         """→ pandas DataFrame indexed by time_step."""

@@ -353,3 +353,62 @@ def make_behavior_overtake(length=300.0, lane_width=3.6, ego_v=13.0,
     )
     return Scenario("SYN_BehaviorOvertake-1", dt, lanelets, obstacles,
                     {60000: pp})
+
+
+def make_intersection_crossing(arm=60.0, box=10.0, lane_width=3.6, ego_v=10.0,
+                               cross_v=8.0, cross_delay=30.0, dt=0.1,
+                               n_steps=250):
+    """Perpendicular crossing with a CommonRoad intersection element: the ego
+    drives +x through the junction; a crossing vehicle on the +y road passes
+    `cross_delay` meters behind schedule — exercising the lanelet
+    conflict-area ET/PET metrics (reference metrics.py:613-727)."""
+    from frenetix_tpu.io.commonroad import Intersection, IntersectionIncoming
+
+    # x-road: approach (A1) → crossing (A2) → exit (A3)
+    a1 = _straight(arm - box, 0.0, x0=-arm)
+    a2 = _straight(2 * box, 0.0, x0=-box)
+    a3 = _straight(arm - box, 0.0, x0=box)
+    # y-road (crossing traffic, +y direction)
+    def _vert(length, x=0.0, y0=0.0, step=2.0):
+        n = max(int(length / step) + 1, 2)
+        y = np.linspace(y0, y0 + length, n)
+        return np.stack([np.full(n, x), y], axis=1)
+
+    b1 = _vert(arm - box, y0=-arm)
+    b2 = _vert(2 * box, y0=-box)
+    b3 = _vert(arm - box, y0=box)
+
+    lanelets = {}
+    for lid, (center, succ) in {
+        50000: (a1, [50001]), 50001: (a2, [50002]), 50002: (a3, []),
+        50010: (b1, [50011]), 50011: (b2, [50012]), 50012: (b3, []),
+    }.items():
+        lanelets[lid] = _lanelet_from_center(lid, center, lane_width / 2, succ)
+    lanelets[50001].predecessors = [50000]
+    lanelets[50002].predecessors = [50001]
+    lanelets[50011].predecessors = [50010]
+    lanelets[50012].predecessors = [50011]
+
+    intersection = Intersection(70000, incomings=[
+        IntersectionIncoming(1, incoming_lanelets=[50000],
+                             successors_straight=[50001]),
+        IntersectionIncoming(2, incoming_lanelets=[50010],
+                             successors_straight=[50011]),
+    ])
+
+    # crossing vehicle on the y-road, starting cross_delay behind its stop line
+    obstacles = _traffic(np.concatenate([b1, b2[1:], b3[1:]]), [cross_v], dt,
+                         n_steps, [arm - box - cross_delay])
+
+    goal_center = np.array([arm - 12.0, 0.0])
+    half = np.array([[8.0, 1.6], [8.0, -1.6], [-8.0, -1.6], [-8.0, 1.6]])
+    goal = GoalCondition(position_shape=half + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, np.array([-arm + 2.0, 0.0]), 0.0, float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_Crossing-1", dt, lanelets, obstacles, {60000: pp},
+                    intersections=[intersection])

@@ -11,7 +11,7 @@ import os
 
 import numpy as np
 
-__all__ = ["plot_trajectory_risk", "risk_dashboard"]
+__all__ = ["plot_trajectory_risk", "risk_dashboard", "plot_harm_breakdown"]
 
 
 def plot_trajectory_risk(risks, preds, save_path=None, candidate=0):
@@ -76,6 +76,43 @@ def risk_dashboard(res, risks, save_path=None):
     axs[2].set_title("selection summary")
 
     fig.suptitle("risk dashboard")
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig, axs
+
+
+def plot_harm_breakdown(risks, save_path=None, candidate=0):
+    """Harm vs. risk composition per obstacle for one candidate
+    (risk_visualization.py's harm diagrams): harm is the injury probability,
+    risk = harm × collision probability — the gap between the bars shows how
+    much the collision-probability term discounts each obstacle."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ego_h = np.asarray(risks.ego_harm_per_obst[candidate])
+    obst_h = np.asarray(risks.obst_harm_per_obst[candidate])
+    ego_r = np.asarray(risks.ego_risk_per_obst[candidate])
+    obst_r = np.asarray(risks.obst_risk_per_obst[candidate])
+    idxs = np.where(np.asarray(risks.obst_present))[0]
+
+    fig, axs = plt.subplots(1, 2, figsize=(11, 4))
+    x = np.arange(len(idxs))
+    for ax, h, r, title in (
+        (axs[0], ego_h, ego_r, "ego"),
+        (axs[1], obst_h, obst_r, "obstacle"),
+    ):
+        ax.bar(x - 0.2, h[idxs], width=0.4, color="#cccccc", label="harm")
+        ax.bar(x + 0.2, r[idxs], width=0.4, color="#ee6677", label="risk")
+        ax.set_xticks(x)
+        ax.set_xticklabels([f"obs {i}" for i in idxs])
+        ax.set_title(f"{title} harm vs. risk")
+        ax.legend()
+    fig.suptitle(f"candidate {candidate}: harm breakdown")
     if save_path:
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
         fig.savefig(save_path, dpi=100, bbox_inches="tight")

@@ -47,9 +47,15 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
         )
     res = sim.run()
     if log_dir is not None and config.visualization.save_plots:
-        from frenetix_tpu.utils.visualization import plot_final
+        from frenetix_tpu.utils.visualization import (
+            plot_final, plot_multiagent_overview,
+        )
 
         plot_final(scenario, res, save_path=os.path.join(log_dir, "final.png"))
+        if len(res.histories) > 1:
+            plot_multiagent_overview(
+                scenario, res, save_path=os.path.join(log_dir, "overview.png")
+            )
     if evaluate:
         from frenetix_tpu.evaluation import evaluate_simulation
 

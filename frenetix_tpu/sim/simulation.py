@@ -185,6 +185,16 @@ class Simulation:
                 self.scenario, ids, t, horizon, dt=self.dt,
                 max_obstacles=pcfg.max_obstacles, dtype=dtype,
             )
+        k = pcfg.uncertainty_margin_sigma
+        if k > 0.0:
+            # widen the collision footprint with the predictor's own
+            # uncertainty (mean 1σ over the horizon); opt-in — 0.0 matches
+            # the reference's mean-path collision checking
+            sig = (np.sqrt(np.maximum(pd["covs"][:, :, 0, 0], 0.0))
+                   + np.sqrt(np.maximum(pd["covs"][:, :, 1, 1], 0.0)))
+            m = k * 0.5 * np.where(pd["valid"].any(axis=1), sig.mean(axis=1), 0.0)
+            pd["lengths"] = pd["lengths"] + m.astype(pd["lengths"].dtype)
+            pd["widths"] = pd["widths"] + (0.5 * m).astype(pd["widths"].dtype)
         return pd, ids
 
     def _filter_for_agent(self, pd, ids, agent):
@@ -419,6 +429,24 @@ class Simulation:
             if a.id not in done_ids:
                 a.execute_next_state()
 
+    def _check_road_departure(self):
+        """Flag executed off-road poses as failures.
+
+        The reference registers the road boundary in the global collision
+        checker (simulation.py:474-495), so an executed state leaving the
+        drivable area is a detected collision — not merely prevented by the
+        planner's corridor.  Here: an agent whose vehicle center lies outside
+        every lanelet polygon has left the road."""
+        if not self.config.simulation.check_road_boundary:
+            return
+        for a in self.agents:
+            if a.status != AgentStatus.RUNNING:
+                continue
+            if not self.scenario.find_lanelets_by_position(a.state.position):
+                a.status = AgentStatus.COLLISION
+                a.message = "road departure"
+                self._write_collision_report(a)
+
     def _write_collision_report(self, agent):
         if not self.config.debug.collision_report or self.log_dir is None:
             return
@@ -467,6 +495,7 @@ class Simulation:
                     a.step(preds, pd["means"][:, 0], pd["valid"][:, 0])
             t += 1
             self._check_collisions(t)
+            self._check_road_departure()
             vis = self.config.visualization
             if vis.save_plots and self.log_dir and t % vis.plot_interval == 0:
                 from frenetix_tpu.utils.visualization import plot_scenario_at_timestep

@@ -90,6 +90,8 @@ class SimulationConfig:
     batched_device_agents: bool = False  # all agents' cycles in ONE device call
     sharded_device_agents: bool = False  # shard the agent axis over the mesh
                                          # (requires batched_device_agents)
+    check_road_boundary: bool = True     # executed off-road pose = failure
+                                         # (reference simulation.py:474-495)
     number_of_agents: int = -1
     ego_agent_id: int = 60000
 
@@ -107,6 +109,12 @@ class PredictionConfig:
     cone_angle: float = 20.0        # prediction.yaml cone_angle
     cone_safety_dist: float = 6.0
     max_obstacles: int = 16     # static padding bound for device tensors
+    # inflate each obstacle's collision footprint by k·(mean σ over the
+    # horizon) — 0.0 keeps reference parity (collision checks against the
+    # raw predicted mean path).  Walenet's long-horizon drift (~3 m at 2.5 s
+    # on scenario 36's oncoming car, within its own 1σ) makes gap judgments
+    # optimistic; 1.0 absorbs it.
+    uncertainty_margin_sigma: float = 0.0
 
 
 @dataclass

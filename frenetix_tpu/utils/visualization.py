@@ -16,6 +16,7 @@ import numpy as np
 __all__ = [
     "plot_scenario_at_timestep",
     "plot_final",
+    "plot_multiagent_overview",
     "make_gif",
 ]
 
@@ -200,3 +201,62 @@ def make_gif(frame_dir, out_path, fps=10):
         duration=int(1000 / fps), loop=0,
     )
     return out_path
+
+
+def plot_multiagent_overview(scenario, result, save_path=None, max_agents=11):
+    """Multi-agent overview (reference visualization.py:463-771): one combined
+    map plus a per-agent panel with its trajectory, final status and velocity
+    profile."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    aids = list(result.histories.keys())[:max_agents]
+    n = len(aids) + 1
+    cols = min(n, 3)
+    rows = (n + cols - 1) // cols
+    fig, axs = plt.subplots(rows, cols, figsize=(6 * cols, 5 * rows))
+    axs = np.atleast_1d(axs).ravel()
+
+    # combined map
+    ax = axs[0]
+    _draw_lanelets(ax, scenario)
+    cmap = plt.get_cmap("tab10")
+    for k, aid in enumerate(aids):
+        xy = np.array([s.position for s in result.histories[aid]])
+        ax.plot(xy[:, 0], xy[:, 1], color=cmap(k % 10), lw=1.5, zorder=8,
+                label=str(aid))
+        ax.annotate(str(aid), xy[0], fontsize=7, zorder=20)
+    ax.set_aspect("equal")
+    ax.legend(fontsize=7, loc="best")
+    ax.set_title(f"{result.scenario_id} — all agents")
+
+    # per-agent panels
+    for k, aid in enumerate(aids):
+        ax = axs[k + 1]
+        _draw_lanelets(ax, scenario)
+        states = result.histories[aid]
+        xy = np.array([s.position for s in states])
+        v = np.array([s.velocity for s in states])
+        pts = ax.scatter(xy[:, 0], xy[:, 1], c=v, s=5, cmap="plasma", zorder=8)
+        fig.colorbar(pts, ax=ax, shrink=0.6, label="v [m/s]")
+        status = result.agent_status.get(aid)
+        msg = result.agent_messages.get(aid, "")
+        ax.set_aspect("equal")
+        ax.set_title(
+            f"agent {aid}: {getattr(status, 'name', status)} ({msg})", fontsize=9
+        )
+        pad = 12.0
+        ax.set_xlim(xy[:, 0].min() - pad, xy[:, 0].max() + pad)
+        ax.set_ylim(xy[:, 1].min() - pad, xy[:, 1].max() + pad)
+    for ax in axs[n:]:
+        ax.axis("off")
+
+    fig.suptitle(f"{result.scenario_id} — multi-agent overview")
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig, axs

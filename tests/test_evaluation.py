@@ -116,3 +116,96 @@ def test_reach_set_responsibility():
     )
     cost = np.asarray(responsibility_reach_set(ro, preds, risks))
     np.testing.assert_allclose(cost, -0.2, atol=1e-6)
+
+
+# ------------------------------------- curvilinear lead search + exact ET/PET
+
+
+def _straight_states(xs, v, dt=0.1):
+    from frenetix_tpu.sim.agent import EgoState
+
+    return [EgoState(i, np.array([x, 0.0]), 0.0, v) for i, x in enumerate(xs)]
+
+
+def test_curvilinear_lead_search_straight_road():
+    """On the straight factory highway the chain-projected headway equals the
+    hand-computed bumper gap: Δx − L_obs/2 − L_ego/2."""
+    from frenetix_tpu.evaluation.metrics import Measures
+    from frenetix_tpu.io.scenario_factory import make_highway
+
+    sc = make_highway(lead_v=10.0, lead_gap=40.0)
+    ego_xs = np.arange(0.0, 10.0, 1.0)  # ego at 10 m/s from x=0
+    m = Measures(60000, sc, _straight_states(ego_xs, 10.0),
+                 veh_length=4.508, veh_width=1.61)
+    hw = m.hw()
+    # lead starts at s=40 moving at 10 m/s; ego at x=t; gap is constant
+    expect = 40.0 - 4.5 / 2 - 4.508 / 2
+    assert np.all(np.isfinite(hw))
+    np.testing.assert_allclose(hw, expect, atol=0.6)
+
+
+def test_lead_search_follows_curved_chain():
+    """On the curve scenario the curvilinear headway uses arclength, so it
+    exceeds the straight-line distance between ego and lead."""
+    from frenetix_tpu.evaluation.metrics import Measures
+    from frenetix_tpu.io.scenario_factory import make_curve
+    from frenetix_tpu.sim.agent import EgoState
+
+    sc = make_curve(radius=80.0, lead_v=8.0)
+    lead = sc.obstacles[100]
+    # ego sits at the curve start
+    states = [EgoState(0, sc.lanelets[50000].center_vertices[0].copy(), 0.0, 8.0)]
+    m = Measures(60000, sc, states)
+    hw = m.hw()[0]
+    d_euclid = np.linalg.norm(
+        np.asarray(lead.initial_state.position) - states[0].position
+    )
+    assert np.isfinite(hw)
+    assert hw > d_euclid - 4.6   # arclength ≥ chord (minus bumper terms)
+
+
+def test_et_pet_conflict_area_hand_computed():
+    """Crossing scenario with known kinematics: ET/PET from the lanelet
+    conflict area match hand-computed enter/exit steps."""
+    from frenetix_tpu.evaluation.metrics import Measures
+    from frenetix_tpu.io.scenario_factory import make_intersection_crossing
+    from frenetix_tpu.sim.agent import EgoState
+
+    # ego crosses the junction at constant 10 m/s along +x starting at -60+2;
+    # the crossing car starts 48 m behind its box and arrives ~4 steps after
+    # the ego leaves it
+    sc = make_intersection_crossing(ego_v=10.0, cross_v=8.0, cross_delay=48.0)
+    dt = 0.1
+    # keep every state on the road (x ≤ 60) — the lane-chain containment
+    # check requires the full trajectory inside the merged lane (reference
+    # `_obs_lane_poly` semantics)
+    states = [EgoState(i, np.array([-58.0 + 10.0 * dt * i, 0.0]), 0.0, 10.0)
+              for i in range(115)]
+    m = Measures(60000, sc, states, dt=dt, veh_length=4.508, veh_width=1.61)
+
+    et = m.et()
+    pet = m.pet()
+    # conflict area = A2 ∩ B2 = the lane-overlap square |x|,|y| ≤ 1.8.
+    # ego front reaches x=-1.8 at x_c = -1.8-2.254 → step ≈ (58-4.054)/1 ≈ 54;
+    # rear clears x=+1.8 at x_c = 1.8+2.254 → step ≈ 62 ⇒ ET ≈ 8±2 steps
+    assert np.isfinite(et[0])
+    assert 5 <= et[0] <= 11
+    # crossing car reaches y=-4.05 at step ≈ (58-4.05)/0.8 ≈ 67; ego exits
+    # at ≈ 63 ⇒ PET = obs_enter − ego_exit ≈ 4 steps
+    assert np.isfinite(pet[0])
+    assert 1 <= pet[0] <= 15
+    # countdown while inside, inf after leaving
+    inside = np.isfinite(et)
+    assert not inside[-1]
+
+
+def test_et_pet_inf_without_intersections():
+    """Reference parity: no intersection elements → ET/PET are inf
+    (metrics.py:661-664, 'No intersection as conflict area')."""
+    from frenetix_tpu.evaluation.metrics import Measures
+    from frenetix_tpu.io.scenario_factory import make_highway
+
+    sc = make_highway()
+    m = Measures(60000, sc, _straight_states(np.arange(5.0), 10.0))
+    assert not np.isfinite(m.et()).any()
+    assert not np.isfinite(m.pet()).any()
