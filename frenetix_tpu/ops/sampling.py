@@ -85,41 +85,6 @@ def build_sampling_matrix(
     return mat
 
 
-def device_sampling_matrix(t1, ss1, d1, x0_lon, x0_lat):
-    """Device-side cartesian product: 3 small range vectors → (M, 13) matrix.
-
-    The host path ships an (M, 13) array per replan (~2 MB at dense sweeps);
-    this builds it on device from ~100 scalars.  Ranges may be padded
-    (repeat the last value) — duplicated rows are harmless (identical
-    candidates; the argmin picks the first).  jnp inputs; jit-able.
-    """
-    import jax.numpy as jnp
-
-    t1 = jnp.asarray(t1)
-    ss1 = jnp.asarray(ss1)
-    d1 = jnp.asarray(d1)
-    nt, nv, nd = t1.shape[0], ss1.shape[0], d1.shape[0]
-    m = nt * nv * nd
-    dtype = t1.dtype
-
-    t1_col = jnp.repeat(t1, nv * nd)
-    ss1_col = jnp.tile(jnp.repeat(ss1, nd), nt)
-    d1_col = jnp.tile(d1, nt * nv)
-    z = jnp.zeros(m, dtype)
-    full = lambda v: jnp.full(m, v, dtype)
-    cols = [
-        z,                 # t0
-        t1_col,            # t1
-        full(x0_lon[0]), full(x0_lon[1]), full(x0_lon[2]),
-        ss1_col,           # ss1
-        z,                 # sss1
-        full(x0_lat[0]), full(x0_lat[1]), full(x0_lat[2]),
-        d1_col,            # d1
-        z, z,              # dd1, ddd1
-    ]
-    return jnp.stack(cols, axis=1)
-
-
 def pad_range(values: np.ndarray, size: int) -> np.ndarray:
     """Pad a sampling range to a static size by repeating the last value."""
     values = np.atleast_1d(values)

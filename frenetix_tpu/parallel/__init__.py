@@ -9,3 +9,7 @@ from frenetix_tpu.parallel.mesh import (  # noqa: F401
     stack_contexts,
     stack_cycle_contexts,
 )
+from frenetix_tpu.parallel.distributed import (  # noqa: F401
+    initialize as distributed_initialize,
+    shard_scenarios,
+)

@@ -28,7 +28,7 @@ from frenetix_tpu.ops import costs as costs_mod
 from frenetix_tpu.ops.costs import PredictionTensors
 from frenetix_tpu.ops.kinematics import Rollout, VehicleParams, rollout_candidates
 
-__all__ = ["CycleContext", "CycleResult", "evaluate_cycle", "evaluate_cycle_from_ranges"]
+__all__ = ["CycleContext", "CycleResult", "evaluate_cycle"]
 
 _BIG = 1e15
 
@@ -156,54 +156,10 @@ def evaluate_cycle(
         histogram=histogram,
     )
 
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("dt", "n_steps", "low_vel_mode", "quintic_lon", "check_boundary",
-                     "table_window"),
-)
-def evaluate_cycle_from_ranges(
-    t1,
-    ss1,
-    d1,
-    x0_lon,
-    x0_lat,
-    ctx: CycleContext,
-    *,
-    dt: float,
-    n_steps: int,
-    low_vel_mode: bool,
-    quintic_lon: bool = False,
-    check_boundary: bool = True,
-    table_window: int = 768,
-) -> CycleResult:
-    """Like `evaluate_cycle`, but the (M, 13) sampling matrix is built ON
-    DEVICE from the (padded) t1/ss1/d1 range vectors and the current state —
-    ~100 scalars cross host→device per replan instead of ~2 MB.  Ranges are
-    padded by repeating their last value (ops.sampling.pad_range); duplicate
-    rows are identical candidates and the argmin keeps the first.
-
-    STATUS: experimental.  On the current toolchain, fusing the repeat/tile
-    construction into the cycle reproducibly compiles the downstream interp
-    contraction into a ~500x-slower configuration (row padding and
-    optimization barriers do not help); the host-matrix `evaluate_cycle` is
-    the production path (its ~2 MB H2D is ~10 µs over PCIe).
-    """
-    from frenetix_tpu.ops.sampling import device_sampling_matrix
-
-    matrix = device_sampling_matrix(t1, ss1, d1, x0_lon, x0_lat)
-    # lane-align the candidate count: an M that is not a multiple of 256 puts
-    # the interp contraction into a ~500x-slower tiling (measured); pad rows
-    # with copies of row 0 and mask them out of selection
-    m = matrix.shape[0]
-    m_pad = ((m + 255) // 256) * 256
-    if m_pad != m:
-        matrix = jnp.concatenate(
-            [matrix, jnp.broadcast_to(matrix[:1], (m_pad - m, 13))], axis=0
-        )
-    mask = jnp.arange(m_pad) < m
-    return evaluate_cycle(
-        matrix, mask, ctx, dt=dt, n_steps=n_steps, low_vel_mode=low_vel_mode,
-        quintic_lon=quintic_lon, check_boundary=check_boundary,
-        table_window=table_window,
-    )
+# NOTE: round 1 carried an experimental `evaluate_cycle_from_ranges` that
+# built the (M, 13) sampling matrix ON DEVICE from ~100 range scalars to
+# avoid the ~2 MB matrix H2D per replan.  Removed in round 2 after
+# re-measurement on the current toolchain: the fused device-side
+# repeat/tile construction still compiles the downstream interp into a
+# 3-4x slower configuration (262 us vs 72 us per cycle at M=34816,
+# best-of-3), and the H2D it saves costs ~10 us over PCIe.  See PERF.md.

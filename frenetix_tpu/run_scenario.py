@@ -95,6 +95,11 @@ def main(argv=None):
     ap.add_argument("--workers", type=int, default=1,
                     help="parallel scenario workers (evaluation pipeline, "
                          "main.py:86-92; forces the CPU backend when > 1)")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="dotted config override merged last, e.g. "
+                         "--set planning.replanning_frequency=1 "
+                         "--set cost_weights.prediction=0.5 (the reference's "
+                         "OmegaConf.from_cli, configuration_builder.py:30-34)")
     args = ap.parse_args(argv)
 
     # expand directories into scenario file lists (evaluation pipeline mode)
@@ -114,10 +119,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    from frenetix_tpu.utils.config import load_config
+    from frenetix_tpu.utils.config import load_config, parse_cli_overrides
     from frenetix_tpu.utils.logging import make_msg_logger
 
-    config = load_config(args.config_dir)
+    config = load_config(args.config_dir, overrides=parse_cli_overrides(args.set))
     config.simulation.start_multiagent = args.multiagent
     config.simulation.batched_device_agents = args.batched_agents
     if args.prediction:

@@ -27,6 +27,7 @@ __all__ = [
     "FrenetixConfig",
     "DEFAULT_COST_WEIGHTS",
     "load_config",
+    "parse_cli_overrides",
 ]
 
 # configurations/frenetix_motion_planner/cost.yaml
@@ -201,6 +202,28 @@ def _apply_overrides(obj, overrides: dict):
             setattr(obj, k, cur._replace(**{kk: vv for kk, vv in v.items() if kk in cur._fields}))
         else:
             setattr(obj, k, v)
+
+
+def parse_cli_overrides(items) -> dict:
+    """`["a.b=1", "cost_weights.prediction=0.5"]` → nested override dict.
+
+    The analog of the reference's `OmegaConf.from_cli()` merge
+    (configuration_builder.py:30-34).  Values parse as YAML scalars
+    (ints/floats/bools/strings)."""
+    import yaml
+
+    out: dict = {}
+    for item in items or []:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not KEY=VALUE")
+        key, raw = item.split("=", 1)
+        value = yaml.safe_load(raw)
+        node = out
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return out
 
 
 def load_config(config_dir: Optional[str] = None, overrides: Optional[dict] = None) -> FrenetixConfig:

@@ -156,3 +156,60 @@ def test_batched_with_occlusion_is_config_error():
     cfg.occlusion.use_occlusion_module = True
     with pytest.raises(ValueError, match="occlusion"):
         Simulation(make_highway(), cfg)
+
+
+# --------------------------------------------------------- distributed glue
+
+
+def test_shard_scenarios_partition():
+    from frenetix_tpu.parallel.distributed import shard_scenarios
+
+    paths = [f"s{i}.xml" for i in range(10)]
+    shards = [shard_scenarios(paths, process_id=p, num_processes=3)
+              for p in range(3)]
+    joined = sorted(sum(shards, []))
+    assert joined == sorted(paths)              # complete
+    assert all(len(set(s)) == len(s) for s in shards)
+    assert not (set(shards[0]) & set(shards[1]))  # disjoint
+
+
+def test_distributed_initialize_noop_without_coordinator(monkeypatch):
+    from frenetix_tpu.parallel.distributed import initialize
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert initialize() is False
+
+
+def test_merge_score_csvs(tmp_path):
+    import csv
+
+    from frenetix_tpu.parallel.distributed import merge_score_csvs
+
+    for i in range(2):
+        d = tmp_path / f"host{i}"
+        d.mkdir()
+        with open(d / "score_overview.csv", "w", newline="") as f:
+            w = csv.writer(f, delimiter=";")
+            w.writerow(["scenario", "agent", "status"])
+            w.writerow([f"sc{i}", "60000", "COMPLETED_SUCCESS"])
+    out = merge_score_csvs([str(tmp_path / "host0"), str(tmp_path / "host1")],
+                           str(tmp_path / "merged.csv"))
+    with open(out, newline="") as f:
+        rows = list(csv.reader(f, delimiter=";"))
+    assert len(rows) == 3
+
+
+def test_cli_dotted_overrides():
+    from frenetix_tpu.utils.config import load_config, parse_cli_overrides
+
+    ov = parse_cli_overrides([
+        "planning.replanning_frequency=1",
+        "cost_weights.prediction=0.5",
+        "prediction.mode=walenet",
+        "simulation.batched_device_agents=true",
+    ])
+    cfg = load_config(overrides=ov)
+    assert cfg.planning.replanning_frequency == 1
+    assert cfg.cost_weights["prediction"] == 0.5
+    assert cfg.prediction.mode == "walenet"
+    assert cfg.simulation.batched_device_agents is True
