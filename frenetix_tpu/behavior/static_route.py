@@ -86,6 +86,41 @@ def _detect_stop_line_goals(scenario: Scenario, route_ids, frame):
     return goals
 
 
+def _detect_crosswalks(scenario: Scenario, route_ids, frame):
+    """Crosswalk lanelets crossing the route → Crosswalk goals.
+
+    The reference's RoutePlan handles Crosswalk goals in its goal-building
+    switch (path_planner.py:363) but never creates them (its detector is a
+    TODO); here lanelets typed 'crosswalk' whose center projects onto the
+    route become goals with the stop line ~2 m before the crossing."""
+    goals = []
+    route_set = set(route_ids)
+    for ll in scenario.lanelets.values():
+        if "crosswalk" not in (ll.lanelet_type or "").lower():
+            continue
+        center = ll.center_vertices[len(ll.center_vertices) // 2]
+        s, d = frame.project(center)
+        if not (0.0 < s < frame.length) or abs(d) > 6.0:
+            continue
+        # crosswalk must actually overlap a route lanelet
+        if not any(
+            scenario.lanelets[r].contains_point(center) for r in route_set
+            if r in scenario.lanelets
+        ):
+            continue
+        half = max(
+            float(np.linalg.norm(ll.left_vertices[0] - ll.right_vertices[0])),
+            2.0,
+        ) / 2.0
+        goals.append(dict(
+            type="Crosswalk", position_s=s + half,
+            stop_position_s=max(s - half - 2.0, 0.001),
+            stop_position_xy=frame.to_cartesian(max(s - half - 2.0, 0.001)),
+            obj=ll, lanelet_id=ll.lanelet_id,
+        ))
+    return goals
+
+
 def _detect_lane_merges(scenario: Scenario, route_ids, frame):
     """Lanelets with ≥2 predecessors sharing an end point + similar
     orientation (path_planner.py:586-610)."""
@@ -206,6 +241,7 @@ def build_static_route_plan(
     path_planner.py:316-497)."""
     raw = (
         _detect_stop_line_goals(scenario, route_ids, frame)
+        + _detect_crosswalks(scenario, route_ids, frame)
         + _detect_lane_merges(scenario, route_ids, frame)
         + _detect_intersections(scenario, route_ids, frame)
     )

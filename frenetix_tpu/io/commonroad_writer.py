@@ -61,11 +61,13 @@ def scenario_to_xml(scenario) -> ET.Element:
         left = ET.SubElement(el, "leftBound")
         for x, y in ll.left_vertices:
             _pt(left, x, y)
-        ET.SubElement(left, "lineMarking").text = "dashed"
+        if ll.line_marking_left:
+            ET.SubElement(left, "lineMarking").text = ll.line_marking_left
         right = ET.SubElement(el, "rightBound")
         for x, y in ll.right_vertices:
             _pt(right, x, y)
-        ET.SubElement(right, "lineMarking").text = "solid"
+        if ll.line_marking_right:
+            ET.SubElement(right, "lineMarking").text = ll.line_marking_right
         for s in ll.predecessors:
             ET.SubElement(el, "predecessor", {"ref": str(s)})
         for s in ll.successors:
@@ -80,7 +82,58 @@ def scenario_to_xml(scenario) -> ET.Element:
                 "ref": str(ll.adj_right),
                 "drivingDir": "same" if ll.adj_right_same_direction else "opposite",
             })
+        if ll.stop_line is not None:
+            sl = ET.SubElement(el, "stopLine")
+            _pt(sl, *ll.stop_line.start)
+            _pt(sl, *ll.stop_line.end)
+            ET.SubElement(sl, "lineMarking").text = ll.stop_line.line_marking
+            for r in ll.stop_line.traffic_sign_refs:
+                ET.SubElement(sl, "trafficSignRef", {"ref": str(r)})
+            for r in ll.stop_line.traffic_light_refs:
+                ET.SubElement(sl, "trafficLightRef", {"ref": str(r)})
         ET.SubElement(el, "laneletType").text = ll.lanelet_type or "urban"
+        for r in ll.traffic_sign_refs:
+            ET.SubElement(el, "trafficSignRef", {"ref": str(r)})
+        for r in ll.traffic_light_refs:
+            ET.SubElement(el, "trafficLightRef", {"ref": str(r)})
+
+    for ts in getattr(scenario, "traffic_signs", {}).values():
+        el = ET.SubElement(root, "trafficSign", {"id": str(ts.sign_id)})
+        for sid, vals in ts.elements:
+            se = ET.SubElement(el, "trafficSignElement")
+            ET.SubElement(se, "trafficSignID").text = sid
+            for v in vals:
+                ET.SubElement(se, "additionalValue").text = str(v)
+        if ts.position is not None:
+            pos = ET.SubElement(el, "position")
+            _pt(pos, *ts.position)
+        ET.SubElement(el, "virtual").text = "true" if ts.virtual else "false"
+
+    for tl in getattr(scenario, "traffic_lights", {}).values():
+        el = ET.SubElement(root, "trafficLight", {"id": str(tl.light_id)})
+        cyc = ET.SubElement(el, "cycle")
+        for color, dur in tl.cycle:
+            ce = ET.SubElement(cyc, "cycleElement")
+            ET.SubElement(ce, "duration").text = str(dur)
+            ET.SubElement(ce, "color").text = color
+        if tl.time_offset:
+            ET.SubElement(cyc, "timeOffset").text = str(tl.time_offset)
+        if tl.position is not None:
+            pos = ET.SubElement(el, "position")
+            _pt(pos, *tl.position)
+        ET.SubElement(el, "active").text = "true" if tl.active else "false"
+
+    for inter in getattr(scenario, "intersections", []):
+        el = ET.SubElement(root, "intersection", {"id": str(inter.intersection_id)})
+        for inc in inter.incomings:
+            ie = ET.SubElement(el, "incoming", {"id": str(inc.incoming_id)})
+            for r in inc.incoming_lanelets:
+                ET.SubElement(ie, "incomingLanelet", {"ref": str(r)})
+            for tag, refs in (("successorsLeft", inc.successors_left),
+                              ("successorsRight", inc.successors_right),
+                              ("successorsStraight", inc.successors_straight)):
+                for r in refs:
+                    ET.SubElement(ie, tag, {"ref": str(r)})
 
     for ob in scenario.obstacles.values():
         tag = "dynamicObstacle" if ob.role == "dynamic" else "staticObstacle"

@@ -19,6 +19,7 @@ __all__ = [
     "make_highway", "make_curve", "make_s_curve", "make_overtake",
     "make_lane_change", "make_traffic_light", "make_stop_sign",
     "make_yield_sign", "make_lane_merge", "make_behavior_overtake",
+    "make_crosswalk", "make_intersection_crossing",
 ]
 
 
@@ -412,3 +413,44 @@ def make_intersection_crossing(arm=60.0, box=10.0, lane_width=3.6, ego_v=10.0,
     )
     return Scenario("SYN_Crossing-1", dt, lanelets, obstacles, {60000: pp},
                     intersections=[intersection])
+
+
+def make_crosswalk(length=130.0, cross_at=60.0, lane_width=3.6, ego_v=9.0,
+                   ped_v=2.0, ped_start=-10.0, dt=0.1, n_steps=300):
+    """Straight road with a crosswalk lanelet at `cross_at` and a pedestrian
+    walking across: the FSM must yield (Crosswalk states, pedestrians-only
+    clearance) until the pedestrian leaves the conflict zone."""
+    c1 = _straight(cross_at, 0.0)
+    c2 = _straight(length - cross_at, 0.0, x0=cross_at)
+    l1 = _lanelet_from_center(50000, c1, lane_width / 2, successors=[50001])
+    l2 = _lanelet_from_center(50001, c2, lane_width / 2)
+    l2.predecessors = [50000]
+    # crosswalk lanelet: 3 m wide strip crossing the road at x = cross_at
+    n = 9
+    y = np.linspace(-6.0, 6.0, n)
+    cw_center = np.stack([np.full(n, cross_at), y], axis=1)
+    cw = _lanelet_from_center(50050, cw_center, 1.5)
+    cw.lanelet_type = "crosswalk"
+    lanelets = {50000: l1, 50001: l2, 50050: cw}
+
+    # pedestrian crossing at constant speed
+    states = []
+    for t in range(n_steps + 1):
+        yp = ped_start + ped_v * dt * t
+        states.append(State(t, np.array([cross_at, yp]), np.pi / 2, float(ped_v)))
+    ped = Obstacle(
+        obstacle_id=200, obstacle_type="pedestrian", role="dynamic",
+        length=0.5, width=0.5, initial_state=states[0], trajectory=states[1:],
+    )
+
+    goal_center = np.array([length - 12.0, 0.0])
+    half = np.array([[8.0, 1.6], [8.0, -1.6], [-8.0, -1.6], [-8.0, 1.6]])
+    goal = GoalCondition(position_shape=half + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, np.array([2.0, 0.0]), 0.0, float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_Crosswalk-1", dt, lanelets, {200: ped}, {60000: pp})

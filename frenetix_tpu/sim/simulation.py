@@ -223,8 +223,17 @@ class Simulation:
     def _augment_with_agents(self, pd, for_agent: Agent):
         """Other agents appear as predicted obstacles (their executed poses,
         extrapolated at constant velocity — the analog of the reference's
-        scenario mutation + re-prediction, simulation.py:743-779)."""
-        others = [a for a in self.agents if a.id != for_agent.id]
+        scenario mutation + re-prediction, simulation.py:743-779).
+
+        Terminated agents are NOT included: in the reference a finished
+        agent's recorded trajectory simply ends, so it has no state at later
+        steps — keeping its frozen final pose as a phantom box makes
+        followers crash into a vehicle that "completed" mid-road."""
+        others = [
+            a for a in self.agents
+            if a.id != for_agent.id
+            and a.status in (AgentStatus.IDLE, AgentStatus.RUNNING)
+        ]
         if not others:
             return pd
         horizon = pd["means"].shape[1]
@@ -271,6 +280,10 @@ class Simulation:
                 continue
             for b in self.agents:
                 if b.id == a.id:
+                    continue
+                # terminated agents leave the world — the reference's agent
+                # trajectories simply end, so they have no later states
+                if b.status not in (AgentStatus.IDLE, AgentStatus.RUNNING):
                     continue
                 if _obb_overlap_np(
                     a.state.position, a.state.orientation, h_agent,

@@ -292,3 +292,26 @@ def test_e2e_overtake_via_lane_changes():
     assert ys.max() > 2.5                # used the left lane
     assert abs(ys[-1]) < 1.2             # merged back to the right lane
     assert len(ref_updates) >= 2         # out and back
+
+
+def test_e2e_crosswalk_yield():
+    """Pedestrian crossing at a crosswalk: the FSM enters the Crosswalk
+    family (pedestrians-only clearance), the ego stays behind the crossing
+    while the pedestrian is in the road, then completes."""
+    from frenetix_tpu.io.scenario_factory import make_crosswalk
+
+    res, xs, ys, vs, _ = _run(make_crosswalk)
+    assert res.success
+    assert vs.min() < 2.0                 # yielded hard
+    # pedestrian occupies the road (|y| < 2.3) for t ≈ 39..62; the ego must
+    # still be clearly before the crosswalk (x=60) then
+    assert xs[39:63].max() < 55.0
+    assert xs[-1] > 110.0
+
+
+def test_crosswalk_in_static_route_plan():
+    from frenetix_tpu.io.scenario_factory import make_crosswalk
+
+    mod, sc = _behavior_module(make_crosswalk)
+    types = [g.goal_type for g in mod.bm.PP_state.static_route_plan]
+    assert "Crosswalk" in types and "PrepareCrosswalk" in types

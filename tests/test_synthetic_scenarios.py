@@ -95,3 +95,31 @@ def test_overtake_passes_slow_lead():
     # the maneuver used the lateral range (left of the lane center at some point)
     max_y = max(s.position[1] for s in res.histories[60000])
     assert max_y > 1.0, max_y
+
+
+def test_writer_roundtrip_traffic_elements(tmp_path):
+    """Traffic signs / lights / stop lines / intersections survive an XML
+    write → parse round trip, so synthetic behavior scenarios can be
+    persisted as valid CommonRoad 2020a files."""
+    from frenetix_tpu.io.commonroad import load_scenario
+    from frenetix_tpu.io.commonroad_writer import write_scenario
+    from frenetix_tpu.io.scenario_factory import (
+        make_intersection_crossing, make_stop_sign, make_traffic_light,
+    )
+
+    for maker in (make_traffic_light, make_stop_sign, make_intersection_crossing):
+        sc = maker()
+        p = str(tmp_path / f"{sc.scenario_id}.xml")
+        write_scenario(sc, p)
+        sc2 = load_scenario(p)
+        assert len(sc2.traffic_signs) == len(sc.traffic_signs)
+        assert len(sc2.traffic_lights) == len(sc.traffic_lights)
+        assert len(sc2.intersections) == len(sc.intersections)
+        for lid, ll in sc.lanelets.items():
+            l2 = sc2.lanelets[lid]
+            assert (ll.stop_line is None) == (l2.stop_line is None)
+            if ll.stop_line is not None:
+                assert l2.stop_line.traffic_sign_refs == ll.stop_line.traffic_sign_refs
+                assert l2.stop_line.traffic_light_refs == ll.stop_line.traffic_light_refs
+        for tid, tl in sc.traffic_lights.items():
+            assert sc2.traffic_lights[tid].cycle == tl.cycle
