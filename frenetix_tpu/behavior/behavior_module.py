@@ -66,6 +66,10 @@ class BMState:
 
     ego_state: object = None
     predictions: object = None
+    # obstacle world view: the scenario by default; multi-agent sims replace
+    # it with sim.world_view.WorldView so live agents are observed instead of
+    # their stale recorded trajectories
+    world: object = None
     time_step: int = 0
 
     FSM_state: FSMState = field(default_factory=FSMState)
@@ -109,7 +113,7 @@ class BehaviorOutput:
 
 class BehaviorModule:
     def __init__(self, scenario, planning_problem, config, reference_path,
-                 route_ids, ego_id: int = -1, msg_logger=None):
+                 route_ids, ego_id: int = -1, msg_logger=None, log_path=None):
         """reference_path/route_ids: the navigation route from
         `planner.route.reference_path_for_problem` (the reference builds it
         with commonroad-route-planner, path_planner.py:143-265)."""
@@ -118,6 +122,7 @@ class BehaviorModule:
         bm.config = config
         bm.vehicle_params = config.vehicle
         bm.scenario = scenario
+        bm.world = scenario
         bm.planning_problem = planning_problem
         bm.ego_id = ego_id
         bm.dt = config.behavior.dt
@@ -149,6 +154,49 @@ class BehaviorModule:
         self.velocity_planner = VelocityPlanner(bm)
         self.flags = {"stopping_for_traffic_light": None,
                       "waiting_for_green_light": None}
+
+        # per-step behavior data log (the reference's BehaviorLogger.log_data
+        # → behavior_logs/, behavior_module.py:54,188)
+        self._log_file = None
+        if log_path is not None:
+            import csv
+            import os
+
+            os.makedirs(log_path, exist_ok=True)
+            self._log_file = open(
+                os.path.join(log_path, "behavior_log.csv"), "w", newline=""
+            )
+            self._log_writer = csv.writer(self._log_file, delimiter=";")
+            self._log_writer.writerow([
+                "time_step", "street_setting", "behavior_state_static",
+                "situation_state_static", "behavior_state_dynamic",
+                "situation_state_dynamic", "velocity", "desired_velocity",
+                "goal_velocity", "velocity_mode", "TTC", "MAX",
+                "stop_point_s", "stop_point_dist", "stop_point_mode",
+                "desired_velocity_stop_point", "lane_change_target",
+            ])
+
+    def _log_step(self, out: BehaviorOutput):
+        if self._log_file is None:
+            return
+        bm, fsm, vp = self.bm, self.bm.FSM_state, self.bm.VP_state
+        fmt = lambda v: "" if v is None else (round(v, 4) if isinstance(v, float) else v)
+        self._log_writer.writerow([
+            bm.time_step, fsm.street_setting, fsm.behavior_state_static,
+            fsm.situation_state_static, fsm.behavior_state_dynamic,
+            fsm.situation_state_dynamic, fmt(float(bm.ego_state.velocity)),
+            fmt(out.desired_velocity), fmt(vp.goal_velocity), vp.velocity_mode,
+            fmt(vp.TTC), fmt(vp.MAX), fmt(bm.stop_point_s),
+            fmt(bm.stop_point_dist), bm.stop_point_mode,
+            fmt(out.desired_velocity_stop_point),
+            fsm.lane_change_target_lanelet_id,
+        ])
+        self._log_file.flush()
+
+    def close(self):
+        if self._log_file is not None:
+            self._log_file.close()
+            self._log_file = None
 
     # ---------------------------------------------------------------- helpers
     def _street_setting(self) -> str:
@@ -206,7 +254,7 @@ class BehaviorModule:
         chain = set(consecutive_lanelet_chain(bm.scenario, bm.current_lanelet_id))
         frame = bm.PP_state.frame
         best_s = None
-        for ob in bm.scenario.dynamic_obstacles:
+        for ob in bm.world.dynamic_obstacles:
             if ob.obstacle_id == bm.ego_id:
                 continue
             st = ob.state_at_time(bm.time_step)
@@ -350,6 +398,7 @@ class BehaviorModule:
         out.stop_point_s = bm.stop_point_s
         out.desired_velocity_stop_point = float(bm.desired_velocity_stop_point or 0.0)
         out.behavior_planner_state = self._bp_state_dict()
+        self._log_step(out)
         return out
 
     def _bp_state_dict(self) -> dict:

@@ -361,7 +361,7 @@ class EgoFSM:
         chain = set(consecutive_lanelet_chain(bm.scenario, lanelet_id))
         found = {}
         ego_pos = np.asarray(bm.ego_state.position)
-        for ob in bm.scenario.dynamic_obstacles:
+        for ob in bm.world.dynamic_obstacles:
             if ob.obstacle_id == bm.ego_id:
                 continue
             st = ob.state_at_time(bm.time_step)
@@ -424,7 +424,7 @@ class EgoFSM:
         if goal is None or goal.stop_point_s is None:
             return True
         p_stop = bm.PP_state.frame.to_cartesian(goal.stop_point_s)
-        for ob in bm.scenario.dynamic_obstacles:
+        for ob in bm.world.dynamic_obstacles:
             if ob.obstacle_id == bm.ego_id:
                 continue
             if pedestrians_only and ob.obstacle_type != "pedestrian":
@@ -695,7 +695,7 @@ def _situation_overtake(ego: EgoFSM, state):
         fsm.initiated_lane_change = None
         fsm.do_lane_change = False
     if state == "Overtaking" and fsm.overtake_target_obstacle_id is not None:
-        ob = bm.scenario.obstacles.get(fsm.overtake_target_obstacle_id)
+        ob = bm.world.obstacles.get(fsm.overtake_target_obstacle_id)
         st = ob.state_at_time(bm.time_step) if ob is not None else None
         if st is not None:
             s_obs = bm.PP_state.frame.project_s(st.position)

@@ -160,10 +160,15 @@ class Agent:
             # behavior timing follows the planner (frenet_interface.py:117-118)
             config.behavior.dt = config.planning.dt
             config.behavior.replanning_frequency = config.planning.replanning_frequency
+            behavior_log = None
+            if log_dir is not None and config.debug.activate_logging:
+                import os as _os
+
+                behavior_log = _os.path.join(log_dir, str(agent_id))
             self.behavior = BehaviorModule(
                 scenario, planning_problem, config,
                 reference_path=polyline, route_ids=self.route,
-                ego_id=agent_id, msg_logger=msg_logger,
+                ego_id=agent_id, msg_logger=msg_logger, log_path=behavior_log,
             )
 
     # ------------------------------------------------------------------ goal

@@ -106,6 +106,14 @@ class Simulation:
 
         self.agent_obstacle_ids = {a.id for a in self.agents}
 
+        if self.config.behavior.use_behavior_planner and len(self.agents) > 1:
+            # behavior perception must observe LIVE peers, not the stale
+            # recorded trajectories of agent-converted obstacles — the
+            # combination the reference does not support (behavior.yaml:2)
+            from frenetix_tpu.sim.world_view import attach_world_views
+
+            attach_world_views(self)
+
     # ----------------------------------------------------------- multi-agent
     def _create_obstacle_agents(self):
         """Convert dynamic obstacles into planning agents: goal region from the

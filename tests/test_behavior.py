@@ -315,3 +315,76 @@ def test_crosswalk_in_static_route_plan():
     mod, sc = _behavior_module(make_crosswalk)
     types = [g.goal_type for g in mod.bm.PP_state.static_route_plan]
     assert "Crosswalk" in types and "PrepareCrosswalk" in types
+
+
+def test_multiagent_behavior_planners():
+    """Behavior planner + multi-agent — the combination the reference
+    explicitly does not support (behavior.yaml:2 'works only without
+    multiagent'): all six T-junction agents run their own behavior planner
+    over a live world view (sim.world_view) and reach their goals."""
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import load_config
+
+    sc = load_scenario(REF_SCENARIO)
+    cfg = load_config()
+    cfg.dtype = "float64"
+    cfg.simulation.start_multiagent = True
+    cfg.behavior.use_behavior_planner = True
+    sim = Simulation(sc, cfg)
+    assert len(sim.agents) == 6
+    assert all(a.behavior is not None for a in sim.agents)
+    # the world view substitutes live peers for agent-converted obstacles
+    from frenetix_tpu.sim.world_view import WorldView
+
+    assert all(isinstance(a.behavior.bm.world, WorldView) for a in sim.agents)
+    res = sim.run()
+    assert res.success, res.agent_messages
+
+
+def test_world_view_live_states():
+    """WorldView exposes agents' executed states instead of the scenario's
+    stale recorded trajectories."""
+    import numpy as np
+
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.sim.world_view import WorldView
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.simulation.start_multiagent = True
+    sim = Simulation(make_highway(n_steps=40), cfg)
+    ego, lead = sim.agents
+    wv = WorldView(sim.scenario, sim.agents, exclude_id=ego.id)
+    # the lead agent (converted from obstacle 100) appears as itself...
+    assert lead.id in wv.obstacles
+    # ...and its state comes from the agent record, not the recording
+    st = wv.obstacles[lead.id].state_at_time(0)
+    np.testing.assert_allclose(st.position, lead.record.states[0].position)
+    # no future states exist for live agents
+    assert wv.obstacles[lead.id].state_at_time(5) is None
+    # the ego itself is excluded
+    assert ego.id not in wv.obstacles
+
+
+def test_behavior_log_written(tmp_path):
+    """Per-agent behavior data log (the reference's BehaviorLogger.log_data)
+    is written when logging is active."""
+    import os
+
+    from frenetix_tpu.io.scenario_factory import make_traffic_light
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.behavior.use_behavior_planner = True
+    sim = Simulation(make_traffic_light(), cfg, log_dir=str(tmp_path))
+    sim.run()
+    p = tmp_path / "60000" / "behavior_log.csv"
+    assert p.is_file()
+    lines = p.read_text().splitlines()
+    assert len(lines) > 10
+    assert lines[0].startswith("time_step;street_setting;behavior_state_static")
+    # the red-light hold shows up in the log
+    assert any("WaitingForGreenLight" in ln for ln in lines)
