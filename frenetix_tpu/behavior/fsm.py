@@ -30,7 +30,7 @@ stopping_point) behaves as specified for every state family.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -18,8 +18,6 @@ helper_functions.py:397-470 (`create_consecutive_lanelet_id_list`,
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from frenetix_tpu.behavior.frame import HostFrame

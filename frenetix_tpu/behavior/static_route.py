@@ -13,7 +13,7 @@ ego's current s-position is the `current_static_goal`.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -16,8 +16,6 @@ observable up to "now", like the reference's ended trajectories).
 """
 from __future__ import annotations
 
-import numpy as np
-
 __all__ = ["WorldView", "attach_world_views"]
 
 
