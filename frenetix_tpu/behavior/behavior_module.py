@@ -322,7 +322,14 @@ class BehaviorModule:
 
     # ---------------------------------------------------------------- execute
     def execute(self, predictions, ego_state, time_step: int) -> BehaviorOutput:
-        """One behavior step (behavior_module.py:113-190)."""
+        """One behavior step (behavior_module.py:113-190).
+
+        Idempotent per time step: a second call at the same step returns the
+        cached output without advancing the FSM (the batched agent stepper
+        runs behavior ahead of the fused cycle; host-fallback agents would
+        otherwise execute it twice per step)."""
+        if getattr(self, "_last_step", None) == int(time_step):
+            return self._last_out
         bm = self.bm
         bm.predictions = predictions
         bm.ego_state = ego_state
@@ -399,6 +406,7 @@ class BehaviorModule:
         out.desired_velocity_stop_point = float(bm.desired_velocity_stop_point or 0.0)
         out.behavior_planner_state = self._bp_state_dict()
         self._log_step(out)
+        self._last_step, self._last_out = int(time_step), out
         return out
 
     def _bp_state_dict(self) -> dict:

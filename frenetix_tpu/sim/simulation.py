@@ -328,6 +328,7 @@ class Simulation:
                     from frenetix_tpu.parallel.mesh import make_agent_mesh
 
                     mesh = make_agent_mesh(devs[:n_use])
+            self._batched_mesh = mesh
             self._batched_stepper = BatchedAgentStepper(
                 self.config, self.agents, mesh=mesh
             )
@@ -351,8 +352,57 @@ class Simulation:
 
         low_thr = self.config.planning.low_vel_mode_threshold
         replanners = [a for a in active if a.needs_replan()]
-        batchable = [a for a in replanners if a.state.velocity >= low_thr]
-        host_only = [a for a in replanners if a.state.velocity < low_thr]
+
+        # behavior planners run on host ahead of the fused batch (they are
+        # sequential control logic); their outputs feed the device cycle.
+        # Stopping-mode agents (armed stop point → quintic sampling, a
+        # different static flag) fall back to the host path this step; a
+        # reference-path change invalidates the stacked tables.
+        behavior_v_des = {}
+        behavior_forced_host = set()
+        for a in replanners:
+            if a.behavior is None:
+                continue
+            b_out = a.behavior.execute(None, a.state, a.state.time_step)
+            if b_out.reference_path is not None:
+                a.planner.set_reference_path(
+                    b_out.reference_path, self.scenario.drivable_polygons(),
+                    lanelets=list(self.scenario.lanelets.values())
+                    if self.config.cost_weights.get("lane_center_offset", 0) != 0
+                    else None,
+                )
+                a.x_cl = None
+                a._goal_s = a._compute_goal_s()
+                if hasattr(self, "_batched_stepper"):
+                    del self._batched_stepper   # stacked ref tables changed
+                    stepper = None
+            a.planner.set_desired_velocity(b_out.desired_velocity)
+            a.planner.set_stop_point(
+                None if b_out.stop_point_s is None
+                else b_out.stop_point_s - self.config.vehicle.wb_rear_axle,
+                b_out.desired_velocity_stop_point,
+            )
+            behavior_v_des[a.id] = b_out.desired_velocity
+            a.ensure_x_cl()
+            if (a.planner.stop_point is not None
+                    and a.planner.stop_point[1] < 10.0
+                    and a.planner.stop_point[0] > a.x_cl[0][0]):
+                behavior_forced_host.add(a.id)
+        if stepper is None:
+            from frenetix_tpu.parallel.batched_sim import BatchedAgentStepper
+
+            self._batched_stepper = BatchedAgentStepper(
+                self.config, self.agents,
+                mesh=getattr(self, "_batched_mesh", None),
+            )
+            stepper = self._batched_stepper
+
+        batchable = [a for a in replanners
+                     if a.state.velocity >= low_thr
+                     and a.id not in behavior_forced_host]
+        host_only = [a for a in replanners
+                     if a.state.velocity < low_thr
+                     or a.id in behavior_forced_host]
 
         # progressive densification stays batched: agents that miss at one
         # sampling level re-run in the next level's batch
@@ -374,7 +424,7 @@ class Simulation:
                     x0_lon=a.x_cl[0], x0_lat=a.x_cl[1], dtype=stepper.np_dtype,
                 )
                 mats[a.id] = m
-                v_des[a.id] = a.desired_velocity()
+                v_des[a.id] = behavior_v_des.get(a.id, a.desired_velocity())
                 x0_th[a.id] = a.state.orientation
                 max_m = max(max_m, len(m))
             bucket = self.config.debug.matrix_bucket

@@ -388,3 +388,22 @@ def test_behavior_log_written(tmp_path):
     assert lines[0].startswith("time_step;street_setting;behavior_state_static")
     # the red-light hold shows up in the log
     assert any("WaitingForGreenLight" in ln for ln in lines)
+
+
+def test_multiagent_behavior_batched():
+    """Behavior planners + multi-agent + the fused device batch: behavior
+    logic runs on host ahead of the batch (stopping-mode agents fall back to
+    the host path; reference-path changes rebuild the stacked tables) and all
+    six T-junction agents still succeed."""
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import load_config
+
+    sc = load_scenario(REF_SCENARIO)
+    cfg = load_config()
+    cfg.dtype = "float64"
+    cfg.simulation.start_multiagent = True
+    cfg.simulation.batched_device_agents = True
+    cfg.behavior.use_behavior_planner = True
+    res = Simulation(sc, cfg).run()
+    assert res.success, res.agent_messages
