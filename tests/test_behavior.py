@@ -407,3 +407,36 @@ def test_multiagent_behavior_batched():
     cfg.behavior.use_behavior_planner = True
     res = Simulation(sc, cfg).run()
     assert res.success, res.agent_messages
+
+
+def test_batched_behavior_lane_change_rebuilds_tables():
+    """A behavior-initiated lane change inside the fused batch invalidates
+    the stacked reference tables (the stepper is rebuilt) and the maneuver
+    still completes with a second agent in the batch."""
+    from frenetix_tpu.io.scenario_factory import make_lane_change
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+    import frenetix_tpu.parallel.batched_sim as bs
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.behavior.use_behavior_planner = True
+    cfg.simulation.start_multiagent = True
+    cfg.simulation.batched_device_agents = True
+    sim = Simulation(make_lane_change(with_traffic=True), cfg)
+
+    builds = []
+    orig = bs.BatchedAgentStepper.__init__
+
+    def traced(self, *a, **k):
+        builds.append(1)
+        return orig(self, *a, **k)
+
+    bs.BatchedAgentStepper.__init__ = traced
+    try:
+        res = sim.run()
+    finally:
+        bs.BatchedAgentStepper.__init__ = orig
+    assert res.success, res.agent_messages
+    assert len(builds) >= 2        # initial build + ref-path invalidation
+    ys = np.array([s.position[1] for s in sim.agents[0].record.states])
+    assert ys[-1] > 3.0            # ego finished on the left lane
