@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-from frenetix_tpu.behavior.fsm import EgoFSM, FSMState
+from frenetix_tpu.behavior.fsm import _STOPLINE_STATES, EgoFSM, FSMState
 from frenetix_tpu.behavior.path_planner import PathPlanner, route_lane_changes
 from frenetix_tpu.behavior.static_route import StaticGoal, build_static_route_plan
 from frenetix_tpu.behavior.velocity_planner import VelocityPlanner, VPState, stop_distance
@@ -473,11 +473,11 @@ class BehaviorModule:
                 bm.stop_point_dist = bm.stop_point_s - bm.ref_position_s
                 bm.stop_point_mode = "s-pos: current position | vel: 0"
                 return
-            if not situation.startswith("Waiting"):
-                bm.hold_stop_s = None
-            else:  # ContinueDriving / unknown
+            else:  # ContinueDriving / unknown (behavior_module.py:300-305)
                 bm.stop_point_s = max(comfort_s, default_time_s)
                 bm.desired_velocity_stop_point = vp.goal_velocity
+            # the latched Waiting hold ends with any non-Waiting situation
+            bm.hold_stop_s = None
         else:
             bm.stop_point_s = max(comfort_s, default_time_s)
             bm.desired_velocity_stop_point = vp.goal_velocity
@@ -590,7 +590,7 @@ class BehaviorModule:
         return final_s, final_v, v_adapt_s
 
 
-_ARMED_STATIC_STATES = (
-    "PrepareTrafficLight", "TrafficLight", "PrepareCrosswalk", "Crosswalk",
-    "PrepareYieldSign", "YieldSign", "PrepareStopSign", "StopSign",
-)
+# the stop-point calculator arms on exactly the states whose exit clears the
+# hold flags — ONE tuple, owned by the FSM (a diverging copy would let arming
+# and clearing desynchronize)
+_ARMED_STATIC_STATES = _STOPLINE_STATES

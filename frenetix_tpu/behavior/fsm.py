@@ -394,10 +394,11 @@ class EgoFSM:
         frame = bm.PP_state.frame
         L, v_ego = bm.vehicle_params.length, bm.ego_state.velocity
         fsm.free_space_offset = 0.0
+        # the projection is independent of the ego offset — hoist it
+        s_obs_all = [frame.project_s(st.position) for st, _ob in obstacles.values()]
         for off in offsets:
             free = True
-            for st, _ob in obstacles.values():
-                s_obs = frame.project_s(st.position)
+            for s_obs in s_obs_all:
                 ref_s = bm.ref_position_s + off
                 if s_obs <= ref_s:
                     if not (s_obs < ref_s - L / 2 - v_ego / 2 * risk):

@@ -6,7 +6,6 @@ from frenetix_tpu.parallel.mesh import (  # noqa: F401
     concat_obstacles,
     make_agent_mesh,
     sharded_full_cycle,
-    stack_contexts,
     stack_cycle_contexts,
 )
 from frenetix_tpu.parallel.distributed import (  # noqa: F401

@@ -36,7 +36,6 @@ from frenetix_tpu.planner.core import CycleContext, evaluate_cycle
 
 __all__ = [
     "make_agent_mesh",
-    "stack_contexts",
     "stack_cycle_contexts",
     "batched_full_cycle",
     "sharded_full_cycle",
@@ -74,27 +73,6 @@ def _pad_table(a, r_max, is_pathlength=False):
         step = a[-1] - a[-2]
         return np.concatenate([a, a[-1] + step * np.arange(1, k + 1)])
     return np.concatenate([a, np.repeat(a[-1:], k, axis=0)])
-
-
-def stack_contexts(refs, x0_orientations, desired_velocities, preds, weights):
-    """Host helper: per-agent RefPathTables (padded to common R by repeating the
-    last vertex) + scalars → pytrees with a leading agent axis."""
-    import numpy as np
-
-    r_max = max(r.s.shape[0] for r in refs)
-
-    def pad_field(name):
-        return np.stack([
-            _pad_table(getattr(r, name), r_max, is_pathlength=(name == "s"))
-            for r in refs
-        ])
-
-    stacked_ref = RefPathTable(
-        xy=pad_field("xy"), s=pad_field("s"), theta=pad_field("theta"),
-        kappa=pad_field("kappa"), kappa_d=pad_field("kappa_d"),
-        kappa_dd=pad_field("kappa_dd"),
-    )
-    return stacked_ref, jnp.asarray(x0_orientations), jnp.asarray(desired_velocities)
 
 
 def stack_cycle_contexts(ctxs: list[CycleContext]) -> CycleContext:

@@ -188,13 +188,16 @@ class ReachSetGrid(NamedTuple):
 
     occupancy[o, t, i, j] — cell (i, j) of obstacle o's grid is reachable at
     reach-set step t.  Grid cell (i, j) covers world position
-    origin[o] + (i − G/2 + 0.5, j − G/2 + 0.5) · cell.
+    origin[o] + (i − G/2 + 0.5, j − G/2 + 0.5) · cell[o].  The cell size is
+    per-obstacle: it grows with the obstacle's speed so the grid always
+    covers the full t_max reach (a fixed extent would silently truncate fast
+    obstacles' reach sets and wrongly subtract their risk).
     """
 
     origin: jnp.ndarray      # (O, 2) grid centers (obstacle positions)
     occupancy: jnp.ndarray   # (O, T_rs, G, G) bool
     valid: jnp.ndarray       # (O,) bool
-    cell: float
+    cell: jnp.ndarray        # (O,) meters per cell
     dt_rs: float
 
 
@@ -222,17 +225,23 @@ def build_reach_set_grids(
     o = len(positions)
     t_steps = len(np.arange(0.0, t_max + dt_rs / 2, dt_rs))
     occ = np.zeros((o, t_steps, grid_n, grid_n), bool)
+    cells = np.full(o, float(cell))
 
-    # cell centers in grid-local coordinates, (G*G, 2)
-    axis = (np.arange(grid_n) - grid_n / 2 + 0.5) * cell
+    # unit cell centers in grid-local coordinates, (G*G, 2)
+    axis = np.arange(grid_n) - grid_n / 2 + 0.5
     gx, gy = np.meshgrid(axis, axis, indexing="ij")
-    local_cells = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    unit_cells = np.stack([gx.ravel(), gy.ravel()], axis=1)
 
     for k in range(o):
         if not valid[k]:
             continue
         pos = np.asarray(positions[k], dtype=np.float64)
-        cells_world = local_cells + pos[None]
+        # per-obstacle cell size: the grid half-extent must cover the full
+        # t_max reach (v·t + a·t²/2 + vehicle length + margin)
+        reach = (max(float(velocities[k]), 0.0) * t_max
+                 + 0.5 * a_max * t_max**2 + float(lengths[k]) + 2.0)
+        cells[k] = max(float(cell), 2.0 * reach / grid_n)
+        cells_world = unit_cells * cells[k] + pos[None]
 
         # lanelet closure of the obstacle's current lanelet(s)
         start_ids = scenario.find_lanelets_by_position(pos) if scenario else []
@@ -256,7 +265,7 @@ def build_reach_set_grids(
         origin=jnp.asarray(np.asarray(positions, dtype=np.float64)),
         occupancy=jnp.asarray(occ),
         valid=jnp.asarray(np.asarray(valid, bool)),
-        cell=float(cell),
+        cell=jnp.asarray(cells),
         dt_rs=float(dt_rs),
     )
 
@@ -271,7 +280,8 @@ def points_in_reach_grids(points, step_idx, grid: ReachSetGrid):
     t_rs = grid.occupancy.shape[1]
     step_idx = jnp.clip(step_idx, 0, t_rs - 1)
     rel = points[..., None, :, :] - grid.origin[:, None, :]      # (..., O, N, 2)
-    ij = jnp.floor(rel / grid.cell + g / 2.0).astype(jnp.int32)  # (..., O, N, 2)
+    cell = jnp.asarray(grid.cell).reshape(-1)[:, None, None]     # (O, 1, 1)
+    ij = jnp.floor(rel / cell + g / 2.0).astype(jnp.int32)       # (..., O, N, 2)
     inb = jnp.all((ij >= 0) & (ij < g), axis=-1)
     i = jnp.clip(ij[..., 0], 0, g - 1)
     j = jnp.clip(ij[..., 1], 0, g - 1)
@@ -308,15 +318,16 @@ def responsibility_reach_grid(ro, grid: ReachSetGrid, risks, dt: float):
 # ---------------------------------------------------------------------------
 
 
-def reach_set_params(preds, *, a_max=7.0, yaw_spread_rate=0.35):
+def reach_set_params(preds, *, a_max=7.0, yaw_spread_rate=0.35, dt=0.1):
     """Per-(obstacle, timestep) reach-set parameters from current obstacle
     states: radius interval [r_min, r_max] and heading spread at each future
     step.  preds: PredictionTensors (uses step-0 pose/velocity only — reach
-    sets bound what the obstacle COULD do, not the prediction)."""
+    sets bound what the obstacle COULD do, not the prediction).  `dt` is the
+    prediction step length (the planner's dt)."""
     o, t_pred = preds.orientations.shape
     dt_steps = jnp.arange(1, t_pred + 1, dtype=preds.means.dtype)
     v0 = preds.velocities[:, 0][:, None]           # (O, 1)
-    tt = dt_steps[None, :] * 0.1                   # (1, T) horizon seconds
+    tt = dt_steps[None, :] * dt                    # (1, T) horizon seconds
     r_max = v0 * tt + 0.5 * a_max * tt**2
     r_min = jnp.maximum(v0 * tt - 0.5 * a_max * tt**2, 0.0)
     spread = jnp.minimum(yaw_spread_rate * tt, jnp.pi / 2)
@@ -343,14 +354,14 @@ def point_in_reach_set(points, rs):
     return inside
 
 
-def responsibility_reach_set(ro, preds, risks):
+def responsibility_reach_set(ro, preds, risks, dt=0.1):
     """(M,) responsibility cost via sector-annulus reach sets."""
     o = preds.num_obstacles
     m = ro.x.shape[0]
     if o == 0:
         return jnp.zeros(m, ro.x.dtype)
     t = min(ro.x.shape[1] - 1, preds.horizon)
-    rs = reach_set_params(preds)
+    rs = reach_set_params(preds, dt=dt)
     ego = jnp.stack([ro.x[:, 1 : t + 1], ro.y[:, 1 : t + 1]], axis=-1)  # (M, t, 2)
     inside = point_in_reach_set(ego, {
         k: (v[:, :t] if getattr(v, "ndim", 0) == 2 else v) for k, v in rs.items()

@@ -56,7 +56,7 @@ def filter_cone_angle(scenario, ids, ego_position, ego_orientation, time_step,
 def visible_obstacles(scenario, ego_id, ego_state, time_step, *, sensor_radius=50.0,
                       occlusions=True, cone_filter=True, veh_length=4.508,
                       cone_angle=20.0, cone_safety_dist=6.0, agent_ids=(),
-                      return_area=False):
+                      return_area=False, road_segments=None, extra_occluders=()):
     """Full sensor pipeline: radius → rear-cone → visible-area occlusion.
 
     The occlusion stage uses the polar visible-area model
@@ -83,7 +83,8 @@ def visible_obstacles(scenario, ego_id, ego_state, time_step, *, sensor_radius=5
 
     area = compute_visible_area(
         scenario, ego_id, pos, time_step, sensor_radius,
-        agent_ids=agent_ids,
+        agent_ids=agent_ids, road_segments=road_segments,
+        extra_occluders=extra_occluders,
     )
     visible = []
     for oid in ids:

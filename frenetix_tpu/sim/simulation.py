@@ -214,6 +214,20 @@ class Simulation:
             return pd
         from frenetix_tpu.sim.sensor_model import visible_obstacles
 
+        if pcfg.calc_occlusions and not hasattr(self, "_road_segments"):
+            # static geometry — dissolve the lanelet-union boundary ONCE
+            from frenetix_tpu.sim.visible_area import road_boundary_segments
+
+            self._road_segments = road_boundary_segments(self.scenario)
+        # other agents' LIVE poses still occlude even though their scenario
+        # trajectories went stale when they became agents
+        veh = self.config.vehicle
+        extra = [
+            (a.state.position, a.state.orientation, veh.length, veh.width)
+            for a in self.agents
+            if a.id != agent.id
+            and a.status in (AgentStatus.IDLE, AgentStatus.RUNNING)
+        ]
         vis = set(visible_obstacles(
             self.scenario, agent.id, agent.state, agent.state.time_step,
             sensor_radius=pcfg.sensor_radius,
@@ -222,6 +236,8 @@ class Simulation:
             cone_angle=pcfg.cone_angle,
             cone_safety_dist=pcfg.cone_safety_dist,
             agent_ids=self.agent_obstacle_ids,
+            road_segments=getattr(self, "_road_segments", None),
+            extra_occluders=extra,
         ))
         for k, oid in enumerate(ids[: pd["valid"].shape[0]]):
             if oid not in vis:

@@ -149,11 +149,17 @@ def compute_visible_area(
     road_segments: np.ndarray = None,
     include_obstacles: bool = True,
     agent_ids=(),
+    extra_occluders=(),
 ) -> VisibleArea:
     """Full visible-area model: road walls + obstacle shadows.
 
     `road_segments` can be precomputed once per scenario
     (road_boundary_segments) — it is static geometry.
+
+    `extra_occluders`: iterable of (position, orientation, length, width) for
+    occluders that are not scenario obstacles — in multi-agent runs the other
+    agents' LIVE poses (their scenario trajectories are stale once converted
+    to agents, yet their vehicles still block sight).
     """
     if road_segments is None:
         road_segments = road_boundary_segments(scenario)
@@ -172,6 +178,11 @@ def compute_visible_area(
             segs.append(obstacle_obb_segments(
                 st.position, st.orientation, ob.length, ob.width
             ))
+    for pos, orient, length, width in extra_occluders:
+        if np.linalg.norm(np.asarray(pos) - np.asarray(ego_position)) \
+                > sensor_radius + max(length, width):
+            continue
+        segs.append(obstacle_obb_segments(pos, orient, length, width))
     all_segs = np.concatenate(segs, axis=0) if segs else np.zeros((0, 2, 2))
     phi, r_vis = polar_visibility(ego_position, all_segs, sensor_radius, n_rays)
     return VisibleArea(ego_position, phi, r_vis)

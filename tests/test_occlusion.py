@@ -190,3 +190,33 @@ def test_visible_obstacles_with_area_model():
     assert area is not None
     poly = area.polygon()
     assert poly.shape[1] == 2 and len(poly) >= 360
+
+
+def test_extra_occluders_block_sight():
+    """Live-agent poses passed as extra occluders cast shadows like scenario
+    obstacles (multi-agent occlusion fix: agent-converted obstacles' scenario
+    trajectories are stale, so their live poses must occlude instead)."""
+    from frenetix_tpu.io.commonroad import Obstacle, State
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim.sensor_model import visible_obstacles
+
+    sc = make_highway()
+    del sc.obstacles[100]
+    # a static target straight ahead at 40 m
+    st = State(0, np.array([40.0, 0.0]), 0.0, 0.0)
+    sc.obstacles[301] = Obstacle(
+        obstacle_id=301, obstacle_type="car", role="static",
+        length=4.5, width=2.0, initial_state=st,
+    )
+
+    class Ego:
+        position = np.array([0.0, 0.0])
+        orientation = 0.0
+
+    kw = dict(sensor_radius=60.0, occlusions=True, cone_filter=False)
+    assert 301 in visible_obstacles(sc, 60000, Ego(), 0, **kw)
+    # a live vehicle at 20 m on the same ray (not a scenario obstacle)
+    blocker = [(np.array([20.0, 0.0]), 0.0, 4.5, 2.0)]
+    assert 301 not in visible_obstacles(
+        sc, 60000, Ego(), 0, extra_occluders=blocker, **kw
+    )
