@@ -280,33 +280,53 @@ class Measures:
         return np.maximum(ttc, 0.0)
 
     def tet(self):
-        """Per-step indicator·dt of TTC < tau (TET = its sum)."""
-        return (self.ttc() < self.tau).astype(float) * self.dt
+        """Time exposed TTC from each step onward: future-cumulative
+        Σ dt over steps with TTC ≤ tau, normalized by episode length
+        (metrics.py:475-488)."""
+        exposed = (self.ttc() <= self.tau).astype(float) * self.dt
+        future = np.cumsum(exposed[::-1])[::-1]
+        span = max(len(self.states) - 1, 1)
+        return future / span
 
     def tit(self):
-        """Per-step ∫(1/TTC - 1/tau)dt contribution for TTC < tau."""
+        """Time integrated TTC from each step onward: future-cumulative
+        Σ (tau − TTC)·dt over steps with TTC ≤ tau (metrics.py:460-473)."""
         ttc = self.ttc()
-        mask = (ttc < self.tau) & (ttc > 1e-6)
-        out = np.zeros_like(ttc)
-        out[mask] = (1.0 / ttc[mask] - 1.0 / self.tau) * self.dt
-        return out
+        contrib = np.where(ttc <= self.tau, (self.tau - ttc) * self.dt, 0.0)
+        contrib = np.where(np.isfinite(contrib), contrib, 0.0)
+        return np.cumsum(contrib[::-1])[::-1]
+
+    def _future_min_distance(self):
+        """(dce (T,), t_of_min (T,)) — minimum inter-vehicle distance over the
+        FUTURE [t, end] and the step it occurs at (metrics.py:410-442)."""
+        rel = self._relative_states()
+        t_len = len(self.states)
+        if rel.shape[1] == 0:
+            return np.full(t_len, np.inf), np.full(t_len, np.inf)
+        d = np.nanmin(np.where(np.isnan(rel[:, :, 0]), np.inf, rel[:, :, 0]), axis=1)
+        dce = np.empty(t_len)
+        t_min = np.empty(t_len)
+        best, best_t = np.inf, np.inf
+        for i in range(t_len - 1, -1, -1):
+            if d[i] < best:
+                best, best_t = d[i], self.t_steps[i]
+            dce[i] = best
+            t_min[i] = best_t
+        return dce, t_min
 
     def dce(self):
-        """Distance of closest encounter up to each step (running min)."""
-        rel = self._relative_states()
-        if rel.shape[1] == 0:
-            return np.full(len(self.states), np.inf)
-        d = np.nanmin(np.where(np.isnan(rel[:, :, 0]), np.inf, rel[:, :, 0]), axis=1)
-        return np.minimum.accumulate(d)
+        """Distance of closest encounter over the future from each step
+        (reversed running min, metrics.py:410-442)."""
+        return self._future_min_distance()[0]
 
     def ttce(self):
-        """Time (steps·dt) until the closest encounter from each step."""
-        rel = self._relative_states()
-        if rel.shape[1] == 0:
-            return np.full(len(self.states), np.inf)
-        d = np.nanmin(np.where(np.isnan(rel[:, :, 0]), np.inf, rel[:, :, 0]), axis=1)
-        t_min = int(np.argmin(d))
-        return np.maximum((t_min - np.arange(len(d))) * self.dt, 0.0)
+        """Time until the future closest encounter from each step
+        ((t_min_dce − t)·dt, metrics.py:444-458)."""
+        dce, t_min = self._future_min_distance()
+        with np.errstate(invalid="ignore"):
+            return np.where(
+                np.isfinite(t_min), (t_min - self.t_steps) * self.dt, np.inf
+            )
 
     def a_long_req(self):
         """Deceleration required to match the leader's speed within the gap:
@@ -472,7 +492,9 @@ class Measures:
             obs_in, obs_out = self._ca_times(
                 ego_rings, obs_rings, ob.state_at_time, ob.length, ob.width
             )
-            et = ego_out - ego_in
+            # guard BEFORE subtracting: inf - inf = NaN would poison min()
+            et = ego_out - ego_in if np.isfinite(ego_in) and np.isfinite(ego_out) \
+                else np.inf
             if np.isinf(ego_in) or np.isinf(ego_out) or np.isinf(obs_in) \
                     or np.isinf(obs_out):
                 pet, pet_step = np.inf, np.inf

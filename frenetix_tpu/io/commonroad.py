@@ -486,6 +486,9 @@ def _parse_planning_problem(el, lanelets) -> PlanningProblem:
         if pos is not None:
             g.position_lanelets = [int(l.attrib["ref"]) for l in pos.findall("lanelet")]
             rect = pos.find("rectangle")
+            circ = pos.find("circle")
+            poly = pos.find("polygon")
+            point = pos.find("point")
             if rect is not None:
                 length = float(rect.findtext("length"))
                 width = float(rect.findtext("width"))
@@ -503,6 +506,25 @@ def _parse_planning_problem(el, lanelets) -> PlanningProblem:
                     [[length, width], [length, -width], [-length, -width], [-length, width]]
                 ) / 2.0
                 g.position_shape = (half @ rot.T) + np.array([cx, cy])
+            elif circ is not None:
+                r = float(circ.findtext("radius"))
+                c_el = circ.find("center")
+                cx = float(c_el.findtext("x")) if c_el is not None else 0.0
+                cy = float(c_el.findtext("y")) if c_el is not None else 0.0
+                ang = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+                g.position_shape = np.stack(
+                    [cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1
+                )
+            elif poly is not None:
+                g.position_shape = _points(poly)
+            elif point is not None:
+                cx = float(point.findtext("x"))
+                cy = float(point.findtext("y"))
+                half = 0.25  # point goal → small square tolerance region
+                g.position_shape = np.array([
+                    [cx - half, cy - half], [cx + half, cy - half],
+                    [cx + half, cy + half], [cx - half, cy + half],
+                ])
         ti = _interval(goal_el, "time")
         if ti is not None:
             g.time_interval = (int(ti[0]), int(ti[1]))

@@ -78,6 +78,15 @@ class ReactivePlanner:
         import jax.numpy as jnp
 
         self.config = config
+        if config.planning.sampling_min >= config.planning.sampling_max:
+            # the densification loop bound is exclusive (reference
+            # planning.yaml levels 2→3); an empty range would dereference a
+            # never-run cycle — fail loudly at construction instead
+            raise ValueError(
+                f"planning.sampling_min ({config.planning.sampling_min}) must "
+                f"be < planning.sampling_max ({config.planning.sampling_max}) "
+                "— the max bound is exclusive"
+            )
         self.jnp = jnp
         self.dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
         self.np_dtype = np.float64 if config.dtype == "float64" else np.float32

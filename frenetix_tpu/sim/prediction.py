@@ -19,7 +19,8 @@ import numpy as np
 
 from frenetix_tpu.ops.costs import PredictionTensors
 
-__all__ = ["ground_truth_predictions", "constant_velocity_predictions", "to_device"]
+__all__ = ["ground_truth_predictions", "constant_velocity_predictions",
+           "extrapolate_constant_velocity", "to_device"]
 
 
 def _enrich_orientation(means: np.ndarray, fallback: float) -> np.ndarray:
@@ -94,6 +95,16 @@ def ground_truth_predictions(
     )
 
 
+def extrapolate_constant_velocity(position, orientation, velocity, horizon,
+                                  dt):
+    """(T, 2) straight-line means from one pose — the single source for the
+    constant-velocity model (used for both scenario obstacles and live
+    agent-as-obstacle rows)."""
+    steps = np.arange(1, horizon + 1)
+    heading = np.array([np.cos(orientation), np.sin(orientation)])
+    return np.asarray(position)[None] + (velocity * dt * steps)[:, None] * heading[None]
+
+
 def constant_velocity_predictions(
     scenario, obstacle_ids, current_step, horizon, *, dt,
     cov_pos=0.5, cov_growth=0.05, max_obstacles=16, dtype=np.float32,
@@ -115,8 +126,9 @@ def constant_velocity_predictions(
         st = ob.state_at_time(current_step)
         if st is None:
             continue
-        heading = np.array([np.cos(st.orientation), np.sin(st.orientation)])
-        means[k] = st.position[None] + (st.velocity * dt * steps)[:, None] * heading[None]
+        means[k] = extrapolate_constant_velocity(
+            st.position, st.orientation, st.velocity, horizon, dt
+        )
         orientations[k] = st.orientation
         velocities[k] = st.velocity
         var = cov_pos + cov_growth * steps * dt

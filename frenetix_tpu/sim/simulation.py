@@ -84,6 +84,16 @@ class Simulation:
             self.max_steps = self.config.simulation.fallback_max_steps
 
         if (self.config.simulation.batched_device_agents
+                and self.config.cost_weights.get("responsibility", 0.0) != 0.0):
+            # the reach-set responsibility term is a host-side post-pass
+            # (planner._apply_responsibility); the fused batch would silently
+            # select without it while host-fallback agents select with it
+            raise ValueError(
+                "batched_device_agents is incompatible with a non-zero "
+                "responsibility cost weight (host-side reach-set post-pass); "
+                "disable one of them"
+            )
+        if (self.config.simulation.batched_device_agents
                 and self.config.occlusion.use_occlusion_module):
             # the occlusion safety gate re-selects on host per agent
             # (planner.set_occlusion_module); silently dropping it in the
@@ -95,7 +105,6 @@ class Simulation:
             )
 
         self.agents: list[Agent] = []
-        ego_id = self.config.simulation.ego_agent_id
         for pid, pp in scenario.planning_problems.items():
             self.agents.append(
                 Agent(pid, pp, scenario, self.config, msg_logger, log_dir=log_dir)
@@ -262,12 +271,34 @@ class Simulation:
             return pd
         horizon = pd["means"].shape[1]
         dtype = pd["means"].dtype
-        free = np.where(~pd["valid"].any(axis=1))[0]
-        steps = np.arange(1, horizon + 1)
+        free = list(np.where(~pd["valid"].any(axis=1))[0])
+        if len(free) < len(others):
+            # peer agents are safety-critical: when the fixed tensor width
+            # leaves too few free rows, evict the FARTHEST scenario obstacles
+            # (zip-truncating peers would make agents invisible to each other)
+            if not getattr(self, "_warned_slots", False):
+                self._warned_slots = True
+                if self.msg_logger:
+                    self.msg_logger.warning(
+                        "prediction.max_obstacles too small for all peers; "
+                        "evicting farthest obstacles"
+                    )
+            valid_rows = np.where(pd["valid"].any(axis=1))[0]
+            dist = np.linalg.norm(
+                pd["means"][valid_rows, 0] - np.asarray(for_agent.state.position)[None],
+                axis=1,
+            )
+            need = len(others) - len(free)
+            for row in valid_rows[np.argsort(dist)[::-1][:need]]:
+                pd["valid"][row] = False
+                free.append(int(row))
+        from frenetix_tpu.sim.prediction import extrapolate_constant_velocity
+
         for a, slot in zip(others, free):
             st = a.state
-            heading = np.array([np.cos(st.orientation), np.sin(st.orientation)])
-            pd["means"][slot] = st.position[None] + (st.velocity * self.dt * steps)[:, None] * heading[None]
+            pd["means"][slot] = extrapolate_constant_velocity(
+                st.position, st.orientation, st.velocity, horizon, self.dt
+            )
             pd["orientations"][slot] = st.orientation
             pd["velocities"][slot] = st.velocity
             cov = np.eye(2, dtype=dtype) * max(self.config.prediction.cov_pos, 0.1)
@@ -359,15 +390,17 @@ class Simulation:
         if not active:
             return
 
-        # per-agent predictions (sensor-filtered + agent-augmented)
+        low_thr = self.config.planning.low_vel_mode_threshold
+        replanners = [a for a in active if a.needs_replan()]
+
+        # per-agent predictions (sensor-filtered + agent-augmented) — only
+        # replanners consume them; plan-executing agents would pay the full
+        # sensor pass for nothing
         per_pd = {}
-        for a in active:
+        for a in replanners:
             pd = {k: v.copy() for k, v in pd_base.items()}
             pd = self._filter_for_agent(pd, ids, a)
             per_pd[a.id] = self._augment_with_agents(pd, a)
-
-        low_thr = self.config.planning.low_vel_mode_threshold
-        replanners = [a for a in active if a.needs_replan()]
 
         # behavior planners run on host ahead of the fused batch (they are
         # sequential control logic); their outputs feed the device cycle.

@@ -1,5 +1,6 @@
 """Evaluation layer: criticality metrics, solution check, reach sets."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 
@@ -209,3 +210,61 @@ def test_et_pet_inf_without_intersections():
     m = Measures(60000, sc, _straight_states(np.arange(5.0), 10.0))
     assert not np.isfinite(m.et()).any()
     assert not np.isfinite(m.pet()).any()
+
+
+def test_dce_ttce_future_semantics():
+    """DCE/TTCE look FORWARD: after the closest encounter has passed, DCE
+    grows back and TTCE stays 0 at the encounter, not before
+    (reference metrics.py:410-458 reversed-min semantics)."""
+    from frenetix_tpu.evaluation.metrics import Measures
+    from frenetix_tpu.io.commonroad import Obstacle, Scenario, State
+
+    dt = 0.1
+    # obstacle sits still at x=30 (dynamic with a standstill trajectory —
+    # the proximity scan covers dynamic obstacles); ego drives past it
+    still = [State(i, np.array([30.0, 3.0]), 0.0, 0.0) for i in range(70)]
+    ob = Obstacle(
+        obstacle_id=7, obstacle_type="car", role="dynamic", length=4.5,
+        width=2.0, initial_state=still[0], trajectory=still[1:],
+    )
+    sc = Scenario("t", dt, {}, {7: ob}, {})
+    ego = _straight_states(np.arange(0.0, 60.0, 1.0), 10.0)
+    m = Measures(1, sc, ego, dt=dt)
+    dce = m.dce()
+    ttce = m.ttce()
+    i_min = int(np.argmin([np.linalg.norm(s.position - np.array([30.0, 3.0]))
+                           for s in ego]))
+    # before the encounter: DCE equals the eventual minimum distance
+    assert dce[0] == pytest.approx(dce[i_min])
+    # after passing: the future minimum is the current (growing) distance
+    assert dce[-1] > dce[i_min] + 5.0
+    # TTCE counts down to zero at the encounter and stays 0 after
+    assert ttce[0] == pytest.approx(i_min * dt)
+    assert ttce[i_min] == 0.0
+    assert ttce[-1] == 0.0
+
+
+def test_tit_tet_future_cumulative():
+    """TIT/TET are future-cumulative: monotonically non-increasing in time,
+    with TIT using the (tau - TTC) integrand (metrics.py:460-488)."""
+    from frenetix_tpu.evaluation.metrics import Measures
+    from frenetix_tpu.io.commonroad import Obstacle, Scenario, State
+
+    dt = 0.1
+    lead = [State(i, np.array([20.0 + 2.0 * dt * i, 0.0]), 0.0, 2.0)
+            for i in range(50)]
+    ob = Obstacle(obstacle_id=7, obstacle_type="car", role="dynamic",
+                  length=4.5, width=2.0, initial_state=lead[0],
+                  trajectory=lead[1:])
+    sc = Scenario("t", dt, {}, {7: ob}, {})
+    m = Measures(1, sc, _straight_states(np.arange(0.0, 45.0, 1.0), 10.0), dt=dt)
+    tit = m.tit()
+    tet = m.tet()
+    assert np.all(np.diff(tit) <= 1e-12)
+    assert np.all(np.diff(tet) <= 1e-12)
+    ttc = m.ttc()
+    exposed = ttc <= m.tau
+    if exposed.any():
+        k = int(np.argmax(exposed))
+        expect = np.sum((m.tau - ttc[exposed]) * dt)
+        assert tit[0] == pytest.approx(expect)
