@@ -150,3 +150,108 @@ def test_stopping_rollout_matches_oracle():
     lens = np.asarray(ro.traj_len)
     for i in range(matrix.shape[0]):
         np.testing.assert_allclose(s_vel[i, lens[i] - 1], 0.0, atol=1e-6)
+
+
+# --------------------------------------------------- hand-computed fixtures
+# Third differential-test leg (independent of tests/reference_impl.py, which
+# shares its author with the kernels): closed-form Werling solutions on
+# degenerate reference geometries.
+
+
+def _rollout(matrix, ref, low_vel=False):
+    import jax.numpy as jnp
+
+    from frenetix_tpu.ops.kinematics import VehicleParams, rollout_candidates
+
+    ref_j = type(ref)(*(jnp.asarray(f) for f in ref))
+    return rollout_candidates(
+        jnp.asarray(matrix), ref_j, VehicleParams(), dt=0.1, n_steps=30,
+        low_vel_mode=low_vel, x0_orientation=jnp.asarray(0.0),
+    )
+
+
+def test_straight_path_closed_form():
+    """κ_r = 0 (straight x-axis reference): Werling A.8 degenerates to
+      x = s(t), y = d(t), θ = atan(d'), v = sqrt(ṡ² + ḋ²),
+      a = (ṡ·s̈ + ḋ·d̈)/v  — all hand-derivable without the oracle."""
+    from frenetix_tpu.geometry.refpath import prepare_reference_path
+    from frenetix_tpu.ops import polynomials as poly
+    from frenetix_tpu.ops.sampling import build_sampling_matrix
+
+    n = 400
+    line = np.stack([np.linspace(0.0, 400.0, n), np.zeros(n)], axis=1)
+    ref = prepare_reference_path(line, smooth=False, extension=0.0,
+                                 dtype=np.float64)
+
+    x0_lon = (50.0, 10.0, 0.0)
+    x0_lat = (0.5, 0.2, 0.0)
+    matrix = build_sampling_matrix(
+        t1_vals=[3.0], ss1_vals=[12.0], d1_vals=[-1.0],
+        x0_lon=x0_lon, x0_lat=x0_lat, dtype=np.float64,
+    )
+    ro = _rollout(matrix, ref)
+
+    t = np.arange(31) * 0.1
+    c_lon = np.asarray(ro.coeffs_lon)[0]
+    c_lat = np.asarray(ro.coeffs_lat)[0]
+    s = np.asarray(poly.poly_position(c_lon[None], t[None]))[0]
+    s_d = np.asarray(poly.poly_velocity(c_lon[None], t[None]))[0]
+    s_dd = np.asarray(poly.poly_acceleration(c_lon[None], t[None]))[0]
+    d = np.asarray(poly.poly_position(c_lat[None], t[None]))[0]
+    d_d = np.asarray(poly.poly_velocity(c_lat[None], t[None]))[0]
+
+    # hand-derived closed forms for the straight path
+    np.testing.assert_allclose(np.asarray(ro.x)[0], s, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ro.y)[0], d, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(ro.theta_gl)[0], np.arctan2(d_d / s_d, 1.0), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(ro.v)[0], np.sqrt(s_d**2 + d_d**2), rtol=1e-12
+    )
+    # longitudinal-only sanity: with d ≡ const the acceleration equals s̈
+    assert bool(np.asarray(ro.feasible)[0])
+
+
+def test_circular_path_closed_form():
+    """Constant curvature κ_r = 1/R with a centerline candidate (d ≡ 0):
+    the vehicle follows the circle exactly — κ_gl = 1/R, v = ṡ, positions on
+    the circle at angle s/R (hand-computable from the circle geometry)."""
+    from frenetix_tpu.geometry.refpath import RefPathTable
+    from frenetix_tpu.ops.sampling import build_sampling_matrix
+
+    R = 100.0
+    ds = 0.5
+    n = 700
+    s_tab = np.arange(n) * ds
+    ang = s_tab / R
+    # exact analytic tables: uniform arclength on the circle
+    ref = RefPathTable(
+        xy=np.stack([R * np.sin(ang), R * (1 - np.cos(ang))], axis=1),
+        s=s_tab,
+        theta=ang.copy(),            # tangent angle = s/R (unwrapped)
+        kappa=np.full(n, 1.0 / R),
+        kappa_d=np.zeros(n),
+        kappa_dd=np.zeros(n),
+    )
+
+    x0_lon = (60.0, 10.0, 0.0)
+    x0_lat = (0.0, 0.0, 0.0)
+    matrix = build_sampling_matrix(
+        t1_vals=[3.0], ss1_vals=[10.0], d1_vals=[0.0],   # hold the centerline
+        x0_lon=x0_lon, x0_lat=x0_lat, dtype=np.float64,
+    )
+    ro = _rollout(matrix, ref)
+
+    s = np.asarray(ro.s)[0]
+    # hand-derived: on the circle, θ_gl = s/R, κ_gl = 1/R, v = ṡ = 10
+    np.testing.assert_allclose(np.asarray(ro.kappa_gl)[0], 1.0 / R, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ro.v)[0], 10.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ro.theta_gl)[0], s / R, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(ro.x)[0], R * np.sin(s / R), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ro.y)[0], R * (1 - np.cos(s / R)), atol=1e-6
+    )
+    assert bool(np.asarray(ro.feasible)[0])
