@@ -53,6 +53,10 @@ class BatchedAgentStepper:
         dtype = np.float64 if config.dtype == "float64" else np.float32
         self.np_dtype = dtype
 
+        # NOTE: this stacking parallels mesh.stack_cycle_contexts (which
+        # stacks full CycleContexts); the equality tests in
+        # tests/test_multichip.py (sharded == vmap == sequential) are the
+        # guard that both stay semantically in sync.
         refs = [a.planner.ref_np for a in agents]
         r_max = max(r.s.shape[0] for r in refs)
         from frenetix_tpu.geometry.refpath import RefPathTable
@@ -88,8 +92,8 @@ class BatchedAgentStepper:
             self.lane_segments = jnp.zeros((a_n, 0, 2, 2), dtype)
             self.lane_valid = jnp.zeros((a_n, 0), bool)
 
-        self._step_fn = None
-        self._key = None
+        # the program is shape-polymorphic via jit retracing; build once
+        self._step_fn = self._build()
 
     def _build(self):
         if self.mesh is not None:
@@ -121,11 +125,6 @@ class BatchedAgentStepper:
         from frenetix_tpu.planner.core import CycleContext
 
         jnp = self.jnp
-        key = (matrices.shape[1], preds_stacked.means.shape[1],
-               preds_stacked.means.shape[2])
-        if self._step_fn is None or self._key != key:
-            self._step_fn = self._build()
-            self._key = key
         ctx = CycleContext(
             ref=self.ref,
             veh=veh,

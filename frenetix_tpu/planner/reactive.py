@@ -227,7 +227,7 @@ class ReactivePlanner:
         # (reactive_planner_cpp.py:332-343, 258-290)
         use_stopping = (
             self.stop_point is not None
-            and self.stop_point[1] < 10.0
+            and self.stop_point[1] < self.config.behavior.stopping_mode_threshold
             and self.stop_point[0] > x_cl[0][0]
         )
         # progressive densification (reactive_planner_cpp.py:329-377)

@@ -122,9 +122,14 @@ def main(argv=None):
     from frenetix_tpu.utils.config import load_config, parse_cli_overrides
     from frenetix_tpu.utils.logging import make_msg_logger
 
-    config = load_config(args.config_dir, overrides=parse_cli_overrides(args.set))
-    config.simulation.start_multiagent = args.multiagent
-    config.simulation.batched_device_agents = args.batched_agents
+    config = load_config(args.config_dir, overrides=parse_cli_overrides(args.set),
+                         strict_overrides=True)
+    # convenience flags only ASSERT their option (a --set override of the same
+    # key must not be clobbered by the flag's False default)
+    if args.multiagent:
+        config.simulation.start_multiagent = True
+    if args.batched_agents:
+        config.simulation.batched_device_agents = True
     if args.prediction:
         config.prediction.mode = args.prediction
     if args.plot or args.gif:

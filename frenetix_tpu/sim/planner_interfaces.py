@@ -57,6 +57,46 @@ class PlannerInterface(ABC):
         """Run one replanning cycle; returns the selected plan or None."""
 
 
+def apply_behavior_output(agent, b_out) -> bool:
+    """Apply one BehaviorOutput to an agent's planner — the SINGLE site for
+    the reference-path swap, curvilinear reset, rear-axle stop-point shift
+    and desired velocity (used by the sequential interface AND the batched
+    stepper; two hand-maintained copies would silently diverge).
+
+    Returns True if the reference path was (re)installed this call.
+    """
+    a = agent
+    swapped = False
+    if b_out.reference_path is not None \
+            and b_out.reference_path is not getattr(a, "_applied_ref_path", None):
+        # lane change: swap the planner's coordinate system and recompute the
+        # curvilinear state on the new path (planner.py:232-237
+        # set_new_ref_path).  The identity guard skips the expensive rebuild
+        # when the cached per-step output is re-applied (host fallback after
+        # the batched pre-pass already installed it).
+        a.planner.set_reference_path(
+            b_out.reference_path, a.scenario.drivable_polygons(),
+            lanelets=list(a.scenario.lanelets.values())
+            if a.config.cost_weights.get("lane_center_offset", 0) != 0
+            else None,
+        )
+        a._applied_ref_path = b_out.reference_path
+        a.x_cl = None
+        a._goal_s = a._compute_goal_s()
+        swapped = True
+    a.ensure_x_cl()
+    a.planner.set_desired_velocity(b_out.desired_velocity)
+    # behavior stop points are vehicle-center s; the planner's curvilinear
+    # state is rear-axle s — shift, or every stop ends wb_rear_axle short of
+    # intent (a creeping hold at stop lines)
+    a.planner.set_stop_point(
+        None if b_out.stop_point_s is None
+        else b_out.stop_point_s - a.veh.wb_rear_axle,
+        b_out.desired_velocity_stop_point,
+    )
+    return swapped
+
+
 @register_planner_interface
 class FrenetPlannerInterface(PlannerInterface):
     """Default interface: binds the TPU ReactivePlanner to the simulation
@@ -86,28 +126,7 @@ class FrenetPlannerInterface(PlannerInterface):
             # behavior module drives velocity, stop point AND reference path
             # (frenet_interface.py:188-205)
             b_out = a.behavior.execute(predictions, a.state, a.state.time_step)
-            if b_out.reference_path is not None:
-                # lane change: swap the planner's coordinate system and
-                # recompute the curvilinear state on the new path
-                # (planner.py:232-237 set_new_ref_path)
-                a.planner.set_reference_path(
-                    b_out.reference_path, a.scenario.drivable_polygons(),
-                    lanelets=list(a.scenario.lanelets.values())
-                    if a.config.cost_weights.get("lane_center_offset", 0) != 0
-                    else None,
-                )
-                a.x_cl = None
-                a._goal_s = a._compute_goal_s()
-            a.ensure_x_cl()
-            a.planner.set_desired_velocity(b_out.desired_velocity)
-            # behavior stop points are vehicle-center s; the planner's
-            # curvilinear state is rear-axle s — shift, or every stop ends
-            # wb_rear_axle short of intent (a creeping hold at stop lines)
-            a.planner.set_stop_point(
-                None if b_out.stop_point_s is None
-                else b_out.stop_point_s - a.veh.wb_rear_axle,
-                b_out.desired_velocity_stop_point,
-            )
+            apply_behavior_output(a, b_out)
         else:
             a.ensure_x_cl()  # desired_velocity() projects the goal against x_cl
             a.planner.set_desired_velocity(a.desired_velocity())

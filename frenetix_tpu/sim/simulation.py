@@ -407,34 +407,23 @@ class Simulation:
         # Stopping-mode agents (armed stop point → quintic sampling, a
         # different static flag) fall back to the host path this step; a
         # reference-path change invalidates the stacked tables.
+        from frenetix_tpu.sim.planner_interfaces import apply_behavior_output
+
+        stop_thr = self.config.behavior.stopping_mode_threshold
         behavior_v_des = {}
         behavior_forced_host = set()
         for a in replanners:
             if a.behavior is None:
                 continue
             b_out = a.behavior.execute(None, a.state, a.state.time_step)
-            if b_out.reference_path is not None:
-                a.planner.set_reference_path(
-                    b_out.reference_path, self.scenario.drivable_polygons(),
-                    lanelets=list(self.scenario.lanelets.values())
-                    if self.config.cost_weights.get("lane_center_offset", 0) != 0
-                    else None,
-                )
-                a.x_cl = None
-                a._goal_s = a._compute_goal_s()
+            if apply_behavior_output(a, b_out):
+                # reference path changed → stacked tables are stale
                 if hasattr(self, "_batched_stepper"):
-                    del self._batched_stepper   # stacked ref tables changed
+                    del self._batched_stepper
                     stepper = None
-            a.planner.set_desired_velocity(b_out.desired_velocity)
-            a.planner.set_stop_point(
-                None if b_out.stop_point_s is None
-                else b_out.stop_point_s - self.config.vehicle.wb_rear_axle,
-                b_out.desired_velocity_stop_point,
-            )
             behavior_v_des[a.id] = b_out.desired_velocity
-            a.ensure_x_cl()
             if (a.planner.stop_point is not None
-                    and a.planner.stop_point[1] < 10.0
+                    and a.planner.stop_point[1] < stop_thr
                     and a.planner.stop_point[0] > a.x_cl[0][0]):
                 behavior_forced_host.add(a.id)
         if stepper is None:
@@ -508,8 +497,10 @@ class Simulation:
                 all_mats, all_masks, preds_stacked, all_th, all_vdes,
                 self.config.vehicle, self._batched_weights,
             )
-            # device-resident executed poses (feeds device-side obstacle
-            # rebuild, parallel.mesh.agent_pose_predictions)
+            # device-resident executed poses: the exposed hook for
+            # device-side obstacle rebuild (parallel.mesh.
+            # agent_pose_predictions — the lockstep loop the driver dryrun
+            # exercises); the host loop itself reads agent states directly
             self._last_poses_all = poses_all
             batch_time = _time.perf_counter() - t0
             found = np.asarray(out["found"])

@@ -189,16 +189,24 @@ class FrenetixConfig:
     dtype: str = "float32"      # device dtype ("float32" on TPU, "float64" CPU tests)
 
 
-def _apply_overrides(obj, overrides: dict):
+def _apply_overrides(obj, overrides: dict, _path: str = "", _unknown=None):
+    """Merge an override dict into the config tree; unknown keys are
+    collected into `_unknown` (a misspelled key must not be a silent no-op —
+    load_config raises for them in strict mode)."""
     for k, v in overrides.items():
         if not hasattr(obj, k):
+            if _unknown is not None:
+                _unknown.append(f"{_path}{k}")
             continue
         cur = getattr(obj, k)
         if dataclasses.is_dataclass(cur) and isinstance(v, dict):
-            _apply_overrides(cur, v)
+            _apply_overrides(cur, v, _path=f"{_path}{k}.", _unknown=_unknown)
         elif isinstance(cur, dict) and isinstance(v, dict):
             cur.update(v)
         elif isinstance(cur, VehicleParams) and isinstance(v, dict):
+            bad = [kk for kk in v if kk not in cur._fields]
+            if bad and _unknown is not None:
+                _unknown.extend(f"{_path}{k}.{kk}" for kk in bad)
             setattr(obj, k, cur._replace(**{kk: vv for kk, vv in v.items() if kk in cur._fields}))
         else:
             setattr(obj, k, v)
@@ -226,11 +234,15 @@ def parse_cli_overrides(items) -> dict:
     return out
 
 
-def load_config(config_dir: Optional[str] = None, overrides: Optional[dict] = None) -> FrenetixConfig:
+def load_config(config_dir: Optional[str] = None, overrides: Optional[dict] = None,
+                strict_overrides: bool = False) -> FrenetixConfig:
     """Build a FrenetixConfig: defaults ← YAML directory ← overrides dict.
 
     Like the reference's ConfigurationBuilder, every `<dir>/*.yaml` file merges
     under its stem as a section name (e.g. planning.yaml → cfg.planning.*).
+    YAML files may carry extra keys (lenient); with `strict_overrides` the
+    explicit overrides dict must resolve fully — a typo'd `--set` key raises
+    instead of silently doing nothing.
     """
     cfg = FrenetixConfig()
     merged: dict = {}
@@ -247,11 +259,11 @@ def load_config(config_dir: Optional[str] = None, overrides: Optional[dict] = No
                 merged.setdefault("cost_weights", {}).update(data["cost_weights"])
             else:
                 merged.setdefault(stem, {}).update(data)
-    if overrides:
-        for k, v in overrides.items():
-            if isinstance(v, dict):
-                merged.setdefault(k, {}).update(v)
-            else:
-                merged[k] = v
     _apply_overrides(cfg, merged)
+    if overrides:
+        unknown: list = []
+        _apply_overrides(cfg, overrides,
+                         _unknown=unknown if strict_overrides else None)
+        if strict_overrides and unknown:
+            raise ValueError(f"unknown config override key(s): {unknown}")
     return cfg

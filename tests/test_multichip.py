@@ -213,3 +213,16 @@ def test_cli_dotted_overrides():
     assert cfg.cost_weights["prediction"] == 0.5
     assert cfg.prediction.mode == "walenet"
     assert cfg.simulation.batched_device_agents is True
+
+
+def test_strict_cli_overrides_reject_typos():
+    import pytest as _pytest
+
+    from frenetix_tpu.utils.config import load_config, parse_cli_overrides
+
+    with _pytest.raises(ValueError, match="planing"):
+        load_config(overrides=parse_cli_overrides(["planing.dt=0.2"]),
+                    strict_overrides=True)
+    # lenient mode (YAML-style) still ignores unknowns
+    cfg = load_config(overrides=parse_cli_overrides(["planing.dt=0.2"]))
+    assert cfg.planning.dt == 0.1
