@@ -92,6 +92,9 @@ class BatchedAgentStepper:
             self.lane_segments = jnp.zeros((a_n, 0, 2, 2), dtype)
             self.lane_valid = jnp.zeros((a_n, 0), bool)
 
+        # lanelet reach-set responsibility term runs in-batch when weighted
+        self.resp_weight = float(config.cost_weights.get("responsibility", 0.0))
+
         # the program is shape-polymorphic via jit retracing; build once
         self._step_fn = self._build()
 
@@ -101,27 +104,31 @@ class BatchedAgentStepper:
 
             return sharded_full_cycle(
                 self.mesh, dt=self.dt, n_steps=self.n_steps, low_vel_mode=False,
+                resp_weight=self.resp_weight,
             )
         from frenetix_tpu.parallel.mesh import batched_full_cycle
 
         fn = batched_full_cycle(
             dt=self.dt, n_steps=self.n_steps, low_vel_mode=False,
+            resp_weight=self.resp_weight,
         )
         # uniform return shape with the sharded variant: (out, poses_all)
         import jax
 
         from frenetix_tpu.parallel.mesh import _poses_from
 
-        def wrapped(m, msk, ctx):
-            out = fn(m, msk, ctx)
+        def wrapped(m, msk, ctx, *grid):
+            out = fn(m, msk, ctx, *grid)
             return out, _poses_from(out)
 
         return jax.jit(wrapped)
 
     def step(self, matrices, masks, preds_stacked, x0_orients, v_desireds,
-             veh, weights):
+             veh, weights, reach_grids=None):
         """matrices (A, M, 13) … → (dict of (A, ...) selected-trajectory
-        arrays, poses_all (A, 4) device-resident)."""
+        arrays, poses_all (A, 4) device-resident).  `reach_grids`: an
+        agent-stacked ReachSetGrid (mesh.stack_reach_grids), required iff the
+        responsibility cost weight is non-zero."""
         from frenetix_tpu.planner.core import CycleContext
 
         jnp = self.jnp
@@ -139,5 +146,13 @@ class BatchedAgentStepper:
             desired_velocity=jnp.asarray(v_desireds),
             desired_avg_velocity=jnp.asarray(v_desireds),
         )
-        out, poses_all = self._step_fn(jnp.asarray(matrices), jnp.asarray(masks), ctx)
+        extra = ()
+        if self.resp_weight != 0.0:
+            if reach_grids is None:
+                raise ValueError("responsibility weight is non-zero but no "
+                                 "reach grids were passed to step()")
+            extra = (reach_grids,)
+        out, poses_all = self._step_fn(
+            jnp.asarray(matrices), jnp.asarray(masks), ctx, *extra
+        )
         return out, poses_all

@@ -33,16 +33,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 from frenetix_tpu.geometry.refpath import RefPathTable
 from frenetix_tpu.ops.costs import PredictionTensors
 from frenetix_tpu.planner.core import CycleContext, evaluate_cycle
+from frenetix_tpu.risk.reachable_set import ReachSetGrid
 
 __all__ = [
     "make_agent_mesh",
     "stack_cycle_contexts",
+    "stack_reach_grids",
     "batched_full_cycle",
     "sharded_full_cycle",
     "agent_pose_predictions",
     "concat_obstacles",
     "CTX_IN_AXES",
     "CTX_PSPECS",
+    "GRID_IN_AXES",
 ]
 
 # selected-trajectory fields returned per agent (Rollout attr → output key)
@@ -129,6 +132,33 @@ def stack_cycle_contexts(ctxs: list[CycleContext]) -> CycleContext:
     )
 
 
+def stack_reach_grids(grids: list[ReachSetGrid]) -> ReachSetGrid:
+    """Stack per-agent ReachSetGrids along a new leading agent axis.
+
+    All grids must share O/T/G (they do — the prediction pipeline pads every
+    agent's obstacles to the same slot count, and the grid builder's t/grid
+    params are config-level).  `dt_rs` stays a shared scalar."""
+    import numpy as np
+
+    return ReachSetGrid(
+        origin=jnp.asarray(np.stack([np.asarray(g.origin) for g in grids])),
+        occupancy=jnp.asarray(np.stack([np.asarray(g.occupancy) for g in grids])),
+        valid=jnp.asarray(np.stack([np.asarray(g.valid) for g in grids])),
+        cell=jnp.asarray(np.stack([np.asarray(g.cell) for g in grids])),
+        dt_rs=grids[0].dt_rs,
+    )
+
+
+def _default_obstacle_meta(preds):
+    """Device-side default crash metadata: protected car-class opponents with
+    size-based mass (same formula as ReactivePlanner._default_meta)."""
+    from frenetix_tpu.risk.harm import ObstacleMeta
+
+    size = preds.lengths * preds.widths
+    mass = (-1333.5 + 526.9 * jnp.maximum(size, 1.0) ** 0.8).astype(preds.means.dtype)
+    return ObstacleMeta(mass=mass, protected=jnp.ones(size.shape[0], jnp.int32))
+
+
 # vmap axes over a stacked CycleContext: everything per-agent except the
 # config-level vehicle parameters and cost weights
 CTX_IN_AXES = CycleContext(
@@ -152,38 +182,67 @@ def _ctx_pspecs(axis_name: str) -> CycleContext:
 
 CTX_PSPECS = _ctx_pspecs  # exported for callers building their own programs
 
+# vmap axes over a stacked ReachSetGrid (dt_rs is a shared scalar)
+GRID_IN_AXES = ReachSetGrid(origin=0, occupancy=0, valid=0, cell=0, dt_rs=None)
 
-def _one_agent_select(matrix, mask, ctx, *, dt, n_steps, low_vel_mode,
-                      table_window):
-    """One agent's FULL cycle + on-device selection gather."""
+
+def _one_agent_select(matrix, mask, ctx, grid=None, *, dt, n_steps,
+                      low_vel_mode, table_window, resp_weight=0.0):
+    """One agent's FULL cycle + on-device selection gather.
+
+    With `resp_weight` ≠ 0 and a per-agent ReachSetGrid, the lanelet
+    reach-set responsibility term is added before selection — the in-batch
+    equivalent of ReactivePlanner._apply_responsibility (same math: risk
+    stack → reach-grid membership → cost += w·term → re-argmin over
+    selectable)."""
     res = evaluate_cycle(
         matrix, mask, ctx, dt=dt, n_steps=n_steps, low_vel_mode=low_vel_mode,
         check_boundary=True, table_window=table_window,
     )
-    b = res.best_idx
+    cost, b = res.cost, res.best_idx
+    if resp_weight != 0.0 and grid is not None:
+        from frenetix_tpu.risk.costs import trajectory_risks
+        from frenetix_tpu.risk.reachable_set import responsibility_reach_grid
+
+        risks = trajectory_risks(
+            res.rollout, ctx.preds, _default_obstacle_meta(ctx.preds),
+            ctx.veh.mass,
+        )
+        term = responsibility_reach_grid(res.rollout, grid, risks, dt)
+        cost = cost + resp_weight * term
+        masked = jnp.where(res.selectable, cost, jnp.inf)
+        b = jnp.where(jnp.any(res.selectable),
+                      jnp.argmin(masked), res.best_idx).astype(jnp.int32)
     out = {key: getattr(res.rollout, attr)[b] for attr, key in _SEL_FIELDS}
     out.update(
-        best=b, found=res.found, cost=res.cost[b], terms=res.cost_terms[b],
+        best=b, found=res.found, cost=cost[b], terms=res.cost_terms[b],
         histogram=res.histogram,
     )
     return out
 
 
-def _vmapped_body(dt, n_steps, low_vel_mode, table_window):
+def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0):
     body = functools.partial(
         _one_agent_select, dt=dt, n_steps=n_steps, low_vel_mode=low_vel_mode,
-        table_window=table_window,
+        table_window=table_window, resp_weight=resp_weight,
     )
-    return jax.vmap(body, in_axes=(0, 0, CTX_IN_AXES))
+    if resp_weight == 0.0:
+        return jax.vmap(body, in_axes=(0, 0, CTX_IN_AXES))
+    return jax.vmap(body, in_axes=(0, 0, CTX_IN_AXES, GRID_IN_AXES))
 
 
-def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768):
+def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768,
+                       resp_weight=0.0):
     """Single-device (vmap) full multi-agent cycle.
 
     Returns fn(matrices (A,M,13), masks (A,M), stacked_ctx) → dict of (A,...)
-    selected-trajectory arrays + best/found/cost/terms/histogram.
+    selected-trajectory arrays + best/found/cost/terms/histogram.  With
+    `resp_weight` ≠ 0 the function takes a fourth arg: an agent-stacked
+    ReachSetGrid (`stack_reach_grids`), and selection includes the
+    responsibility term.
     """
-    return jax.jit(_vmapped_body(dt, n_steps, low_vel_mode, table_window))
+    return jax.jit(_vmapped_body(dt, n_steps, low_vel_mode, table_window,
+                                 resp_weight))
 
 
 def _poses_from(out):
@@ -202,6 +261,7 @@ def sharded_full_cycle(
     low_vel_mode: bool = False,
     table_window: int = 768,
     axis_name: str = "agents",
+    resp_weight: float = 0.0,
 ):
     """Mesh-sharded full multi-agent cycle with ICI pose exchange.
 
@@ -212,20 +272,36 @@ def sharded_full_cycle(
     tensors without ever leaving the device.
 
     A must be divisible by the mesh size (pad with dummy agents whose masks
-    are all-False; their `found` comes back False).
+    are all-False; their `found` comes back False).  With `resp_weight` ≠ 0
+    the function takes a fourth arg (agent-stacked ReachSetGrid, sharded
+    along the agent axis like the contexts).
     """
-    vbody = _vmapped_body(dt, n_steps, low_vel_mode, table_window)
+    vbody = _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight)
+    sh, rep = P(axis_name), P()
 
-    def sharded_body(matrices, masks, ctx):
-        out = vbody(matrices, masks, ctx)
-        poses = _poses_from(out)
-        poses_all = jax.lax.all_gather(poses, axis_name, axis=0, tiled=True)
-        return out, poses_all
+    if resp_weight == 0.0:
+        def sharded_body(matrices, masks, ctx):
+            out = vbody(matrices, masks, ctx)
+            poses = _poses_from(out)
+            poses_all = jax.lax.all_gather(poses, axis_name, axis=0, tiled=True)
+            return out, poses_all
+
+        in_specs = (sh, sh, _ctx_pspecs(axis_name))
+    else:
+        def sharded_body(matrices, masks, ctx, grid):
+            out = vbody(matrices, masks, ctx, grid)
+            poses = _poses_from(out)
+            poses_all = jax.lax.all_gather(poses, axis_name, axis=0, tiled=True)
+            return out, poses_all
+
+        grid_specs = ReachSetGrid(origin=sh, occupancy=sh, valid=sh, cell=sh,
+                                  dt_rs=rep)
+        in_specs = (sh, sh, _ctx_pspecs(axis_name), grid_specs)
 
     fn = jax.shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), _ctx_pspecs(axis_name)),
+        in_specs=in_specs,
         out_specs=(P(axis_name), P()),
         check_vma=False,  # all_gather output is replicated; checker can't infer
     )

@@ -84,16 +84,6 @@ class Simulation:
             self.max_steps = self.config.simulation.fallback_max_steps
 
         if (self.config.simulation.batched_device_agents
-                and self.config.cost_weights.get("responsibility", 0.0) != 0.0):
-            # the reach-set responsibility term is a host-side post-pass
-            # (planner._apply_responsibility); the fused batch would silently
-            # select without it while host-fallback agents select with it
-            raise ValueError(
-                "batched_device_agents is incompatible with a non-zero "
-                "responsibility cost weight (host-side reach-set post-pass); "
-                "disable one of them"
-            )
-        if (self.config.simulation.batched_device_agents
                 and self.config.occlusion.use_occlusion_module):
             # the occlusion safety gate re-selects on host per agent
             # (planner.set_occlusion_module); silently dropping it in the
@@ -442,6 +432,31 @@ class Simulation:
                      if a.state.velocity < low_thr
                      or a.id in behavior_forced_host]
 
+        # lanelet reach-set grids for the in-batch responsibility term (the
+        # host path builds the same grids in update_planner; here they stack
+        # along the agent axis and the term is applied inside the fused cycle
+        # — parallel.mesh._one_agent_select)
+        reach_grids = None
+        if stepper.resp_weight != 0.0:
+            from frenetix_tpu.parallel.mesh import stack_reach_grids
+            from frenetix_tpu.risk.reachable_set import build_reach_set_grids
+
+            glist = []
+            for a in self.agents:
+                pd = per_pd.get(a.id)
+                src = pd if pd is not None else pd_base
+                glist.append(build_reach_set_grids(
+                    self.scenario,
+                    np.asarray(src["means"][:, 0]),
+                    np.asarray(src["orientations"][:, 0]),
+                    np.asarray(src["velocities"][:, 0]),
+                    np.asarray(src["lengths"]),
+                    np.asarray(src["widths"]),
+                    np.asarray(src["valid"][:, 0]) if pd is not None
+                    else np.zeros(len(src["valid"]), bool),  # dummy agent
+                ))
+            reach_grids = stack_reach_grids(glist)
+
         # progressive densification stays batched: agents that miss at one
         # sampling level re-run in the next level's batch
         # (reactive_planner_cpp.py:329-377); only the terminal fallback
@@ -496,6 +511,7 @@ class Simulation:
             out, poses_all = stepper.step(
                 all_mats, all_masks, preds_stacked, all_th, all_vdes,
                 self.config.vehicle, self._batched_weights,
+                reach_grids=reach_grids,
             )
             # device-resident executed poses: the exposed hook for
             # device-side obstacle rebuild (parallel.mesh.

@@ -85,6 +85,112 @@ def test_sharded_equals_vmap_equals_sequential(stacked_problem):
     )
 
 
+def _slice_ctx(ctx, i):
+    import jax
+
+    from frenetix_tpu.planner.core import CycleContext
+
+    return CycleContext(
+        ref=jax.tree.map(lambda x: x[i], ctx.ref),
+        veh=ctx.veh, weights=ctx.weights,
+        preds=jax.tree.map(lambda x: x[i], ctx.preds),
+        obstacle_xy=ctx.obstacle_xy[i], obstacle_valid=ctx.obstacle_valid[i],
+        corridor=ctx.corridor[i],
+        lane_segments=ctx.lane_segments[i], lane_valid=ctx.lane_valid[i],
+        x0_orientation=ctx.x0_orientation[i],
+        desired_velocity=ctx.desired_velocity[i],
+        desired_avg_velocity=ctx.desired_avg_velocity[i],
+    )
+
+
+def test_in_batch_responsibility_matches_host_math(stacked_problem):
+    """resp_weight ≠ 0: the device-side responsibility application
+    (mesh._one_agent_select) must reproduce the host-side post-pass exactly
+    — same re-selected best index and modified cost — on a synthetic grid
+    that actually changes per-candidate costs."""
+    import jax
+    import jax.numpy as jnp
+
+    from frenetix_tpu.parallel.mesh import (
+        _default_obstacle_meta, batched_full_cycle, make_agent_mesh,
+        sharded_full_cycle, stack_reach_grids,
+    )
+    from frenetix_tpu.planner.core import evaluate_cycle
+    from frenetix_tpu.risk.costs import trajectory_risks
+    from frenetix_tpu.risk.reachable_set import (
+        ReachSetGrid, responsibility_reach_grid,
+    )
+
+    matrices, masks, ctx = stacked_problem
+    a = matrices.shape[0]
+    o = ctx.preds.means.shape[1]
+    dt, n_steps, w = 0.1, 30, 0.3
+    g_n, t_rs = 32, 11
+
+    # the fixture's obstacles sit ~20 m off every trajectory (zero risk, so a
+    # zero term) — move obstacle 0 next to the candidates' endpoint fan so
+    # per-candidate risks are non-zero (agent i's road is offset spread·i=12i
+    # in x; agent-0 candidates end around (40, 5))
+    means = np.asarray(ctx.preds.means).copy()
+    for i in range(a):
+        means[i, 0, :, 0] = 40.0 + 12.0 * i
+        means[i, 0, :, 1] = 5.0
+    preds = ctx.preds._replace(means=jnp.asarray(means))
+    ctx = ctx._replace(preds=preds, obstacle_xy=jnp.asarray(means[:, :, 0]))
+
+    # obstacle 0's reach set covers only the +y half of its grid → candidates
+    # split into inside/outside → the term varies per candidate
+    grids = []
+    for i in range(a):
+        occ = np.zeros((o, t_rs, g_n, g_n), bool)
+        occ[0, :, :, g_n // 2:] = True
+        valid = np.zeros(o, bool)
+        valid[0] = True
+        grids.append(ReachSetGrid(
+            origin=jnp.asarray(means[i, :, 0]),
+            occupancy=jnp.asarray(occ),
+            valid=jnp.asarray(valid),
+            cell=jnp.asarray(np.full(o, 4.0)),
+            dt_rs=0.2,
+        ))
+    stacked = stack_reach_grids(grids)
+
+    exp_best, exp_cost = [], []
+    term_spread = 0.0
+    for i in range(a):
+        ctx_i = _slice_ctx(ctx, i)
+        res = evaluate_cycle(
+            matrices[i], masks[i], ctx_i, dt=dt, n_steps=n_steps,
+            low_vel_mode=False, check_boundary=True,
+        )
+        risks = trajectory_risks(
+            res.rollout, ctx_i.preds, _default_obstacle_meta(ctx_i.preds),
+            ctx.veh.mass,
+        )
+        term = np.asarray(
+            responsibility_reach_grid(res.rollout, grids[i], risks, dt)
+        )
+        sel = np.asarray(res.selectable)
+        if sel.any():
+            term_spread = max(term_spread, float(np.ptp(term[sel])))
+        cost = np.asarray(res.cost) + w * term
+        masked = np.where(sel, cost, np.inf)
+        best = int(np.argmin(masked)) if sel.any() else int(res.best_idx)
+        exp_best.append(best)
+        exp_cost.append(float(cost[best]))
+    assert term_spread > 0.0  # the synthetic grid must actually bite
+
+    vfn = batched_full_cycle(dt=dt, n_steps=n_steps, resp_weight=w)
+    out_v = vfn(matrices, masks, ctx, stacked)
+    mesh = make_agent_mesh(jax.devices()[:8])
+    sfn = sharded_full_cycle(mesh, dt=dt, n_steps=n_steps, resp_weight=w)
+    out_s, _ = sfn(matrices, masks, ctx, stacked)
+    assert np.asarray(out_v["best"]).tolist() == exp_best
+    assert np.asarray(out_s["best"]).tolist() == exp_best
+    np.testing.assert_allclose(np.asarray(out_v["cost"]), exp_cost, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_s["cost"]), exp_cost, rtol=1e-12)
+
+
 def test_agent_pose_predictions_device_rebuild(stacked_problem):
     """Constant-velocity obstacle tensors from gathered poses: straight-line
     extrapolation, self-row invalid."""
@@ -116,7 +222,7 @@ def test_agent_pose_predictions_device_rebuild(stacked_problem):
 # ----------------------------------------------- simulation-level parity
 
 
-def _run_sim(batched: bool):
+def _run_sim(batched: bool, responsibility: float = 0.0):
     from frenetix_tpu.io.scenario_factory import make_highway
     from frenetix_tpu.sim.simulation import Simulation
     from frenetix_tpu.utils.config import FrenetixConfig
@@ -124,6 +230,7 @@ def _run_sim(batched: bool):
     cfg = FrenetixConfig(dtype="float64")
     cfg.simulation.start_multiagent = True
     cfg.simulation.batched_device_agents = batched
+    cfg.cost_weights["responsibility"] = responsibility
     sim = Simulation(make_highway(n_steps=80), cfg)
     res = sim.run()
     states = {
@@ -138,6 +245,21 @@ def test_batched_matches_sequential_outcomes():
     identical statuses and executed trajectories (VERDICT r1 weak #2)."""
     res_seq, st_seq = _run_sim(batched=False)
     res_bat, st_bat = _run_sim(batched=True)
+    assert {k: v.name for k, v in res_seq.agent_status.items()} == \
+           {k: v.name for k, v in res_bat.agent_status.items()}
+    assert res_seq.steps == res_bat.steps
+    for aid in st_seq:
+        assert st_seq[aid].shape == st_bat[aid].shape
+        np.testing.assert_allclose(st_seq[aid], st_bat[aid], atol=1e-9)
+
+
+def test_batched_responsibility_matches_sequential():
+    """Responsibility cost ≠ 0: the fused batch applies the lanelet reach-set
+    term in-device (mesh._one_agent_select) and must match the sequential
+    host post-pass (planner._apply_responsibility) on statuses and executed
+    trajectories."""
+    res_seq, st_seq = _run_sim(batched=False, responsibility=0.2)
+    res_bat, st_bat = _run_sim(batched=True, responsibility=0.2)
     assert {k: v.name for k, v in res_seq.agent_status.items()} == \
            {k: v.name for k, v in res_bat.agent_status.items()}
     assert res_seq.steps == res_bat.steps
