@@ -29,8 +29,8 @@ class BatchedAgentStepper:
     Agents must share static config (dt, N, bucket); heterogeneous reference
     paths/corridors are stacked to a common R.  Low-velocity and stopping-mode
     agents are handled by the host path (their cycles use different static
-    flags); occlusion gating is incompatible with batching and rejected at
-    Simulation init.
+    flags); occlusion phantom rows ride the stacked prediction tensors and
+    the safety gate runs inside the fused cycle (mesh._one_agent_select).
 
     `mesh`: optional jax.sharding.Mesh — when given (and the agent count is
     padded to a mesh multiple) the batch runs through
@@ -94,6 +94,13 @@ class BatchedAgentStepper:
 
         # lanelet reach-set responsibility term runs in-batch when weighted
         self.resp_weight = float(config.cost_weights.get("responsibility", 0.0))
+        # occlusion safety gate runs in-batch when the module is enabled
+        self.use_occlusion = bool(config.occlusion.use_occlusion_module)
+        self._occl_kwargs = dict(
+            occlusion=self.use_occlusion,
+            harm_threshold=float(config.occlusion.harm_threshold),
+            risk_threshold=float(config.occlusion.risk_threshold),
+        )
 
         # the program is shape-polymorphic via jit retracing; build once
         self._step_fn = self._build()
@@ -104,31 +111,33 @@ class BatchedAgentStepper:
 
             return sharded_full_cycle(
                 self.mesh, dt=self.dt, n_steps=self.n_steps, low_vel_mode=False,
-                resp_weight=self.resp_weight,
+                resp_weight=self.resp_weight, **self._occl_kwargs,
             )
         from frenetix_tpu.parallel.mesh import batched_full_cycle
 
         fn = batched_full_cycle(
             dt=self.dt, n_steps=self.n_steps, low_vel_mode=False,
-            resp_weight=self.resp_weight,
+            resp_weight=self.resp_weight, **self._occl_kwargs,
         )
         # uniform return shape with the sharded variant: (out, poses_all)
         import jax
 
         from frenetix_tpu.parallel.mesh import _poses_from
 
-        def wrapped(m, msk, ctx, *grid):
-            out = fn(m, msk, ctx, *grid)
+        def wrapped(m, msk, ctx, *extras):
+            out = fn(m, msk, ctx, *extras)
             return out, _poses_from(out)
 
         return jax.jit(wrapped)
 
     def step(self, matrices, masks, preds_stacked, x0_orients, v_desireds,
-             veh, weights, reach_grids=None):
+             veh, weights, reach_grids=None, phantom_masks=None):
         """matrices (A, M, 13) … → (dict of (A, ...) selected-trajectory
         arrays, poses_all (A, 4) device-resident).  `reach_grids`: an
         agent-stacked ReachSetGrid (mesh.stack_reach_grids), required iff the
-        responsibility cost weight is non-zero."""
+        responsibility cost weight is non-zero.  `phantom_masks`: (A, O) bool
+        marking occlusion-phantom prediction rows, required iff the occlusion
+        module is enabled (the in-batch safety gate)."""
         from frenetix_tpu.planner.core import CycleContext
 
         jnp = self.jnp
@@ -146,13 +155,18 @@ class BatchedAgentStepper:
             desired_velocity=jnp.asarray(v_desireds),
             desired_avg_velocity=jnp.asarray(v_desireds),
         )
-        extra = ()
+        extras = []
         if self.resp_weight != 0.0:
             if reach_grids is None:
                 raise ValueError("responsibility weight is non-zero but no "
                                  "reach grids were passed to step()")
-            extra = (reach_grids,)
+            extras.append(reach_grids)
+        if self.use_occlusion:
+            if phantom_masks is None:
+                raise ValueError("occlusion module is enabled but no phantom "
+                                 "masks were passed to step()")
+            extras.append(jnp.asarray(phantom_masks))
         out, poses_all = self._step_fn(
-            jnp.asarray(matrices), jnp.asarray(masks), ctx, *extra
+            jnp.asarray(matrices), jnp.asarray(masks), ctx, *extras
         )
         return out, poses_all

@@ -186,63 +186,111 @@ CTX_PSPECS = _ctx_pspecs  # exported for callers building their own programs
 GRID_IN_AXES = ReachSetGrid(origin=0, occupancy=0, valid=0, cell=0, dt_rs=None)
 
 
-def _one_agent_select(matrix, mask, ctx, grid=None, *, dt, n_steps,
-                      low_vel_mode, table_window, resp_weight=0.0):
+def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
+                      n_steps, low_vel_mode, table_window, resp_weight=0.0,
+                      harm_threshold=0.1, risk_threshold=1.0):
     """One agent's FULL cycle + on-device selection gather.
 
     With `resp_weight` ≠ 0 and a per-agent ReachSetGrid, the lanelet
     reach-set responsibility term is added before selection — the in-batch
     equivalent of ReactivePlanner._apply_responsibility (same math: risk
     stack → reach-grid membership → cost += w·term → re-argmin over
-    selectable)."""
+    selectable).
+
+    With a `phantom_mask` (O,) bool, the occlusion safety gate runs on
+    device — the in-batch equivalent of the host gate in
+    ReactivePlanner.plan (planner/reactive.py; reference planner.py:337-339,
+    385-389): candidates whose per-phantom risk exceeds the thresholds are
+    removed from `selectable` before the argmin.  When NO candidate passes
+    the gate, `found` comes back False and the agent falls back to the host
+    path, which re-runs densification + the fallback ladder with the same
+    gate — matching the sequential semantics."""
     res = evaluate_cycle(
         matrix, mask, ctx, dt=dt, n_steps=n_steps, low_vel_mode=low_vel_mode,
         check_boundary=True, table_window=table_window,
     )
-    cost, b = res.cost, res.best_idx
-    if resp_weight != 0.0 and grid is not None:
+    use_resp = resp_weight != 0.0 and grid is not None
+    use_gate = phantom_mask is not None
+    cost, selectable = res.cost, res.selectable
+    if use_resp or use_gate:
         from frenetix_tpu.risk.costs import trajectory_risks
-        from frenetix_tpu.risk.reachable_set import responsibility_reach_grid
 
         risks = trajectory_risks(
             res.rollout, ctx.preds, _default_obstacle_meta(ctx.preds),
             ctx.veh.mass,
         )
+    if use_resp:
+        from frenetix_tpu.risk.reachable_set import responsibility_reach_grid
+
         term = responsibility_reach_grid(res.rollout, grid, risks, dt)
         cost = cost + resp_weight * term
-        masked = jnp.where(res.selectable, cost, jnp.inf)
-        b = jnp.where(jnp.any(res.selectable),
-                      jnp.argmin(masked), res.best_idx).astype(jnp.int32)
+    if use_gate:
+        # same math as OcclusionModule.trajectory_safety_assessment
+        phantom_risk = jnp.where(
+            phantom_mask[None, :], risks.obst_risk_per_obst, 0.0
+        )
+        safe = (jnp.all(phantom_risk <= harm_threshold, axis=1)
+                & (jnp.sum(phantom_risk, axis=1) <= risk_threshold))
+        selectable = selectable & safe
+    if use_resp or use_gate:
+        masked = jnp.where(selectable, cost, jnp.inf)
+        found = jnp.any(selectable)
+        b = jnp.where(found, jnp.argmin(masked), res.best_idx).astype(jnp.int32)
+    else:
+        b, found = res.best_idx, res.found
     out = {key: getattr(res.rollout, attr)[b] for attr, key in _SEL_FIELDS}
     out.update(
-        best=b, found=res.found, cost=cost[b], terms=res.cost_terms[b],
+        best=b, found=found, cost=cost[b], terms=res.cost_terms[b],
         histogram=res.histogram,
     )
     return out
 
 
-def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0):
-    body = functools.partial(
-        _one_agent_select, dt=dt, n_steps=n_steps, low_vel_mode=low_vel_mode,
-        table_window=table_window, resp_weight=resp_weight,
+def _extra_axes(resp_weight, occlusion):
+    """vmap in_axes for the optional trailing args, in their fixed order:
+    ReachSetGrid (iff resp_weight ≠ 0), phantom masks (iff occlusion)."""
+    axes = []
+    if resp_weight != 0.0:
+        axes.append(GRID_IN_AXES)
+    if occlusion:
+        axes.append(0)
+    return tuple(axes)
+
+
+def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
+                  occlusion=False, harm_threshold=0.1, risk_threshold=1.0):
+    use_grid = resp_weight != 0.0
+
+    def body(matrix, mask, ctx, *extras):
+        grid = extras[0] if use_grid else None
+        pm = extras[-1] if occlusion else None
+        return _one_agent_select(
+            matrix, mask, ctx, grid, pm, dt=dt, n_steps=n_steps,
+            low_vel_mode=low_vel_mode, table_window=table_window,
+            resp_weight=resp_weight, harm_threshold=harm_threshold,
+            risk_threshold=risk_threshold,
+        )
+
+    return jax.vmap(
+        body, in_axes=(0, 0, CTX_IN_AXES, *_extra_axes(resp_weight, occlusion))
     )
-    if resp_weight == 0.0:
-        return jax.vmap(body, in_axes=(0, 0, CTX_IN_AXES))
-    return jax.vmap(body, in_axes=(0, 0, CTX_IN_AXES, GRID_IN_AXES))
 
 
 def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768,
-                       resp_weight=0.0):
+                       resp_weight=0.0, occlusion=False, harm_threshold=0.1,
+                       risk_threshold=1.0):
     """Single-device (vmap) full multi-agent cycle.
 
-    Returns fn(matrices (A,M,13), masks (A,M), stacked_ctx) → dict of (A,...)
-    selected-trajectory arrays + best/found/cost/terms/histogram.  With
-    `resp_weight` ≠ 0 the function takes a fourth arg: an agent-stacked
-    ReachSetGrid (`stack_reach_grids`), and selection includes the
-    responsibility term.
+    Returns fn(matrices (A,M,13), masks (A,M), stacked_ctx, *extras) → dict of
+    (A,...) selected-trajectory arrays + best/found/cost/terms/histogram.
+    Extras, in order: with `resp_weight` ≠ 0 an agent-stacked ReachSetGrid
+    (`stack_reach_grids`, selection includes the responsibility term); with
+    `occlusion=True` an (A, O) bool phantom-row mask (selection applies the
+    occlusion safety gate on device).
     """
     return jax.jit(_vmapped_body(dt, n_steps, low_vel_mode, table_window,
-                                 resp_weight))
+                                 resp_weight, occlusion, harm_threshold,
+                                 risk_threshold))
 
 
 def _poses_from(out):
@@ -262,41 +310,41 @@ def sharded_full_cycle(
     table_window: int = 768,
     axis_name: str = "agents",
     resp_weight: float = 0.0,
+    occlusion: bool = False,
+    harm_threshold: float = 0.1,
+    risk_threshold: float = 1.0,
 ):
     """Mesh-sharded full multi-agent cycle with ICI pose exchange.
 
-    fn(matrices (A,M,13), masks (A,M), stacked_ctx) → (out, poses_all) where
-    `out` is the per-agent selection dict (sharded along the agent axis) and
-    `poses_all` (A, 4: x,y,θ,v) is replicated on every device (all_gather) —
-    feed it to `agent_pose_predictions` to build the next cycle's obstacle
+    fn(matrices (A,M,13), masks (A,M), stacked_ctx, *extras) → (out, poses_all)
+    where `out` is the per-agent selection dict (sharded along the agent axis)
+    and `poses_all` (A, 4: x,y,θ,v) is replicated on every device (all_gather)
+    — feed it to `agent_pose_predictions` to build the next cycle's obstacle
     tensors without ever leaving the device.
 
     A must be divisible by the mesh size (pad with dummy agents whose masks
-    are all-False; their `found` comes back False).  With `resp_weight` ≠ 0
-    the function takes a fourth arg (agent-stacked ReachSetGrid, sharded
-    along the agent axis like the contexts).
+    are all-False; their `found` comes back False).  Extras (sharded along
+    the agent axis like the contexts), in order: an agent-stacked
+    ReachSetGrid iff `resp_weight` ≠ 0; an (A, O) phantom-row mask iff
+    `occlusion` (see `batched_full_cycle`).
     """
-    vbody = _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight)
+    vbody = _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight,
+                          occlusion, harm_threshold, risk_threshold)
     sh, rep = P(axis_name), P()
 
-    if resp_weight == 0.0:
-        def sharded_body(matrices, masks, ctx):
-            out = vbody(matrices, masks, ctx)
-            poses = _poses_from(out)
-            poses_all = jax.lax.all_gather(poses, axis_name, axis=0, tiled=True)
-            return out, poses_all
+    def sharded_body(matrices, masks, ctx, *extras):
+        out = vbody(matrices, masks, ctx, *extras)
+        poses = _poses_from(out)
+        poses_all = jax.lax.all_gather(poses, axis_name, axis=0, tiled=True)
+        return out, poses_all
 
-        in_specs = (sh, sh, _ctx_pspecs(axis_name))
-    else:
-        def sharded_body(matrices, masks, ctx, grid):
-            out = vbody(matrices, masks, ctx, grid)
-            poses = _poses_from(out)
-            poses_all = jax.lax.all_gather(poses, axis_name, axis=0, tiled=True)
-            return out, poses_all
-
-        grid_specs = ReachSetGrid(origin=sh, occupancy=sh, valid=sh, cell=sh,
-                                  dt_rs=rep)
-        in_specs = (sh, sh, _ctx_pspecs(axis_name), grid_specs)
+    extra_specs = []
+    if resp_weight != 0.0:
+        extra_specs.append(ReachSetGrid(origin=sh, occupancy=sh, valid=sh,
+                                        cell=sh, dt_rs=rep))
+    if occlusion:
+        extra_specs.append(sh)
+    in_specs = (sh, sh, _ctx_pspecs(axis_name), *extra_specs)
 
     fn = jax.shard_map(
         sharded_body,

@@ -83,17 +83,6 @@ class Simulation:
         else:
             self.max_steps = self.config.simulation.fallback_max_steps
 
-        if (self.config.simulation.batched_device_agents
-                and self.config.occlusion.use_occlusion_module):
-            # the occlusion safety gate re-selects on host per agent
-            # (planner.set_occlusion_module); silently dropping it in the
-            # fused batch would remove phantom-risk gating — explicit error
-            raise ValueError(
-                "batched_device_agents is incompatible with "
-                "occlusion.use_occlusion_module (host-side safety gating); "
-                "disable one of them"
-            )
-
         self.agents: list[Agent] = []
         for pid, pp in scenario.planning_problems.items():
             self.agents.append(
@@ -383,14 +372,25 @@ class Simulation:
         low_thr = self.config.planning.low_vel_mode_threshold
         replanners = [a for a in active if a.needs_replan()]
 
-        # per-agent predictions (sensor-filtered + agent-augmented) — only
-        # replanners consume them; plan-executing agents would pay the full
-        # sensor pass for nothing
-        per_pd = {}
+        # per-agent predictions (sensor-filtered + agent-augmented + occlusion
+        # phantoms, same pipeline as the sequential branch) — only replanners
+        # consume them; plan-executing agents would pay the full sensor pass
+        # for nothing
+        per_pd, phantom_masks = {}, {}
         for a in replanners:
             pd = {k: v.copy() for k, v in pd_base.items()}
             pd = self._filter_for_agent(pd, ids, a)
-            per_pd[a.id] = self._augment_with_agents(pd, a)
+            pd = self._augment_with_agents(pd, a)
+            if a.occlusion is not None:
+                before = pd["valid"].any(axis=1).copy()
+                pd, n_ph = a.occlusion.augment_predictions(
+                    pd, a.state, a.state.time_step, self.dt
+                )
+                phantom_masks[a.id] = pd["valid"].any(axis=1) & ~before
+                # host fallbacks (low-vel / stopping / batched misses) apply
+                # the same gate through the planner
+                a.planner.set_occlusion_module(a.occlusion, phantom_masks[a.id])
+            per_pd[a.id] = pd
 
         # behavior planners run on host ahead of the fused batch (they are
         # sequential control logic); their outputs feed the device cycle.
@@ -457,6 +457,17 @@ class Simulation:
                 ))
             reach_grids = stack_reach_grids(glist)
 
+        # (A, O) occlusion phantom-row masks for the in-batch safety gate
+        # (mesh._one_agent_select); all-False rows for agents without
+        # phantoms this step (the gate is then a no-op for them)
+        all_phantom_masks = None
+        if stepper.use_occlusion:
+            o_slots = pd_base["valid"].shape[0]
+            all_phantom_masks = np.zeros((len(self.agents), o_slots), bool)
+            for i, a in enumerate(self.agents):
+                if a.id in phantom_masks:
+                    all_phantom_masks[i] = phantom_masks[a.id]
+
         # progressive densification stays batched: agents that miss at one
         # sampling level re-run in the next level's batch
         # (reactive_planner_cpp.py:329-377); only the terminal fallback
@@ -511,7 +522,7 @@ class Simulation:
             out, poses_all = stepper.step(
                 all_mats, all_masks, preds_stacked, all_th, all_vdes,
                 self.config.vehicle, self._batched_weights,
-                reach_grids=reach_grids,
+                reach_grids=reach_grids, phantom_masks=all_phantom_masks,
             )
             # device-resident executed poses: the exposed hook for
             # device-side obstacle rebuild (parallel.mesh.

@@ -3,8 +3,8 @@
 VERDICT r1 items 2 & 6: the sharded full-cycle program must select the SAME
 trajectories as the single-device batched path and as the per-agent
 sequential `evaluate_cycle`; the batched Simulation mode must produce the
-same agent outcomes as the sequential host loop; occlusion + batching is an
-explicit configuration error.
+same agent outcomes as the sequential host loop — including the in-batch
+responsibility term and occlusion safety gate.
 
 Runs on the 8-device virtual CPU mesh (conftest.py).
 """
@@ -222,7 +222,8 @@ def test_agent_pose_predictions_device_rebuild(stacked_problem):
 # ----------------------------------------------- simulation-level parity
 
 
-def _run_sim(batched: bool, responsibility: float = 0.0):
+def _run_sim(batched: bool, responsibility: float = 0.0,
+             occlusion: bool = False):
     from frenetix_tpu.io.scenario_factory import make_highway
     from frenetix_tpu.sim.simulation import Simulation
     from frenetix_tpu.utils.config import FrenetixConfig
@@ -231,6 +232,7 @@ def _run_sim(batched: bool, responsibility: float = 0.0):
     cfg.simulation.start_multiagent = True
     cfg.simulation.batched_device_agents = batched
     cfg.cost_weights["responsibility"] = responsibility
+    cfg.occlusion.use_occlusion_module = occlusion
     sim = Simulation(make_highway(n_steps=80), cfg)
     res = sim.run()
     states = {
@@ -268,16 +270,94 @@ def test_batched_responsibility_matches_sequential():
         np.testing.assert_allclose(st_seq[aid], st_bat[aid], atol=1e-9)
 
 
-def test_batched_with_occlusion_is_config_error():
-    from frenetix_tpu.io.scenario_factory import make_highway
-    from frenetix_tpu.sim.simulation import Simulation
-    from frenetix_tpu.utils.config import FrenetixConfig
+def test_batched_occlusion_matches_sequential():
+    """Occlusion module on: phantom rows ride the stacked prediction tensors
+    and the safety gate runs inside the fused batch (mesh._one_agent_select);
+    outcomes must match the sequential host path (which gates through
+    planner.set_occlusion_module)."""
+    res_seq, st_seq = _run_sim(batched=False, occlusion=True)
+    res_bat, st_bat = _run_sim(batched=True, occlusion=True)
+    assert {k: v.name for k, v in res_seq.agent_status.items()} == \
+           {k: v.name for k, v in res_bat.agent_status.items()}
+    assert res_seq.steps == res_bat.steps
+    for aid in st_seq:
+        assert st_seq[aid].shape == st_bat[aid].shape
+        np.testing.assert_allclose(st_seq[aid], st_bat[aid], atol=1e-9)
 
-    cfg = FrenetixConfig(dtype="float64")
-    cfg.simulation.batched_device_agents = True
-    cfg.occlusion.use_occlusion_module = True
-    with pytest.raises(ValueError, match="occlusion"):
-        Simulation(make_highway(), cfg)
+
+def test_in_batch_occlusion_gate_matches_host_math(stacked_problem):
+    """The device-side occlusion gate must reproduce
+    OcclusionModule.trajectory_safety_assessment + host re-selection exactly:
+    same safe mask, same gated best index, and found=False when no candidate
+    passes (forcing the host fallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from frenetix_tpu.occlusion import OcclusionModule
+    from frenetix_tpu.parallel.mesh import (
+        _default_obstacle_meta, batched_full_cycle, make_agent_mesh,
+        sharded_full_cycle,
+    )
+    from frenetix_tpu.planner.core import evaluate_cycle
+    from frenetix_tpu.risk.costs import trajectory_risks
+
+    matrices, masks, ctx = stacked_problem
+    a = matrices.shape[0]
+    o = ctx.preds.means.shape[1]
+    dt, n_steps = 0.1, 30
+    harm_thr, risk_thr = 1e-6, 1.0   # tight harm threshold so the gate bites
+
+    # phantom = obstacle row 0, parked in the endpoint fan of each agent's
+    # candidates (agent i's road is offset spread·i=12 i in x) so per-phantom
+    # risks are non-zero and vary per candidate
+    means = np.asarray(ctx.preds.means).copy()
+    for i in range(a):
+        means[i, 0, :, 0] = 40.0 + 12.0 * i
+        means[i, 0, :, 1] = 3.0
+    preds = ctx.preds._replace(means=jnp.asarray(means))
+    ctx = ctx._replace(preds=preds, obstacle_xy=jnp.asarray(means[:, :, 0]))
+    pm = np.zeros((a, o), bool)
+    pm[:, 0] = True
+
+    module = OcclusionModule(scenario=None, harm_threshold=harm_thr,
+                             risk_threshold=risk_thr)
+    exp_best, exp_found = [], []
+    gate_varies = False
+    for i in range(a):
+        ctx_i = _slice_ctx(ctx, i)
+        res = evaluate_cycle(
+            matrices[i], masks[i], ctx_i, dt=dt, n_steps=n_steps,
+            low_vel_mode=False, check_boundary=True,
+        )
+        risks = trajectory_risks(
+            res.rollout, ctx_i.preds, _default_obstacle_meta(ctx_i.preds),
+            ctx.veh.mass,
+        )
+        safe = np.asarray(module.trajectory_safety_assessment(risks, pm[i]))
+        sel = np.asarray(res.selectable)
+        if sel.any() and 0 < (safe & sel).sum() < sel.sum():
+            gate_varies = True
+        sel2 = sel & safe
+        if sel2.any():
+            exp_best.append(int(np.argmin(np.where(sel2, np.asarray(res.cost),
+                                                   np.inf))))
+            exp_found.append(True)
+        else:
+            exp_best.append(int(res.best_idx))
+            exp_found.append(False)
+    assert gate_varies  # the synthetic phantom must actually split candidates
+
+    vfn = batched_full_cycle(dt=dt, n_steps=n_steps, occlusion=True,
+                             harm_threshold=harm_thr, risk_threshold=risk_thr)
+    out_v = vfn(matrices, masks, ctx, jnp.asarray(pm))
+    mesh = make_agent_mesh(jax.devices()[:8])
+    sfn = sharded_full_cycle(mesh, dt=dt, n_steps=n_steps, occlusion=True,
+                             harm_threshold=harm_thr, risk_threshold=risk_thr)
+    out_s, _ = sfn(matrices, masks, ctx, jnp.asarray(pm))
+    assert np.asarray(out_v["best"]).tolist() == exp_best
+    assert np.asarray(out_s["best"]).tolist() == exp_best
+    assert np.asarray(out_v["found"]).tolist() == exp_found
+    assert np.asarray(out_s["found"]).tolist() == exp_found
 
 
 # --------------------------------------------------------- distributed glue
