@@ -39,9 +39,14 @@ __all__ = ["FSMState", "EgoFSM"]
 
 
 # situation states that keep the static goal's stop point "armed"
+# (turn/intersection goals carry a junction-entry yield line since round 2's
+# lane-conflict clearance — without arming, their Stopping/Waiting situations
+# would have no stop distance to brake against)
 _STOPLINE_STATES = (
     "PrepareTrafficLight", "TrafficLight", "PrepareCrosswalk", "Crosswalk",
     "PrepareYieldSign", "YieldSign", "PrepareStopSign", "StopSign",
+    "PrepareIntersection", "Intersection",
+    "PrepareTurnLeft", "TurnLeft", "PrepareTurnRight", "TurnRight",
 )
 
 # line markings that forbid crossing (FSM_logic_modules.py:127-135)
@@ -438,6 +443,148 @@ class EgoFSM:
                 return False
         return True
 
+    # ------------------------------------------------- lane-conflict clearance
+    def _conflict_clear(self, pedestrians_only: bool = False) -> bool:
+        """Lane-conflict clearance for the turn/intersection situations.
+
+        Instead of the stop-point radius scan, reason about which traffic
+        actually CROSSES the ego's route through the junction and when:
+
+          1. the ego's conflict zone is the set of its route lanelets that
+             are successors of an intersection incoming (the same lanelet
+             set the ET/PET conflict-area metrics use),
+          2. every moving foreign vehicle is propagated along its own
+             lanelet successor chains at its current speed,
+          3. the junction is clear iff no such vehicle is inside the zone
+             now, and none arrives before the ego has cleared the zone plus
+             a safety time gap (`behavior.intersection_time_gap`).
+
+        Standing traffic outside the zone does not block (this is also the
+        livelock tie-break when two agents yield to each other: both halt,
+        both become clear, and whichever enters the zone first re-blocks
+        the other).  Falls back to `_stop_point_clear` when the scenario
+        has no intersection elements or the route does not pass through
+        one.  The reference leaves this clearance logic as TODO stubs
+        (FSM_logic_modules.py:1006-1157); this is a working lane-conflict
+        model behind the same state machinery.
+        """
+        from frenetix_tpu.io.commonroad import _point_in_ring
+
+        bm = self.bm
+        cfg = bm.config.behavior
+        inter_lls = set()
+        for inter in getattr(bm.scenario, "intersections", []):
+            for inc in inter.incomings:
+                inter_lls.update(inc.successors_left + inc.successors_right
+                                 + inc.successors_straight)
+        route_ids = bm.PP_state.reference_path_ids or []
+        conflict_ids = [lid for lid in route_ids
+                        if lid in inter_lls and lid in bm.scenario.lanelets]
+        if not conflict_ids:
+            return self._stop_point_clear(pedestrians_only=pedestrians_only)
+        ego_rings = [bm.scenario.lanelets[c].polygon for c in conflict_ids]
+
+        # ego s-interval over the conflict zone (sampled at ~1 m on the
+        # reference frame, windowed around the current position)
+        frame = bm.PP_state.frame
+        ds = float(frame.s[1] - frame.s[0]) if len(frame.s) > 1 else 1.0
+        stride = max(int(round(1.0 / max(ds, 1e-6))), 1)
+        lo, hi = bm.ref_position_s - 10.0, bm.ref_position_s + 150.0
+        inside = [i for i in range(0, len(frame.xy), stride)
+                  if lo <= frame.s[i] <= hi
+                  and any(_point_in_ring(frame.xy[i], r) for r in ego_rings)]
+        if not inside:
+            return self._stop_point_clear(pedestrians_only=pedestrians_only)
+        s_out = float(frame.s[inside[-1]])
+        d_clear = s_out + bm.vehicle_params.length - bm.ref_position_s
+        if d_clear <= 0.0:
+            return True  # already past the junction
+
+        # time for the ego to clear the zone: accelerate from the current
+        # velocity toward the attainable speed, capped
+        v0 = max(float(bm.ego_state.velocity), 0.0)
+        v_cap = max(bm.VP_state.goal_velocity or 0.0, bm.speed_limit or 0.0, 3.0)
+        a = cfg.clearance_accel
+        d_acc = max((v_cap ** 2 - v0 ** 2) / (2.0 * a), 0.0)
+        if d_clear <= d_acc:
+            t_ego = (np.sqrt(v0 ** 2 + 2.0 * a * d_clear) - v0) / a
+        else:
+            t_ego = (max(v_cap - v0, 0.0) / a) + (d_clear - d_acc) / v_cap
+        t_protect = float(t_ego) + cfg.intersection_time_gap
+
+        for ob in bm.world.dynamic_obstacles:
+            if ob.obstacle_id == bm.ego_id:
+                continue
+            if pedestrians_only and ob.obstacle_type != "pedestrian":
+                continue
+            st = ob.state_at_time(bm.time_step)
+            if st is None:
+                continue
+            pos = np.asarray(st.position, dtype=np.float64)
+            if any(_point_in_ring(pos, r) for r in ego_rings):
+                return False  # inside the conflict zone right now
+            v_obs = float(st.velocity)
+            if v_obs <= 0.3:
+                continue  # standing traffic does not cross
+            t_in = self._arrival_time_in_rings(ob, st, ego_rings, v_obs,
+                                               t_protect)
+            if t_in is not None and t_in < t_protect:
+                return False
+        return True
+
+    def _arrival_time_in_rings(self, ob, st, rings, v_obs: float,
+                               horizon: float):
+        """Earliest time at which `ob`'s front can reach any of `rings`,
+        propagating along its lanelet successor chains (direction-aligned
+        with its heading) at constant speed; None if unreachable within
+        `horizon` seconds."""
+        from frenetix_tpu.io.commonroad import _point_in_ring
+
+        bm = self.bm
+        lanelets = bm.scenario.lanelets
+        pos = np.asarray(st.position, dtype=np.float64)
+        heading = np.array([np.cos(st.orientation), np.sin(st.orientation)])
+        d_max = v_obs * horizon + ob.length
+        best = [np.inf]
+
+        def walk(lid, pts, d0, visited):
+            d = d0
+            for p_a, p_b in zip(pts[:-1], pts[1:]):
+                step = float(np.linalg.norm(p_b - p_a))
+                if step < 1e-9:
+                    continue
+                n_sub = max(int(step / 2.0), 1)
+                for k in range(1, n_sub + 1):
+                    dq = d + step * k / n_sub
+                    if dq >= min(best[0], d_max):
+                        return
+                    q = p_a + (p_b - p_a) * (k / n_sub)
+                    if any(_point_in_ring(q, r) for r in rings):
+                        best[0] = dq
+                        return
+                d += step
+            ll = lanelets.get(lid)
+            for s in (ll.successors if ll else []):
+                if s not in visited and s in lanelets and d < min(best[0], d_max):
+                    walk(s, lanelets[s].center_vertices, d, visited | {s})
+
+        for lid in bm.scenario.find_lanelets_by_position(pos):
+            ll = lanelets.get(lid)
+            if ll is None or len(ll.center_vertices) < 2:
+                continue
+            cv = ll.center_vertices
+            seg_i = int(np.argmin(np.linalg.norm(cv[:-1] - pos, axis=1)))
+            tangent = cv[seg_i + 1] - cv[seg_i]
+            norm = float(np.linalg.norm(tangent))
+            if norm < 1e-9 or float(tangent @ heading) / norm < 0.0:
+                continue  # lanelet runs against the vehicle's heading
+            remaining = np.concatenate([pos[None, :], cv[seg_i + 1:]], axis=0)
+            walk(lid, remaining, 0.0, frozenset({lid}))
+
+        if not np.isfinite(best[0]):
+            return None
+        return max(best[0] - ob.length / 2.0, 0.0) / v_obs
+
 
 # ===========================================================================
 # situation-layer transition functions
@@ -513,15 +660,23 @@ def _situation_light(ego: EgoFSM, state):
 
 def _make_sign_situation(clear_flag: str, clear_state: str, wait_state: str,
                          observe_state: str, require_full_stop: bool,
-                         pedestrians_only: bool = False):
+                         pedestrians_only: bool = False,
+                         conflict: bool = False):
     """Factory for the stop-sign / yield-sign / crosswalk / turn /
     intersection situation families (same state skeleton, different clearance
     semantics).  Reference state classes: FSM_model.py:1243-1389; the logic
-    modules are TODO stubs — implemented here with clearance scans."""
+    modules are TODO stubs — implemented here with clearance scans.
+    `conflict=True` (turns/intersections) replaces the stop-point radius scan
+    with the lane-conflict time-gap model (`EgoFSM._conflict_clear`)."""
+
+    def _clearance(ego: EgoFSM) -> bool:
+        if conflict:
+            return ego._conflict_clear(pedestrians_only=pedestrians_only)
+        return ego._stop_point_clear(pedestrians_only=pedestrians_only)
 
     def prepare(ego: EgoFSM, state):
         fsm = ego.bm.FSM_state
-        clear = ego._stop_point_clear(pedestrians_only=pedestrians_only)
+        clear = _clearance(ego)
         setattr(fsm, clear_flag, clear)
         state = state or observe_state
         if state == observe_state and not clear:
@@ -530,15 +685,21 @@ def _make_sign_situation(clear_flag: str, clear_state: str, wait_state: str,
             state = observe_state
         if state == "SlowingDown":
             _arm_stop(ego)
+        else:
+            # leaving SlowingDown must release the braking envelope (cf.
+            # _situation_prepare_light) or the stale armed stop distance
+            # pins the desired velocity near zero forever
+            fsm.slowing_car_for_traffic_light = False
         return state
 
     def main(ego: EgoFSM, state):
         bm, fsm = ego.bm, ego.bm.FSM_state
-        clear = ego._stop_point_clear(pedestrians_only=pedestrians_only)
+        clear = _clearance(ego)
         setattr(fsm, clear_flag, clear)
         if state is None:
             state = "Stopping" if (require_full_stop or not clear) else clear_state
         if state == clear_state:
+            fsm.slowing_car_for_traffic_light = False
             if not clear:
                 state = "Stopping"
         elif state == "Stopping":
@@ -576,11 +737,12 @@ _prep_crosswalk, _situation_crosswalk = _make_sign_situation(
     "ObservingCrosswalk", require_full_stop=False, pedestrians_only=True)
 _prep_turn, _situation_turn = _make_sign_situation(
     "turn_clear", "TurnClear", "WaitingForTurnClearance",
-    "IdentifyTargetLaneAndVehiclesOnTargetLane", require_full_stop=False)
+    "IdentifyTargetLaneAndVehiclesOnTargetLane", require_full_stop=False,
+    conflict=True)
 _prep_intersection, _situation_intersection = _make_sign_situation(
     "intersection_clear", "IntersectionClear",
     "WaitingForIntersectionClearance", "ObservingIntersection",
-    require_full_stop=False)
+    require_full_stop=False, conflict=True)
 
 
 def _situation_prepare_lane_change(side: str):

@@ -163,7 +163,45 @@ def _detect_intersections(scenario: Scenario, route_ids, frame):
                     if end_s <= start_s:
                         end_s = min(start_s + 15.0, frame.length)
                     found.append(dict(type="Intersection", start_s=start_s,
-                                      end_s=end_s, lanelet_id=lid))
+                                      end_s=end_s, lanelet_id=lid,
+                                      stop_position_xy=frame.to_cartesian(start_s)))
+    return found
+
+
+def _detect_turns(scenario: Scenario, route_ids, frame,
+                  kappa_threshold: float = 0.03,
+                  min_heading_change: float = 0.5):
+    """Sustained high-curvature regions of the reference path → TurnLeft /
+    TurnRight goals.  The reference leaves turn detection as a TODO
+    (path_planner.py:320) but hints at exactly this heuristic: 'maybe look
+    at the reference path curvature: if greater than 0.03 it might be a
+    turn' (path_planner.py:663-664).  Requiring a total heading change of
+    ≥ `min_heading_change` rad over the region separates street-corner
+    turns from the two short counter-signed curvature lobes of a lane
+    change (the '--_^^_--' signature, path_planner.py:663)."""
+    xy, s = frame.xy, frame.s
+    if len(xy) < 5:
+        return []
+    dx, dy = np.gradient(xy[:, 0], s), np.gradient(xy[:, 1], s)
+    ddx, ddy = np.gradient(dx, s), np.gradient(dy, s)
+    denom = np.maximum((dx * dx + dy * dy) ** 1.5, 1e-12)
+    kappa = (dx * ddy - dy * ddx) / denom
+    hot = np.abs(kappa) > kappa_threshold
+    found, i, n = [], 0, len(hot)
+    while i < n:
+        if not hot[i]:
+            i += 1
+            continue
+        j = i
+        while j < n and hot[j] and (kappa[j] > 0) == (kappa[i] > 0):
+            j += 1
+        dtheta = float(np.trapezoid(kappa[i:j], s[i:j])) if j - i > 1 else 0.0
+        if abs(dtheta) >= min_heading_change:
+            side = "TurnLeft" if dtheta > 0 else "TurnRight"
+            found.append(dict(type=side, start_s=float(s[i]),
+                              end_s=float(s[j - 1]),
+                              stop_position_xy=frame.to_cartesian(float(s[i]))))
+        i = j
     return found
 
 
@@ -244,6 +282,7 @@ def build_static_route_plan(
         + _detect_crosswalks(scenario, route_ids, frame)
         + _detect_lane_merges(scenario, route_ids, frame)
         + _detect_intersections(scenario, route_ids, frame)
+        + _detect_turns(scenario, route_ids, frame)
     )
 
     goals: list[StaticGoal] = []
@@ -276,11 +315,32 @@ def build_static_route_plan(
             goals.append(StaticGoal("Prepare" + item["type"],
                                     max(0.001, start_s - prep_len), start_s,
                                     goal_lanelet_id=lid))
+        elif item["type"] in ("TurnLeft", "TurnRight"):
+            # turn entry doubles as the yield line (same rationale as the
+            # intersection entry below; turns outrank intersections in the
+            # overlap resolution, GOAL_PRIORITY)
+            start_s, end_s = item["start_s"], item["end_s"]
+            goals.append(StaticGoal(item["type"], start_s, end_s,
+                                    stop_point_s=start_s,
+                                    stop_point_xy=item.get("stop_position_xy")))
+            goals.append(StaticGoal("Prepare" + item["type"],
+                                    max(0.001, start_s - prep_len), start_s,
+                                    stop_point_s=start_s,
+                                    stop_point_xy=item.get("stop_position_xy")))
         elif item["type"] == "Intersection":
             start_s, end_s = item["start_s"], item["end_s"]
-            goals.append(StaticGoal("Intersection", start_s, end_s, goal_lanelet_id=lid))
+            # yield line at the junction entry: without it the Stopping /
+            # Waiting situations have nothing to arm a stop distance against
+            # (the reference's intersection states are TODO stubs and never
+            # stop either — this build makes them effective)
+            goals.append(StaticGoal("Intersection", start_s, end_s,
+                                    stop_point_s=start_s,
+                                    stop_point_xy=item.get("stop_position_xy"),
+                                    goal_lanelet_id=lid))
             goals.append(StaticGoal("PrepareIntersection",
                                     max(0.001, start_s - prep_len), start_s,
+                                    stop_point_s=start_s,
+                                    stop_point_xy=item.get("stop_position_xy"),
                                     goal_lanelet_id=lid))
 
     # drop yield/stop signs that duplicate an active traffic light at the same

@@ -19,7 +19,7 @@ __all__ = [
     "make_highway", "make_curve", "make_s_curve", "make_overtake",
     "make_lane_change", "make_traffic_light", "make_stop_sign",
     "make_yield_sign", "make_lane_merge", "make_behavior_overtake",
-    "make_crosswalk", "make_intersection_crossing",
+    "make_crosswalk", "make_intersection_crossing", "make_turn_left",
 ]
 
 
@@ -412,6 +412,72 @@ def make_intersection_crossing(arm=60.0, box=10.0, lane_width=3.6, ego_v=10.0,
         goals=[goal],
     )
     return Scenario("SYN_Crossing-1", dt, lanelets, obstacles, {60000: pp},
+                    intersections=[intersection])
+
+
+def make_turn_left(arm=50.0, lane_width=3.6, ego_v=9.0, oncoming_v=8.0,
+                   oncoming_start=30.0, dt=0.1, n_steps=300):
+    """T-junction left turn across oncoming traffic: the ego's route bends
+    through a quarter-circle street corner (radius ≈ 11.8 m → curvature
+    0.085, above the 0.03 turn-detection threshold hinted at in the
+    reference's path_planner.py:663) while an oncoming car approaches on
+    the opposite lane.  Exercises TurnLeft static goals and the
+    lane-conflict turn clearance."""
+    from frenetix_tpu.io.commonroad import Intersection, IntersectionIncoming
+
+    half = lane_width / 2
+    r = 10.0 + half  # corner radius of the ego-lane centerline
+
+    # ego approach: eastbound lane (centre y = -half), x ∈ [-arm-10, -10]
+    a1 = _straight(arm, y=-half, x0=-arm - 10.0)
+    # left-turn arc: quarter circle about (-10, 10) from (-10,-half) to
+    # (half, 10), ending northbound
+    th = np.linspace(-np.pi / 2, 0.0, 20)
+    arc = np.stack([-10.0 + r * np.cos(th), 10.0 + r * np.sin(th)], axis=1)
+    # exit: northbound lane (centre x = +half), y ∈ [10, 10+arm]
+    a3 = np.stack([np.full(26, half), np.linspace(10.0, 10.0 + arm, 26)], axis=1)
+
+    # oncoming road: westbound lane (centre y = +half), split into
+    # approach → junction → exit so the junction piece is an intersection
+    # successor
+    b1 = np.stack([np.linspace(10.0 + arm, 10.0, 26), np.full(26, half)], axis=1)
+    b2 = np.stack([np.linspace(10.0, -10.0, 11), np.full(11, half)], axis=1)
+    b3 = np.stack([np.linspace(-10.0, -10.0 - arm, 26), np.full(26, half)], axis=1)
+
+    lanelets = {}
+    for lid, (center, succ) in {
+        50000: (a1, [50001]), 50001: (arc, [50002]), 50002: (a3, []),
+        50010: (b1, [50011]), 50011: (b2, [50012]), 50012: (b3, []),
+    }.items():
+        lanelets[lid] = _lanelet_from_center(lid, center, half, succ)
+    lanelets[50001].predecessors = [50000]
+    lanelets[50002].predecessors = [50001]
+    lanelets[50011].predecessors = [50010]
+    lanelets[50012].predecessors = [50011]
+
+    intersection = Intersection(70000, incomings=[
+        IntersectionIncoming(1, incoming_lanelets=[50000],
+                             successors_left=[50001]),
+        IntersectionIncoming(2, incoming_lanelets=[50010],
+                             successors_straight=[50011]),
+    ])
+
+    # oncoming car westbound, `oncoming_start` metres into its road
+    oncoming_center = np.concatenate([b1, b2[1:], b3[1:]])
+    obstacles = _traffic(oncoming_center, [oncoming_v], dt, n_steps,
+                         [oncoming_start])
+
+    goal_center = np.array([half, 10.0 + arm - 12.0])
+    box = np.array([[1.6, 8.0], [1.6, -8.0], [-1.6, -8.0], [-1.6, 8.0]])
+    goal = GoalCondition(position_shape=box + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, np.array([-arm - 8.0, -half]), 0.0, float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_TurnLeft-1", dt, lanelets, obstacles, {60000: pp},
                     intersections=[intersection])
 
 

@@ -30,7 +30,34 @@ from frenetix_tpu.ops.costs import COST_TERM_ORDER, empty_predictions
 from frenetix_tpu.planner.core import CycleContext, evaluate_cycle
 from frenetix_tpu.utils.config import FrenetixConfig
 
-__all__ = ["PlannedTrajectory", "ReactivePlanner"]
+__all__ = ["PlannedTrajectory", "ReactivePlanner", "wants_stopping_mode"]
+
+
+def wants_stopping_mode(stop_point, x_cl, threshold: float) -> bool:
+    """Should the planner switch to end-state-constrained (quintic stopping)
+    longitudinal sampling for this cycle?
+
+    Mirrors `reactive_planner_cpp.py:332-343` (stop point armed, target
+    velocity below the stopping-mode threshold, point ahead of the ego) with
+    one deliberate deviation: the target velocity must also be a
+    DECELERATION demand (below the current velocity + 2 m/s).  A "stop"
+    point whose target velocity is above the current one is an acceleration
+    request; quintic sampling toward a point that the behavior planner's
+    min-distance clamp keeps ~1.4 m ahead of the nose would otherwise pin a
+    slow vehicle in a permanent crawl.  The reference never exercises this
+    case — its turn/intersection states are TODO stubs and never arm
+    nose-adjacent stop points paired with moderate target velocities.
+
+    The single predicate is shared by the sequential planner and the batched
+    stepper's host-fallback routing (sim/simulation.py) so the two paths
+    cannot diverge on which agents run the stopping sampler.
+    """
+    return (
+        stop_point is not None
+        and stop_point[1] < threshold
+        and stop_point[0] > x_cl[0][0]
+        and stop_point[1] < max(float(x_cl[0][1]), 1.0) + 2.0
+    )
 
 
 @dataclass
@@ -225,10 +252,8 @@ class ReactivePlanner:
         # stopping mode: behavior planner provided a stop point with low target
         # velocity → end-position-constrained (quintic) longitudinal sampling
         # (reactive_planner_cpp.py:332-343, 258-290)
-        use_stopping = (
-            self.stop_point is not None
-            and self.stop_point[1] < self.config.behavior.stopping_mode_threshold
-            and self.stop_point[0] > x_cl[0][0]
+        use_stopping = wants_stopping_mode(
+            self.stop_point, x_cl, self.config.behavior.stopping_mode_threshold
         )
         # progressive densification (reactive_planner_cpp.py:329-377)
         while optimal is None and level < p.sampling_max:

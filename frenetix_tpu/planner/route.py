@@ -52,25 +52,80 @@ def plan_route(scenario, start_lanelet_id: int, goal_lanelet_ids) -> list[int]:
     return []
 
 
+def _arclength(pts: np.ndarray) -> np.ndarray:
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    return np.concatenate([[0.0], np.cumsum(seg)])
+
+
+def _resample(pts: np.ndarray, stations: np.ndarray) -> np.ndarray:
+    s = _arclength(pts)
+    return np.stack(
+        [np.interp(stations, s, pts[:, 0]), np.interp(stations, s, pts[:, 1])],
+        axis=1,
+    )
+
+
+def _blend_lane_change(tail: np.ndarray, verts: np.ndarray,
+                       ramp_length: float = 30.0):
+    """Smooth lateral transition from the current lane's centerline (`tail`)
+    into the adjacent lane's (`verts`), centered on the overlap midpoint.
+
+    The reference's external route planner emits a reference path that ramps
+    into the goal lane over the lane-change span
+    (commonroad-route-planner's lane-change section generation, consumed at
+    frenet_interface.py:101-114); the round-1 version here instead switched
+    centerlines at the nearest point to the PREVIOUS lanelet's end — for a
+    goal on the neighbor lane that is a terminal 90° kink, which the
+    downstream smoothing turns into a tight (r ≈ 5 m) hook that the static
+    route planner then misreads as a street-corner turn.
+
+    Returns (kept_tail, blend_samples, remaining_neighbor_verts).
+    """
+    s_tail = _arclength(tail)
+    total = float(s_tail[-1])
+    ramp = min(ramp_length, 0.6 * total)
+    s0 = np.clip(0.5 * total - 0.5 * ramp, 0.0, total)
+    s1 = min(s0 + ramp, total)
+    if s1 - s0 < 1e-6:  # degenerate short lanelet: plain switch at the joint
+        d = np.linalg.norm(verts - tail[-1][None, :], axis=1)
+        return tail, np.empty((0, 2)), verts[int(np.argmin(d)):]
+
+    stations = np.linspace(s0, s1, max(int((s1 - s0) / 2.0), 4))
+    src = _resample(tail, stations)
+    # matching points on the neighbor: nearest-point projection per sample
+    dst = np.stack(
+        [verts[int(np.argmin(np.linalg.norm(verts - p[None, :], axis=1)))]
+         for p in src],
+        axis=0,
+    )
+    w = (stations - s0) / (s1 - s0)
+    w = w * w * (3.0 - 2.0 * w)  # smoothstep
+    blend = src * (1.0 - w)[:, None] + dst * w[:, None]
+    kept = tail[s_tail < s0]
+    d_end = np.linalg.norm(verts - blend[-1][None, :], axis=1)
+    rest = verts[int(np.argmin(d_end)) + 1:]
+    return kept, blend, rest
+
+
 def _route_centerline(scenario, route: list[int]) -> np.ndarray:
     """Concatenate the center vertices of a lanelet route, skipping duplicate
-    joints and handling lane-change edges (adjacent lanelets) by simply
-    switching to the neighbor's centerline — the spline smoothing downstream
-    turns the jump into a smooth transition."""
-    pts = []
+    joints; lane-change edges (same-direction adjacent lanelets) become a
+    smooth mid-overlap lateral ramp (`_blend_lane_change`) rather than a
+    centerline jump."""
+    pts: list[np.ndarray] = []
     prev_ll = None
     for lid in route:
         ll = scenario.lanelets[lid]
         verts = ll.center_vertices
-        if prev_ll is not None and lid in (prev_ll.adj_left, prev_ll.adj_right):
-            # lane change: drop the part of the neighbor behind our current end
-            if len(pts):
-                last = pts[-1][-1]
-                d = np.linalg.norm(verts - last[None, :], axis=1)
-                verts = verts[int(np.argmin(d)) :]
-        pts.append(verts)
+        if (prev_ll is not None
+                and lid in (prev_ll.adj_left, prev_ll.adj_right) and pts):
+            kept, blend, rest = _blend_lane_change(pts[-1], verts)
+            pts[-1] = kept
+            pts.extend([blend, rest])
+        else:
+            pts.append(verts)
         prev_ll = ll
-    out = np.concatenate(pts, axis=0)
+    out = np.concatenate([p for p in pts if len(p)], axis=0)
     _, idx = np.unique(out, axis=0, return_index=True)
     return out[np.sort(idx)]
 

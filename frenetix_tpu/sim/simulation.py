@@ -397,6 +397,7 @@ class Simulation:
         # Stopping-mode agents (armed stop point → quintic sampling, a
         # different static flag) fall back to the host path this step; a
         # reference-path change invalidates the stacked tables.
+        from frenetix_tpu.planner.reactive import wants_stopping_mode
         from frenetix_tpu.sim.planner_interfaces import apply_behavior_output
 
         stop_thr = self.config.behavior.stopping_mode_threshold
@@ -412,9 +413,7 @@ class Simulation:
                     del self._batched_stepper
                     stepper = None
             behavior_v_des[a.id] = b_out.desired_velocity
-            if (a.planner.stop_point is not None
-                    and a.planner.stop_point[1] < stop_thr
-                    and a.planner.stop_point[0] > a.x_cl[0][0]):
+            if wants_stopping_mode(a.planner.stop_point, a.x_cl, stop_thr):
                 behavior_forced_host.add(a.id)
         if stepper is None:
             from frenetix_tpu.parallel.batched_sim import BatchedAgentStepper

@@ -147,6 +147,12 @@ class BehaviorConfig:
     min_stop_point_time: float = 1.0
     standing_obstacle_vel: float = 1.0
 
+    # lane-conflict clearance for turn/intersection situations (the
+    # reference leaves these clearance modules as TODO stubs,
+    # FSM_logic_modules.py:1006-1157; see fsm.EgoFSM._conflict_clear)
+    intersection_time_gap: float = 2.0   # s, safety gap after ego clears
+    clearance_accel: float = 1.5         # m/s², assumed ego accel from the line
+
     # retained knobs of the round-1 module (still honored by the velocity
     # planner's TTC conditioning)
     time_headway: float = 1.8

@@ -309,6 +309,125 @@ def test_e2e_crosswalk_yield():
     assert xs[-1] > 110.0
 
 
+def test_intersection_stop_point_in_static_route():
+    """Intersection static goals carry a junction-entry yield line — without
+    it the Stopping/Waiting situations have no stop distance to arm."""
+    from frenetix_tpu.io.scenario_factory import make_intersection_crossing
+
+    mod, sc = _behavior_module(make_intersection_crossing)
+    plan = mod.bm.PP_state.static_route_plan
+    inter = [g for g in plan if g.goal_type == "Intersection"]
+    prep = [g for g in plan if g.goal_type == "PrepareIntersection"]
+    assert inter and prep
+    assert inter[0].stop_point_s == pytest.approx(inter[0].start_s)
+    assert prep[0].stop_point_s == pytest.approx(inter[0].start_s)
+
+
+def test_intersection_conflict_clearance():
+    """Lane-conflict clearance (EgoFSM._conflict_clear): crossing traffic
+    approaching the junction blocks the ego; traffic that has already passed
+    the ego's conflict lanelets does NOT — even right next to the yield
+    line, where the old stop-point radius scan still blocks."""
+    from frenetix_tpu.io.scenario_factory import make_intersection_crossing
+
+    # crossing car ~33 m before the junction, closing at 8 m/s → blocked
+    mod, sc = _behavior_module(make_intersection_crossing)
+    fsm = mod.bm.FSM_state
+    out = mod.execute(None, _Ego(-14.0, 2.0, 9), 9)
+    assert fsm.behavior_state_static == "PrepareIntersection"
+    assert fsm.intersection_clear is False
+    assert fsm.situation_state_static == "SlowingDown"
+    assert out.stop_point_s is not None
+
+    # car already past the conflict area (inside the junction box, moving
+    # away): conflict model is clear, the radius scan is not
+    mod2, _ = _behavior_module(lambda: make_intersection_crossing(cross_delay=-15.0))
+    mod2.execute(None, _Ego(-14.0, 2.0, 0), 0)
+    assert mod2.bm.FSM_state.intersection_clear is True
+    assert mod2.ego_fsm._stop_point_clear() is False  # the contrast
+
+
+def test_conflict_clearance_respects_lane_direction():
+    """A vehicle whose heading opposes its lanelet's direction cannot reach
+    the conflict area along successor chains → no arrival time."""
+    from frenetix_tpu.io.scenario_factory import make_intersection_crossing
+
+    mod, sc = _behavior_module(make_intersection_crossing)
+    mod.execute(None, _Ego(-14.0, 2.0, 0), 0)
+    ob = sc.obstacles[100]
+    st = ob.state_at_time(0)
+    rings = [sc.lanelets[50001].polygon]
+    fwd = mod.ego_fsm._arrival_time_in_rings(ob, st, rings, st.velocity, 20.0)
+    assert fwd is not None and fwd > 0.0
+
+    class Reversed:
+        position = st.position
+        orientation = st.orientation + np.pi  # against the lane
+        velocity = st.velocity
+
+    rev = mod.ego_fsm._arrival_time_in_rings(ob, Reversed(), rings,
+                                             st.velocity, 20.0)
+    assert rev is None
+
+
+def test_e2e_intersection_yield():
+    """Crossing traffic at the junction: the ego yields at the junction
+    entry while the crossing vehicle traverses the conflict area (steps
+    ~45-55), then crosses and reaches the goal."""
+    from frenetix_tpu.io.scenario_factory import make_intersection_crossing
+
+    res, xs, ys, vs, _ = _run(make_intersection_crossing)
+    assert res.success
+    # the crossing car is inside the conflict area about t∈[45, 55]; the
+    # ego must still be before the junction entry (x = -10) through that
+    # window (with approach margin before it)
+    assert xs[40:56].max() < -10.0
+    assert vs.min() < 1.0                 # actually yielded
+    assert xs[-1] > 30.0                  # crossed and reached the goal
+
+
+def test_turn_detection_static_route():
+    """Reference-path curvature → TurnLeft goal with an entry yield line;
+    the turn outranks the co-located Intersection goal in the overlap
+    resolution (GOAL_PRIORITY).  The reference leaves turn detection as a
+    TODO (path_planner.py:320) with this heuristic hinted at :663."""
+    from frenetix_tpu.io.scenario_factory import make_turn_left
+
+    mod, sc = _behavior_module(make_turn_left)
+    plan = mod.bm.PP_state.static_route_plan
+    types = [g.goal_type for g in plan]
+    assert "TurnLeft" in types and "PrepareTurnLeft" in types
+    assert "Intersection" not in types  # lost the overlap to the turn
+    g = plan[types.index("TurnLeft")]
+    assert g.stop_point_s == pytest.approx(g.start_s)
+
+
+def test_turn_detection_ignores_gentle_curves_and_lane_changes():
+    """No Turn goals on an 80 m-radius curve (κ=0.0125 < 0.03) nor from a
+    lane-change route (two short counter-signed curvature lobes — the
+    heading-change filter rejects them)."""
+    from frenetix_tpu.io.scenario_factory import make_curve, make_lane_change
+
+    for maker in (make_curve, make_lane_change):
+        mod, _ = _behavior_module(maker)
+        types = [g.goal_type for g in mod.bm.PP_state.static_route_plan]
+        assert not any("Turn" in t for t in types), (maker.__name__, types)
+
+
+def test_e2e_turn_left_across_oncoming():
+    """Left turn across oncoming traffic: the ego yields before the turn
+    entry while the oncoming car traverses the junction, then completes
+    the turn northbound."""
+    from frenetix_tpu.io.scenario_factory import make_turn_left
+
+    res, xs, ys, vs, _ = _run(make_turn_left)
+    assert res.success
+    # the oncoming car occupies the junction roughly t∈[25, 50]
+    assert xs[25:51].max() < -10.0
+    assert vs.min() < 4.0          # actually yielded
+    assert ys[-1] > 30.0           # completed the turn northbound
+
+
 def test_crosswalk_in_static_route_plan():
     from frenetix_tpu.io.scenario_factory import make_crosswalk
 
