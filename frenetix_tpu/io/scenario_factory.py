@@ -20,6 +20,7 @@ __all__ = [
     "make_lane_change", "make_traffic_light", "make_stop_sign",
     "make_yield_sign", "make_lane_merge", "make_behavior_overtake",
     "make_crosswalk", "make_intersection_crossing", "make_turn_left",
+    "make_turn_right",
 ]
 
 
@@ -478,6 +479,71 @@ def make_turn_left(arm=50.0, lane_width=3.6, ego_v=9.0, oncoming_v=8.0,
         goals=[goal],
     )
     return Scenario("SYN_TurnLeft-1", dt, lanelets, obstacles, {60000: pp},
+                    intersections=[intersection])
+
+
+def make_turn_right(arm=50.0, lane_width=3.6, ego_v=10.0, through_v=8.0,
+                    through_start=30.0, dt=0.1, n_steps=300):
+    """T-junction right turn merging into through traffic: the ego's route
+    bends right (quarter circle, curvature ≈ −0.12) into a southbound road
+    on which a through car approaches the junction from the north.  The
+    through car's route passes the end of the ego's turn arc, so the
+    lane-conflict clearance must hold the ego at the junction entry until
+    it has passed, then the ego merges BEHIND it (TTC following).  Mirror
+    of `make_turn_left` for the TurnRight states."""
+    from frenetix_tpu.io.commonroad import Intersection, IntersectionIncoming
+
+    half = lane_width / 2
+    r = 10.0 - half  # corner radius of the ego-lane centerline (right turn)
+
+    # ego approach: eastbound lane (centre y = -half), x ∈ [-arm-10, -10]
+    a1 = _straight(arm, y=-half, x0=-arm - 10.0)
+    # right-turn arc: quarter circle about (-10, -10) from (-10, -half)
+    # to (-half, -10), ending southbound
+    th = np.linspace(np.pi / 2, 0.0, 20)
+    arc = np.stack([-10.0 + r * np.cos(th), -10.0 + r * np.sin(th)], axis=1)
+    # shared exit: southbound lane (centre x = -half), y ∈ [-10, -10-arm]
+    a3 = np.stack([np.full(26, -half), np.linspace(-10.0, -10.0 - arm, 26)],
+                  axis=1)
+
+    # through road from the north: approach → junction → the SAME exit
+    # lanelet the ego's arc feeds (a true merge)
+    b1 = np.stack([np.full(26, -half), np.linspace(10.0 + arm, 10.0, 26)], axis=1)
+    b2 = np.stack([np.full(11, -half), np.linspace(10.0, -10.0, 11)], axis=1)
+
+    lanelets = {}
+    for lid, (center, succ) in {
+        50000: (a1, [50001]), 50001: (arc, [50002]), 50002: (a3, []),
+        50010: (b1, [50011]), 50011: (b2, [50002]),
+    }.items():
+        lanelets[lid] = _lanelet_from_center(lid, center, half, succ)
+    lanelets[50001].predecessors = [50000]
+    lanelets[50002].predecessors = [50001, 50011]
+    lanelets[50011].predecessors = [50010]
+
+    intersection = Intersection(70000, incomings=[
+        IntersectionIncoming(1, incoming_lanelets=[50000],
+                             successors_right=[50001]),
+        IntersectionIncoming(2, incoming_lanelets=[50010],
+                             successors_straight=[50011]),
+    ])
+
+    # through car southbound, `through_start` metres into its road
+    through_center = np.concatenate([b1, b2[1:], a3[1:]])
+    obstacles = _traffic(through_center, [through_v], dt, n_steps,
+                         [through_start])
+
+    goal_center = np.array([-half, -10.0 - arm + 12.0])
+    box = np.array([[1.6, 8.0], [1.6, -8.0], [-1.6, -8.0], [-1.6, 8.0]])
+    goal = GoalCondition(position_shape=box + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, np.array([-arm - 8.0, -half]), 0.0, float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_TurnRight-1", dt, lanelets, obstacles, {60000: pp},
                     intersections=[intersection])
 
 

@@ -428,6 +428,33 @@ def test_e2e_turn_left_across_oncoming():
     assert ys[-1] > 30.0           # completed the turn northbound
 
 
+def test_turn_right_detection_static_route():
+    """Mirror of the TurnLeft detection: negative sustained curvature →
+    TurnRight goal with an entry yield line."""
+    from frenetix_tpu.io.scenario_factory import make_turn_right
+
+    mod, sc = _behavior_module(make_turn_right)
+    plan = mod.bm.PP_state.static_route_plan
+    types = [g.goal_type for g in plan]
+    assert "TurnRight" in types and "PrepareTurnRight" in types
+    g = plan[types.index("TurnRight")]
+    assert g.stop_point_s == pytest.approx(g.start_s)
+
+
+def test_e2e_turn_right_merge_behind_through_traffic():
+    """Right turn merging into a through road: the ego holds before the
+    junction while the southbound through car passes the arc (it enters the
+    junction ~t=25 and clears the merge point ~t=50), then merges behind it
+    and completes the turn southbound."""
+    from frenetix_tpu.io.scenario_factory import make_turn_right
+
+    res, xs, ys, vs, _ = _run(make_turn_right)
+    assert res.success
+    assert xs[25:51].max() < -10.0   # behind the junction entry while blocked
+    assert vs.min() < 4.0            # actually yielded
+    assert ys[-1] < -30.0            # completed the turn southbound
+
+
 def test_crosswalk_in_static_route_plan():
     from frenetix_tpu.io.scenario_factory import make_crosswalk
 
