@@ -20,7 +20,7 @@ __all__ = [
     "make_lane_change", "make_traffic_light", "make_stop_sign",
     "make_yield_sign", "make_lane_merge", "make_behavior_overtake",
     "make_crosswalk", "make_intersection_crossing", "make_turn_left",
-    "make_turn_right",
+    "make_turn_right", "make_double_lane_change",
 ]
 
 
@@ -480,6 +480,35 @@ def make_turn_left(arm=50.0, lane_width=3.6, ego_v=9.0, oncoming_v=8.0,
     )
     return Scenario("SYN_TurnLeft-1", dt, lanelets, obstacles, {60000: pp},
                     intersections=[intersection])
+
+
+def make_double_lane_change(length=300.0, lane_width=3.6, ego_v=12.0, dt=0.1,
+                            n_steps=300):
+    """Three same-direction lanes; the goal sits two lanes LEFT of the ego's
+    start lane, so the navigation route chains two adjacency edges
+    (50000→50001→50002) and the behavior FSM must execute two sequential
+    lane changes (nav_lane_changes_left = 2).  Also exercises chained
+    mid-overlap blends in the route centerline."""
+    lanes = {}
+    for k in range(3):
+        c = _straight(length, k * lane_width)
+        lanes[50000 + k] = _lanelet_from_center(50000 + k, c, lane_width / 2)
+    lanes[50000].adj_left, lanes[50000].adj_left_same_direction = 50001, True
+    lanes[50001].adj_right, lanes[50001].adj_right_same_direction = 50000, True
+    lanes[50001].adj_left, lanes[50001].adj_left_same_direction = 50002, True
+    lanes[50002].adj_right, lanes[50002].adj_right_same_direction = 50001, True
+
+    goal_center = np.array([0.9 * length, 2 * lane_width])
+    box = np.array([[8.0, 1.6], [8.0, -1.6], [-8.0, -1.6], [-8.0, 1.6]])
+    goal = GoalCondition(position_shape=box + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, np.array([2.0, 0.0]), 0.0, float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_DoubleLC-1", dt, lanes, {}, {60000: pp})
 
 
 def make_turn_right(arm=50.0, lane_width=3.6, ego_v=10.0, through_v=8.0,

@@ -118,7 +118,8 @@ def _route_centerline(scenario, route: list[int]) -> np.ndarray:
         ll = scenario.lanelets[lid]
         verts = ll.center_vertices
         if (prev_ll is not None
-                and lid in (prev_ll.adj_left, prev_ll.adj_right) and pts):
+                and lid in (prev_ll.adj_left, prev_ll.adj_right)
+                and pts and len(pts[-1]) >= 2):
             kept, blend, rest = _blend_lane_change(pts[-1], verts)
             pts[-1] = kept
             pts.extend([blend, rest])

@@ -455,6 +455,34 @@ def test_e2e_turn_right_merge_behind_through_traffic():
     assert ys[-1] < -30.0            # completed the turn southbound
 
 
+def test_route_blend_double_lane_change():
+    """Two chained adjacency edges in the route produce a centerline that
+    ramps smoothly across both lanes (no terminal kink, no Turn misfire)."""
+    from frenetix_tpu.io.scenario_factory import make_double_lane_change
+    from frenetix_tpu.planner.route import reference_path_for_problem
+
+    sc = make_double_lane_change()
+    pp = list(sc.planning_problems.values())[0]
+    poly, route = reference_path_for_problem(sc, pp)
+    assert route == [50000, 50001, 50002]
+    assert poly[:, 1].min() >= -0.01 and poly[:, 1].max() <= 7.21
+
+    mod, _ = _behavior_module(make_double_lane_change)
+    types = [g.goal_type for g in mod.bm.PP_state.static_route_plan]
+    assert not any("Turn" in t for t in types), types
+
+
+def test_e2e_double_lane_change():
+    """Goal two lanes over: the behavior FSM executes two sequential lane
+    changes (two reference-path rebuilds) and reaches the leftmost lane."""
+    from frenetix_tpu.io.scenario_factory import make_double_lane_change
+
+    res, xs, ys, vs, ref_updates = _run(make_double_lane_change)
+    assert res.success
+    assert ys[-1] > 6.0                    # reached the third lane
+    assert len(ref_updates) >= 2           # two behavior-initiated rebuilds
+
+
 def test_crosswalk_in_static_route_plan():
     from frenetix_tpu.io.scenario_factory import make_crosswalk
 
