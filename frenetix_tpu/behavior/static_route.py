@@ -168,19 +168,65 @@ def _detect_intersections(scenario: Scenario, route_ids, frame):
     return found
 
 
+def _junction_s_intervals(scenario: Scenario, route_ids, frame,
+                          margin: float = 10.0):
+    """s-intervals of route lanelets that belong to a junction: successors of
+    an intersection incoming, or — on maps without intersection elements —
+    lanelets with fork/merge topology (predecessor with ≥2 successors, or ≥2
+    predecessors).  A plain curved road (single successor chain) yields
+    none."""
+    inter_lls = set()
+    for inter in scenario.intersections:
+        for inc in inter.incomings:
+            inter_lls.update(inc.successors_left + inc.successors_right
+                             + inc.successors_straight)
+    intervals = []
+    for lid in route_ids:
+        ll = scenario.lanelets.get(lid)
+        if ll is None or len(ll.center_vertices) < 2:
+            continue
+        if scenario.intersections:
+            is_junction = lid in inter_lls
+        else:
+            preds = [scenario.lanelets.get(p) for p in ll.predecessors]
+            is_junction = len(ll.predecessors) >= 2 or any(
+                p is not None and len(p.successors) >= 2 for p in preds
+            )
+        if not is_junction:
+            continue
+        s0 = frame.project(ll.center_vertices[0])[0]
+        s1 = frame.project(ll.center_vertices[-1])[0]
+        intervals.append((min(s0, s1) - margin, max(s0, s1) + margin))
+    return intervals
+
+
+# np.trapezoid (numpy ≥ 2) with the numpy-1.x spelling as fallback
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
+
 def _detect_turns(scenario: Scenario, route_ids, frame,
                   kappa_threshold: float = 0.03,
                   min_heading_change: float = 0.5):
-    """Sustained high-curvature regions of the reference path → TurnLeft /
-    TurnRight goals.  The reference leaves turn detection as a TODO
-    (path_planner.py:320) but hints at exactly this heuristic: 'maybe look
-    at the reference path curvature: if greater than 0.03 it might be a
-    turn' (path_planner.py:663-664).  Requiring a total heading change of
-    ≥ `min_heading_change` rad over the region separates street-corner
-    turns from the two short counter-signed curvature lobes of a lane
-    change (the '--_^^_--' signature, path_planner.py:663)."""
+    """Sustained high-curvature regions of the reference path inside a
+    junction → TurnLeft / TurnRight goals.  The reference leaves turn
+    detection as a TODO (path_planner.py:320) but hints at the curvature
+    heuristic: 'maybe look at the reference path curvature: if greater than
+    0.03 it might be a turn' (path_planner.py:663-664).  Two additional
+    gates keep it from over-firing:
+
+      - a total heading change of ≥ `min_heading_change` rad separates
+        street-corner turns from the two short counter-signed curvature
+        lobes of a lane change (the '--_^^_--' signature :663),
+      - the region must overlap a junction lanelet of the route
+        (`_junction_s_intervals`) — otherwise any sustained r < ~33 m road
+        segment (ramps, switchbacks, roundabout arcs) would become a turn
+        goal with a spurious yield line at its entry.
+    """
     xy, s = frame.xy, frame.s
     if len(xy) < 5:
+        return []
+    junctions = _junction_s_intervals(scenario, route_ids, frame)
+    if not junctions:
         return []
     dx, dy = np.gradient(xy[:, 0], s), np.gradient(xy[:, 1], s)
     ddx, ddy = np.gradient(dx, s), np.gradient(dy, s)
@@ -195,8 +241,9 @@ def _detect_turns(scenario: Scenario, route_ids, frame,
         j = i
         while j < n and hot[j] and (kappa[j] > 0) == (kappa[i] > 0):
             j += 1
-        dtheta = float(np.trapezoid(kappa[i:j], s[i:j])) if j - i > 1 else 0.0
-        if abs(dtheta) >= min_heading_change:
+        dtheta = float(_trapezoid(kappa[i:j], s[i:j])) if j - i > 1 else 0.0
+        in_junction = any(lo <= s[j - 1] and s[i] <= hi for lo, hi in junctions)
+        if abs(dtheta) >= min_heading_change and in_junction:
             side = "TurnLeft" if dtheta > 0 else "TurnRight"
             found.append(dict(type=side, start_s=float(s[i]),
                               end_s=float(s[j - 1]),
