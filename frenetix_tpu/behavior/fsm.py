@@ -469,14 +469,11 @@ class EgoFSM:
         model behind the same state machinery.
         """
         from frenetix_tpu.io.commonroad import _point_in_ring
+        from frenetix_tpu.behavior.static_route import intersection_successor_ids
 
         bm = self.bm
         cfg = bm.config.behavior
-        inter_lls = set()
-        for inter in getattr(bm.scenario, "intersections", []):
-            for inc in inter.incomings:
-                inter_lls.update(inc.successors_left + inc.successors_right
-                                 + inc.successors_straight)
+        inter_lls = intersection_successor_ids(bm.scenario)
         route_ids = bm.PP_state.reference_path_ids or []
         conflict_ids = [lid for lid in route_ids
                         if lid in inter_lls and lid in bm.scenario.lanelets]
@@ -495,7 +492,21 @@ class EgoFSM:
                   and any(_point_in_ring(frame.xy[i], r) for r in ego_rings)]
         if not inside:
             return self._stop_point_clear(pedestrians_only=pedestrians_only)
-        s_out = float(frame.s[inside[-1]])
+        # clamp to the FIRST junction ahead: a route crossing two
+        # intersections must be gated one at a time, not as a single 150 m
+        # mega-zone (that would demand an impossible gap across both and let
+        # a queue standing in the FAR junction block the near, empty one).
+        # Tolerate gaps of ≤ 2 samples so a missed boundary point between
+        # two lanelets of the SAME junction does not split it.
+        run = [inside[0]]
+        for i in inside[1:]:
+            if i - run[-1] <= 2 * stride:
+                run.append(i)
+            else:
+                break
+        ego_rings = [r for r in ego_rings
+                     if any(_point_in_ring(frame.xy[i], r) for i in run)]
+        s_out = float(frame.s[run[-1]])
         d_clear = s_out + bm.vehicle_params.length - bm.ref_position_s
         if d_clear <= 0.0:
             return True  # already past the junction
@@ -526,8 +537,16 @@ class EgoFSM:
             v_obs = float(st.velocity)
             if v_obs <= 0.3:
                 continue  # standing traffic does not cross
-            t_in = self._arrival_time_in_rings(ob, st, ego_rings, v_obs,
-                                               t_protect)
+            if ob.obstacle_type in ("pedestrian", "bicycle"):
+                # non-lane-bound actors: radial propagation — the lanelet
+                # successor walk below follows heading-aligned ROAD topology
+                # and would skip a pedestrian crossing the carriageway or
+                # walking in from a sidewalk (no lanelet at all)
+                dist = _distance_to_rings(pos, ego_rings) - ob.length / 2.0
+                t_in = max(dist, 0.0) / v_obs
+            else:
+                t_in = self._arrival_time_in_rings(ob, st, ego_rings, v_obs,
+                                                   t_protect)
             if t_in is not None and t_in < t_protect:
                 return False
         return True
@@ -584,6 +603,22 @@ class EgoFSM:
         if not np.isfinite(best[0]):
             return None
         return max(best[0] - ob.length / 2.0, 0.0) / v_obs
+
+
+def _distance_to_rings(pos: np.ndarray, rings) -> float:
+    """Euclidean distance from `pos` to the nearest edge of any polygon ring
+    (projection onto ring segments, 0 inside is not special-cased — callers
+    test ring membership separately)."""
+    best = np.inf
+    for r in rings:
+        a = np.asarray(r, dtype=np.float64)
+        b = np.roll(a, -1, axis=0)
+        ab = b - a
+        length2 = np.maximum((ab * ab).sum(axis=1), 1e-12)
+        t = np.clip(((pos[None, :] - a) * ab).sum(axis=1) / length2, 0.0, 1.0)
+        proj = a + t[:, None] * ab
+        best = min(best, float(np.linalg.norm(proj - pos[None, :], axis=1).min()))
+    return best
 
 
 # ===========================================================================

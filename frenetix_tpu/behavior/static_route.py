@@ -146,25 +146,37 @@ def _detect_lane_merges(scenario: Scenario, route_ids, frame):
     return merges
 
 
+def intersection_successor_ids(scenario: Scenario) -> set:
+    """All lanelet ids that are successors of an intersection incoming —
+    the junction-interior lanelets.  Single source of truth shared by the
+    turn/intersection goal detectors here and the FSM's lane-conflict
+    clearance (fsm.EgoFSM._conflict_clear)."""
+    ids: set = set()
+    for inter in scenario.intersections:
+        for inc in inter.incomings:
+            ids.update(inc.successors_left + inc.successors_right
+                       + inc.successors_straight)
+    return ids
+
+
 def _detect_intersections(scenario: Scenario, route_ids, frame):
     """Route lanelets that are successors of an intersection incoming
     (path_planner.py:612-656)."""
     found = []
-    for inter in scenario.intersections:
-        for lid in route_ids:
-            for inc in inter.incomings:
-                if (lid in inc.successors_left or lid in inc.successors_right
-                        or lid in inc.successors_straight):
-                    ll = scenario.lanelets.get(lid)
-                    if ll is None:
-                        continue
-                    start_s = frame.project(ll.center_vertices[0])[0]
-                    end_s = frame.project(ll.center_vertices[-1])[0]
-                    if end_s <= start_s:
-                        end_s = min(start_s + 15.0, frame.length)
-                    found.append(dict(type="Intersection", start_s=start_s,
-                                      end_s=end_s, lanelet_id=lid,
-                                      stop_position_xy=frame.to_cartesian(start_s)))
+    inter_lls = intersection_successor_ids(scenario)
+    for lid in route_ids:
+        if lid not in inter_lls:
+            continue
+        ll = scenario.lanelets.get(lid)
+        if ll is None:
+            continue
+        start_s = frame.project(ll.center_vertices[0])[0]
+        end_s = frame.project(ll.center_vertices[-1])[0]
+        if end_s <= start_s:
+            end_s = min(start_s + 15.0, frame.length)
+        found.append(dict(type="Intersection", start_s=start_s,
+                          end_s=end_s, lanelet_id=lid,
+                          stop_position_xy=frame.to_cartesian(start_s)))
     return found
 
 
@@ -175,11 +187,7 @@ def _junction_s_intervals(scenario: Scenario, route_ids, frame,
     lanelets with fork/merge topology (predecessor with ≥2 successors, or ≥2
     predecessors).  A plain curved road (single successor chain) yields
     none."""
-    inter_lls = set()
-    for inter in scenario.intersections:
-        for inc in inter.incomings:
-            inter_lls.update(inc.successors_left + inc.successors_right
-                             + inc.successors_straight)
+    inter_lls = intersection_successor_ids(scenario)
     intervals = []
     for lid in route_ids:
         ll = scenario.lanelets.get(lid)

@@ -20,7 +20,7 @@ __all__ = [
     "make_lane_change", "make_traffic_light", "make_stop_sign",
     "make_yield_sign", "make_lane_merge", "make_behavior_overtake",
     "make_crosswalk", "make_intersection_crossing", "make_turn_left",
-    "make_turn_right", "make_double_lane_change",
+    "make_turn_right", "make_double_lane_change", "make_double_crossing",
 ]
 
 
@@ -414,6 +414,94 @@ def make_intersection_crossing(arm=60.0, box=10.0, lane_width=3.6, ego_v=10.0,
     )
     return Scenario("SYN_Crossing-1", dt, lanelets, obstacles, {60000: pp},
                     intersections=[intersection])
+
+
+def make_double_crossing(arm=50.0, box=10.0, spacing=70.0, lane_width=3.6,
+                         ego_v=10.0, cross_v=8.0, cross_delay=38.0,
+                         far_traffic="crossing", dt=0.1, n_steps=320):
+    """TWO perpendicular crossings in sequence along +x with traffic only at
+    the FAR junction.  Discriminates per-junction conflict zones from a
+    single merged mega-zone: the near junction is empty the whole time, so
+    the ego must sail through it without yielding — a clearance model that
+    aggregates both junctions' lanelets would propagate the far road's
+    traffic into the near junction's gate and stall the ego at the first,
+    empty junction entry.
+
+    `far_traffic`: "crossing" — a car on the far y-road, `cross_delay`
+    metres before its junction entry, crossing at `cross_v` (clears long
+    before the ego arrives); "standing" — a car standing in the middle of
+    the far junction (for clearance unit probes; note the ego's own
+    standing-lead velocity logic also reacts to it on approach)."""
+    from frenetix_tpu.io.commonroad import Intersection, IntersectionIncoming
+
+    def _vert(length, x=0.0, y0=0.0, step=2.0):
+        n = max(int(length / step) + 1, 2)
+        y = np.linspace(y0, y0 + length, n)
+        return np.stack([np.full(n, x), y], axis=1)
+
+    # x-road: approach → junction 1 → middle → junction 2 → exit
+    a1 = _straight(arm - box, 0.0, x0=-arm)
+    a2 = _straight(2 * box, 0.0, x0=-box)
+    a3 = _straight(spacing - 2 * box, 0.0, x0=box)
+    a4 = _straight(2 * box, 0.0, x0=spacing - box)
+    a5 = _straight(arm - box, 0.0, x0=spacing + box)
+    # y-roads at x = 0 (empty) and x = spacing (standing car)
+    b1, b2, b3 = (_vert(arm - box, 0.0, -arm), _vert(2 * box, 0.0, -box),
+                  _vert(arm - box, 0.0, box))
+    c1 = _vert(arm - box, spacing, -arm)
+    c2 = _vert(2 * box, spacing, -box)
+    c3 = _vert(arm - box, spacing, box)
+
+    lanelets = {}
+    for lid, (center, succ) in {
+        50000: (a1, [50001]), 50001: (a2, [50002]), 50002: (a3, [50003]),
+        50003: (a4, [50004]), 50004: (a5, []),
+        50010: (b1, [50011]), 50011: (b2, [50012]), 50012: (b3, []),
+        50020: (c1, [50021]), 50021: (c2, [50022]), 50022: (c3, []),
+    }.items():
+        lanelets[lid] = _lanelet_from_center(lid, center, lane_width / 2, succ)
+    for lid in (50001, 50002, 50003, 50004, 50011, 50012, 50021, 50022):
+        lanelets[lid].predecessors = [lid - 1]
+
+    intersections = [
+        Intersection(70000, incomings=[
+            IntersectionIncoming(1, incoming_lanelets=[50000],
+                                 successors_straight=[50001]),
+            IntersectionIncoming(2, incoming_lanelets=[50010],
+                                 successors_straight=[50011]),
+        ]),
+        Intersection(70001, incomings=[
+            IntersectionIncoming(3, incoming_lanelets=[50002],
+                                 successors_straight=[50003]),
+            IntersectionIncoming(4, incoming_lanelets=[50020],
+                                 successors_straight=[50021]),
+        ]),
+    ]
+
+    if far_traffic == "standing":
+        states = [State(t, np.array([spacing, 0.0]), np.pi / 2, 0.0)
+                  for t in range(n_steps + 1)]
+        obstacles = {100: Obstacle(
+            obstacle_id=100, obstacle_type="car", role="dynamic", length=4.5,
+            width=2.0, initial_state=states[0], trajectory=states[1:],
+        )}
+    else:
+        far_path = np.concatenate([c1, c2[1:], c3[1:]])
+        obstacles = _traffic(far_path, [cross_v], dt, n_steps,
+                             [arm - box - cross_delay])
+
+    goal_center = np.array([spacing + arm - 12.0, 0.0])
+    half = np.array([[8.0, 1.6], [8.0, -1.6], [-8.0, -1.6], [-8.0, 1.6]])
+    goal = GoalCondition(position_shape=half + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, np.array([-arm + 2.0, 0.0]), 0.0, float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_DoubleCrossing-1", dt, lanelets, obstacles,
+                    {60000: pp}, intersections=intersections)
 
 
 def make_turn_left(arm=50.0, lane_width=3.6, ego_v=9.0, oncoming_v=8.0,

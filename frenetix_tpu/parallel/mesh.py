@@ -150,13 +150,13 @@ def stack_reach_grids(grids: list[ReachSetGrid]) -> ReachSetGrid:
 
 
 def _default_obstacle_meta(preds):
-    """Device-side default crash metadata: protected car-class opponents with
-    size-based mass (same formula as ReactivePlanner._default_meta)."""
-    from frenetix_tpu.risk.harm import ObstacleMeta
+    """Device-side default crash metadata, inferred from footprint (same
+    shared formula as ReactivePlanner._default_meta — see
+    risk.harm.meta_from_footprint)."""
+    from frenetix_tpu.risk.harm import meta_from_footprint
 
-    size = preds.lengths * preds.widths
-    mass = (-1333.5 + 526.9 * jnp.maximum(size, 1.0) ** 0.8).astype(preds.means.dtype)
-    return ObstacleMeta(mass=mass, protected=jnp.ones(size.shape[0], jnp.int32))
+    return meta_from_footprint(preds.lengths, preds.widths, xp=jnp,
+                               dtype=preds.means.dtype)
 
 
 # vmap axes over a stacked CycleContext: everything per-agent except the

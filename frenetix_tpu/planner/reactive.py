@@ -351,18 +351,15 @@ class ReactivePlanner:
         return self._risk_fn_cached
 
     def _default_meta(self, preds):
-        from frenetix_tpu.risk.harm import ObstacleMeta
+        from frenetix_tpu.risk.harm import meta_from_footprint
 
         meta = self.obstacle_meta
         if meta is None:
-            o = preds.num_obstacles
-            # default: protected car-class opponents with size-based mass
-            size = np.asarray(preds.lengths) * np.asarray(preds.widths)
-            meta = ObstacleMeta(
-                mass=self.jnp.asarray(
-                    (-1333.5 + 526.9 * np.maximum(size, 1.0) ** 0.8).astype(self.np_dtype)
-                ),
-                protected=self.jnp.ones(o, self.jnp.int32),
+            # crash class + mass inferred from footprint (pedestrian-sized
+            # rows are unprotected 75 kg bodies, not negative-mass cars)
+            meta = meta_from_footprint(
+                np.asarray(preds.lengths), np.asarray(preds.widths),
+                xp=np, dtype=self.np_dtype,
             )
         return meta
 

@@ -65,6 +65,19 @@ def _resample(pts: np.ndarray, stations: np.ndarray) -> np.ndarray:
     )
 
 
+def _project_onto_polyline(pts: np.ndarray, p: np.ndarray):
+    """Closest point of `p` on the polyline `pts` (projection onto segments,
+    not nearest vertex) and its arclength station."""
+    a, b = pts[:-1], pts[1:]
+    ab = b - a
+    length2 = np.maximum((ab * ab).sum(axis=1), 1e-12)
+    t = np.clip(((p[None, :] - a) * ab).sum(axis=1) / length2, 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    i = int(np.argmin(np.linalg.norm(proj - p[None, :], axis=1)))
+    s = _arclength(pts)
+    return proj[i], float(s[i] + t[i] * np.sqrt(length2[i]))
+
+
 def _blend_lane_change(tail: np.ndarray, verts: np.ndarray,
                        ramp_length: float = 30.0):
     """Smooth lateral transition from the current lane's centerline (`tail`)
@@ -86,24 +99,24 @@ def _blend_lane_change(tail: np.ndarray, verts: np.ndarray,
     ramp = min(ramp_length, 0.6 * total)
     s0 = np.clip(0.5 * total - 0.5 * ramp, 0.0, total)
     s1 = min(s0 + ramp, total)
+    s_verts = _arclength(verts)
     if s1 - s0 < 1e-6:  # degenerate short lanelet: plain switch at the joint
-        d = np.linalg.norm(verts - tail[-1][None, :], axis=1)
-        return tail, np.empty((0, 2)), verts[int(np.argmin(d)):]
+        _, s_join = _project_onto_polyline(verts, tail[-1])
+        return tail, np.empty((0, 2)), verts[s_verts > s_join + 1e-6]
 
     stations = np.linspace(s0, s1, max(int((s1 - s0) / 2.0), 4))
     src = _resample(tail, stations)
-    # matching points on the neighbor: nearest-point projection per sample
-    dst = np.stack(
-        [verts[int(np.argmin(np.linalg.norm(verts - p[None, :], axis=1)))]
-         for p in src],
-        axis=0,
-    )
+    # matching points on the neighbor: projection onto the polyline per
+    # sample (nearest-VERTEX matching corrupts the ramp on sparse-vertex
+    # lanelets — a 2-vertex 300 m lanelet would snap every sample to an
+    # endpoint and fold the centerline back on itself)
+    proj = [_project_onto_polyline(verts, p) for p in src]
+    dst = np.stack([q for q, _ in proj], axis=0)
     w = (stations - s0) / (s1 - s0)
     w = w * w * (3.0 - 2.0 * w)  # smoothstep
     blend = src * (1.0 - w)[:, None] + dst * w[:, None]
     kept = tail[s_tail < s0]
-    d_end = np.linalg.norm(verts - blend[-1][None, :], axis=1)
-    rest = verts[int(np.argmin(d_end)) + 1:]
+    rest = verts[s_verts > proj[-1][1] + 1e-6]
     return kept, blend, rest
 
 

@@ -104,6 +104,29 @@ def obstacle_mass(obstacle_type: str, size: float) -> float:
     }.get(obstacle_type, 0.0)
 
 
+def meta_from_footprint(lengths, widths, xp=np, dtype=np.float32):
+    """Crash metadata inferred from footprint area when obstacle TYPES are
+    not available in the tensor path (device batches, occlusion phantoms).
+
+    Footprint thresholds map onto the class constants of `obstacle_mass` /
+    `obstacle_protection` (helpers/properties.py:16-48, harm_estimation.py:
+    49-66): a pedestrian-sized box (≈0.2 m²) is an unprotected 75 kg body,
+    bicycle-sized → 90 kg, motorcycle-sized → 250 kg; anything ≥ 2.5 m²
+    gets the protected car-class regression.  The former behavior — car
+    formula for everything — gave pedestrian-sized rows a NEGATIVE mass
+    (−806 kg at 0.23 m²) and car-occupant harm curves.
+
+    `xp` is the array namespace (numpy or jax.numpy) so the host planner and
+    the fused device batch share one definition bit-for-bit.
+    """
+    size = lengths * widths
+    protected = size >= 2.5
+    car = -1333.5 + 526.9 * xp.maximum(size, 1.0) ** 0.8
+    unprot = xp.where(size < 0.6, 75.0, xp.where(size < 1.4, 90.0, 250.0))
+    mass = xp.where(protected, car, unprot).astype(dtype)
+    return ObstacleMeta(mass=mass, protected=protected.astype(xp.int32))
+
+
 class ObstacleMeta(NamedTuple):
     """Per-obstacle crash metadata (padded (O,) arrays)."""
 

@@ -372,24 +372,13 @@ class Simulation:
         low_thr = self.config.planning.low_vel_mode_threshold
         replanners = [a for a in active if a.needs_replan()]
 
-        # per-agent predictions (sensor-filtered + agent-augmented + occlusion
-        # phantoms, same pipeline as the sequential branch) — only replanners
-        # consume them; plan-executing agents would pay the full sensor pass
-        # for nothing
+        # per-agent predictions — only replanners consume them; plan-executing
+        # agents would pay the full sensor pass for nothing
         per_pd, phantom_masks = {}, {}
         for a in replanners:
-            pd = {k: v.copy() for k, v in pd_base.items()}
-            pd = self._filter_for_agent(pd, ids, a)
-            pd = self._augment_with_agents(pd, a)
-            if a.occlusion is not None:
-                before = pd["valid"].any(axis=1).copy()
-                pd, n_ph = a.occlusion.augment_predictions(
-                    pd, a.state, a.state.time_step, self.dt
-                )
-                phantom_masks[a.id] = pd["valid"].any(axis=1) & ~before
-                # host fallbacks (low-vel / stopping / batched misses) apply
-                # the same gate through the planner
-                a.planner.set_occlusion_module(a.occlusion, phantom_masks[a.id])
+            pd, pm = self._agent_predictions(pd_base, ids, a)
+            if pm is not None:
+                phantom_masks[a.id] = pm
             per_pd[a.id] = pd
 
         # behavior planners run on host ahead of the fused batch (they are
@@ -436,23 +425,41 @@ class Simulation:
         # along the agent axis and the term is applied inside the fused cycle
         # — parallel.mesh._one_agent_select)
         reach_grids = None
-        if stepper.resp_weight != 0.0:
+        if stepper.resp_weight != 0.0 and batchable:
             from frenetix_tpu.parallel.mesh import stack_reach_grids
             from frenetix_tpu.risk.reachable_set import build_reach_set_grids
 
+            # real grids only for the agents whose batch rows are consumed;
+            # non-batch rows (plan executors, host-only replanners) share one
+            # cached all-invalid grid instead of re-allocating ~3 MB each
+            o_slots = pd_base["valid"].shape[0]
+            dummy = getattr(self, "_dummy_reach_grid", None)
+            if dummy is None or dummy.occupancy.shape[0] != o_slots:
+                dummy = build_reach_set_grids(
+                    self.scenario,
+                    np.asarray(pd_base["means"][:, 0]),
+                    np.asarray(pd_base["orientations"][:, 0]),
+                    np.asarray(pd_base["velocities"][:, 0]),
+                    np.asarray(pd_base["lengths"]),
+                    np.asarray(pd_base["widths"]),
+                    np.zeros(o_slots, bool),
+                )
+                self._dummy_reach_grid = dummy
+            batch_ids = {a.id for a in batchable}
             glist = []
             for a in self.agents:
-                pd = per_pd.get(a.id)
-                src = pd if pd is not None else pd_base
+                if a.id not in batch_ids:
+                    glist.append(dummy)
+                    continue
+                pd = per_pd[a.id]
                 glist.append(build_reach_set_grids(
                     self.scenario,
-                    np.asarray(src["means"][:, 0]),
-                    np.asarray(src["orientations"][:, 0]),
-                    np.asarray(src["velocities"][:, 0]),
-                    np.asarray(src["lengths"]),
-                    np.asarray(src["widths"]),
-                    np.asarray(src["valid"][:, 0]) if pd is not None
-                    else np.zeros(len(src["valid"]), bool),  # dummy agent
+                    np.asarray(pd["means"][:, 0]),
+                    np.asarray(pd["orientations"][:, 0]),
+                    np.asarray(pd["velocities"][:, 0]),
+                    np.asarray(pd["lengths"]),
+                    np.asarray(pd["widths"]),
+                    np.asarray(pd["valid"][:, 0]),
                 ))
             reach_grids = stack_reach_grids(glist)
 
@@ -460,7 +467,7 @@ class Simulation:
         # (mesh._one_agent_select); all-False rows for agents without
         # phantoms this step (the gate is then a no-op for them)
         all_phantom_masks = None
-        if stepper.use_occlusion:
+        if stepper.use_occlusion and batchable:
             o_slots = pd_base["valid"].shape[0]
             all_phantom_masks = np.zeros((len(self.agents), o_slots), bool)
             for i, a in enumerate(self.agents):
@@ -566,6 +573,28 @@ class Simulation:
             if a.id not in done_ids:
                 a.execute_next_state()
 
+    def _agent_predictions(self, pd_base, ids, a):
+        """Per-agent prediction pipeline: sensor filter → live-agent augment
+        → occlusion phantom injection (+ arming the planner's host-side
+        safety gate).  The ONE definition shared by the sequential and the
+        batched step paths — they must stay bit-identical for the
+        batched == sequential parity the tests pin.  Returns
+        (pd, phantom_mask-or-None)."""
+        pd = {k: v.copy() for k, v in pd_base.items()}
+        pd = self._filter_for_agent(pd, ids, a)
+        pd = self._augment_with_agents(pd, a)
+        phantom_mask = None
+        if a.occlusion is not None:
+            before = pd["valid"].any(axis=1).copy()
+            pd, _ = a.occlusion.augment_predictions(
+                pd, a.state, a.state.time_step, self.dt
+            )
+            phantom_mask = pd["valid"].any(axis=1) & ~before
+            # host fallbacks (low-vel / stopping / batched misses) apply
+            # the same gate through the planner
+            a.planner.set_occlusion_module(a.occlusion, phantom_mask)
+        return pd, phantom_mask
+
     def _check_road_departure(self):
         """Flag executed off-road poses as failures.
 
@@ -615,17 +644,7 @@ class Simulation:
                 # the sequential and batched paths bit-identical)
                 per_pd = {}
                 for a in running:
-                    pd = {k: v.copy() for k, v in pd_base.items()}
-                    pd = self._filter_for_agent(pd, ids, a)
-                    pd = self._augment_with_agents(pd, a)
-                    if a.occlusion is not None:
-                        before = pd["valid"].any(axis=1).copy()
-                        pd, n_ph = a.occlusion.augment_predictions(
-                            pd, a.state, a.state.time_step, self.dt
-                        )
-                        phantom_mask = pd["valid"].any(axis=1) & ~before
-                        a.planner.set_occlusion_module(a.occlusion, phantom_mask)
-                    per_pd[a.id] = pd
+                    per_pd[a.id] = self._agent_predictions(pd_base, ids, a)[0]
                 for a in running:
                     pd = per_pd[a.id]
                     preds = to_device(pd, self.jnp)

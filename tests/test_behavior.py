@@ -483,6 +483,96 @@ def test_e2e_double_lane_change():
     assert len(ref_updates) >= 2           # two behavior-initiated rebuilds
 
 
+def test_conflict_zone_clamps_to_first_junction():
+    """A route crossing TWO intersections must be gated one junction at a
+    time: a car standing in the FAR junction must not block entry into the
+    near, empty one (a merged 150 m mega-zone would see it 'in the zone'
+    and stall the ego forever)."""
+    from frenetix_tpu.io.scenario_factory import make_double_crossing
+
+    standing = lambda: make_double_crossing(far_traffic="standing")
+    mod, sc = _behavior_module(standing)
+    mod.execute(None, _Ego(-14.0, 2.0, 0), 0)
+    assert mod.bm.FSM_state.intersection_clear is True
+
+    # contrast: approaching the SECOND junction while the car stands inside
+    # it → blocked there (the clamp is per-junction, not a bypass)
+    mod2, _ = _behavior_module(standing)
+    mod2.execute(None, _Ego(46.0, 2.0, 0), 0)
+    assert mod2.bm.FSM_state.intersection_clear is False
+
+    # a car CROSSING the far junction must not gate the near one either
+    # (pre-clamp, the inflated d_clear made t_protect span both junctions
+    # and the far arrival time fell inside it)
+    mod3, _ = _behavior_module(make_double_crossing)
+    mod3.execute(None, _Ego(-14.0, 2.0, 0), 0)
+    assert mod3.bm.FSM_state.intersection_clear is True
+
+
+def test_e2e_double_crossing():
+    """End-to-end: traffic crossing the FAR junction only — the ego drives
+    through the empty near junction without any spurious yield (a merged
+    two-junction conflict zone would stop it at the near entry), and the far
+    crossing clears before the ego arrives there."""
+    from frenetix_tpu.io.scenario_factory import make_double_crossing
+
+    res, xs, ys, vs, _ = _run(make_double_crossing)
+    assert res.success
+    assert xs[80] > 10.0      # past the near junction without waiting
+    assert vs.min() > 2.0     # never yielded anywhere
+    assert xs[-1] > 90.0
+
+
+def test_conflict_clearance_sees_crossing_pedestrian():
+    """A pedestrian walking toward the junction from a sidewalk (on NO
+    lanelet) must block clearance via the radial propagation fallback — the
+    lanelet successor walk cannot see it.  A standing pedestrian at the same
+    spot does not block (standing traffic rule)."""
+    from frenetix_tpu.io.commonroad import Obstacle, State
+    from frenetix_tpu.io.scenario_factory import make_intersection_crossing
+
+    def _with_ped(v):
+        def maker():
+            sc = make_intersection_crossing()
+            sc.obstacles.clear()
+            states = [
+                State(t, np.array([5.0, -8.0 + v * 0.1 * t]), np.pi / 2, v)
+                for t in range(251)
+            ]
+            sc.obstacles[200] = Obstacle(
+                obstacle_id=200, obstacle_type="pedestrian", role="dynamic",
+                length=0.36, width=0.65, initial_state=states[0],
+                trajectory=states[1:],
+            )
+            return sc
+        return maker
+
+    mod, sc = _behavior_module(_with_ped(1.5))
+    # (5, -8) lies on no lanelet: the successor walk is blind to it
+    assert not sc.find_lanelets_by_position(np.array([5.0, -8.0]))
+    mod.execute(None, _Ego(-14.0, 2.0, 0), 0)
+    assert mod.bm.FSM_state.intersection_clear is False
+
+    mod2, _ = _behavior_module(_with_ped(0.0))
+    mod2.execute(None, _Ego(-14.0, 2.0, 0), 0)
+    assert mod2.bm.FSM_state.intersection_clear is True
+
+
+def test_route_blend_sparse_vertex_lanelets():
+    """_blend_lane_change must project onto the neighbor POLYLINE, not its
+    nearest vertex: on legal 2-vertex lanelets, vertex matching snaps every
+    blend sample to an endpoint and folds the centerline back on itself."""
+    from frenetix_tpu.planner.route import _blend_lane_change
+
+    tail = np.array([[0.0, 0.0], [150.0, 0.0]])
+    verts = np.array([[0.0, 3.6], [300.0, 3.6]])
+    kept, blend, rest = _blend_lane_change(tail, verts)
+    path = np.concatenate([p for p in (kept, blend, rest) if len(p)])
+    assert (np.diff(path[:, 0]) > -1e-9).all()      # monotone forward
+    assert abs(blend[-1, 1] - 3.6) < 0.2            # lands on the neighbor
+    assert abs(blend[0, 1]) < 0.2                   # starts on the old lane
+
+
 def test_crosswalk_in_static_route_plan():
     from frenetix_tpu.io.scenario_factory import make_crosswalk
 

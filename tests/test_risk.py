@@ -285,3 +285,28 @@ def test_responsibility_reach_grid_direction():
     cost = np.asarray(responsibility_reach_grid(RO(), grid, risks, dt=0.1))
     assert cost[0] == 0.0          # inside → obstacle keeps responsibility
     assert cost[1] == -0.7         # outside → risk subtracted
+
+
+def test_meta_from_footprint_classes():
+    """Footprint-inferred crash metadata: pedestrian-sized rows are
+    unprotected 75 kg bodies (the former car-formula default gave them
+    NEGATIVE mass), car-sized rows keep the protected car regression; the
+    numpy and jax instantiations agree (host/device parity)."""
+    import jax.numpy as jnp
+
+    from frenetix_tpu.risk.harm import meta_from_footprint, obstacle_mass
+
+    lengths = np.array([0.36, 1.8, 2.2, 4.5])   # ped, bicycle, moto, car
+    widths = np.array([0.65, 0.6, 0.8, 2.0])
+    meta = meta_from_footprint(lengths, widths, xp=np, dtype=np.float64)
+    assert meta.protected.tolist() == [0, 0, 0, 1]
+    assert meta.mass[0] == 75.0
+    assert meta.mass[1] == 90.0
+    assert meta.mass[2] == 250.0
+    assert np.isclose(meta.mass[3], obstacle_mass("car", 9.0))
+    assert (meta.mass > 0).all()
+
+    meta_j = meta_from_footprint(jnp.asarray(lengths), jnp.asarray(widths),
+                                 xp=jnp, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(meta_j.mass), meta.mass, rtol=1e-12)
+    assert np.array_equal(np.asarray(meta_j.protected), meta.protected)
