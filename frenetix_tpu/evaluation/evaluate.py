@@ -16,8 +16,15 @@ def evaluate_simulation(scenario, result, config=None, sim_logger=None,
                         metrics=None, msg_logger=None, check_solutions=True):
     """→ {agent_id: DataFrame}; logs to sim_logger when provided.  Also runs
     the vehicle-dynamics solution check per agent (evaluate_agents analog,
-    cr_scenario_handler/utils/evaluation.py:61-124)."""
-    metrics = metrics or CRITICALITY_METRICS
+    cr_scenario_handler/utils/evaluation.py:61-124).
+
+    `config.evaluation` (evaluation.yaml) controls the per-metric enable map
+    (criticality_metrics), the participant radius, the TET/TIT threshold tau
+    and a_max_lat; explicit `metrics`/`check_solutions` arguments override."""
+    ev = config.evaluation if config is not None else None
+    if metrics is None:
+        toggles = ev.criticality_metrics if ev else {}
+        metrics = [m for m in CRITICALITY_METRICS if toggles.get(m, True)]
     veh = config.vehicle if config is not None else None
     dt = scenario.dt
     out = {}
@@ -26,12 +33,15 @@ def evaluate_simulation(scenario, result, config=None, sim_logger=None,
         m = Measures(
             aid, scenario, states, other_histories=result.histories, dt=dt,
             a_max_long=veh.a_max if veh else 11.5,
+            a_max_lat=ev.a_max_lat if ev else 8.0,
+            radius=ev.radius if ev else 100.0,
+            tau=ev.tau if ev else 2.0,
             veh_length=veh.length if veh else 4.508,
             veh_width=veh.width if veh else 1.61,
         )
         df = m.compute(metrics)
         out[aid] = df
-        if msg_logger:
+        if msg_logger and {"ttc", "jerk", "tet"} <= set(df.columns):
             import numpy as np
 
             finite_ttc = df["ttc"][np.isfinite(df["ttc"])]

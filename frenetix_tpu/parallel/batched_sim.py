@@ -96,10 +96,13 @@ class BatchedAgentStepper:
         self.resp_weight = float(config.cost_weights.get("responsibility", 0.0))
         # occlusion safety gate runs in-batch when the module is enabled
         self.use_occlusion = bool(config.occlusion.use_occlusion_module)
+        from frenetix_tpu.occlusion import PhantomThresholds
+
         self._occl_kwargs = dict(
             occlusion=self.use_occlusion,
             harm_threshold=float(config.occlusion.harm_threshold),
             risk_threshold=float(config.occlusion.risk_threshold),
+            thresholds=PhantomThresholds.from_config(config.occlusion),
         )
 
         # the program is shape-polymorphic via jit retracing; build once

@@ -188,7 +188,7 @@ GRID_IN_AXES = ReachSetGrid(origin=0, occupancy=0, valid=0, cell=0, dt_rs=None)
 
 def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
                       n_steps, low_vel_mode, table_window, resp_weight=0.0,
-                      harm_threshold=0.1, risk_threshold=1.0):
+                      harm_threshold=0.1, risk_threshold=1.0, thresholds=None):
     """One agent's FULL cycle + on-device selection gather.
 
     With `resp_weight` ≠ 0 and a per-agent ReachSetGrid, the lanelet
@@ -225,12 +225,15 @@ def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
         term = responsibility_reach_grid(res.rollout, grid, risks, dt)
         cost = cost + resp_weight * term
     if use_gate:
-        # same math as OcclusionModule.trajectory_safety_assessment
-        phantom_risk = jnp.where(
-            phantom_mask[None, :], risks.obst_risk_per_obst, 0.0
-        )
-        safe = (jnp.all(phantom_risk <= harm_threshold, axis=1)
-                & (jnp.sum(phantom_risk, axis=1) <= risk_threshold))
+        # the SAME shared gate as the host path
+        # (OcclusionModule.trajectory_safety_assessment)
+        from frenetix_tpu.occlusion import PhantomThresholds, phantom_safety_mask
+
+        thr = thresholds or PhantomThresholds(harm=harm_threshold,
+                                              risk=risk_threshold)
+        safe = phantom_safety_mask(risks, phantom_mask, thr,
+                                   rollout=res.rollout, preds=ctx.preds,
+                                   veh=ctx.veh, dt=dt)
         selectable = selectable & safe
     if use_resp or use_gate:
         masked = jnp.where(selectable, cost, jnp.inf)
@@ -258,7 +261,8 @@ def _extra_axes(resp_weight, occlusion):
 
 
 def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
-                  occlusion=False, harm_threshold=0.1, risk_threshold=1.0):
+                  occlusion=False, harm_threshold=0.1, risk_threshold=1.0,
+                  thresholds=None):
     use_grid = resp_weight != 0.0
 
     def body(matrix, mask, ctx, *extras):
@@ -268,7 +272,7 @@ def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
             matrix, mask, ctx, grid, pm, dt=dt, n_steps=n_steps,
             low_vel_mode=low_vel_mode, table_window=table_window,
             resp_weight=resp_weight, harm_threshold=harm_threshold,
-            risk_threshold=risk_threshold,
+            risk_threshold=risk_threshold, thresholds=thresholds,
         )
 
     return jax.vmap(
@@ -278,7 +282,7 @@ def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
 
 def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768,
                        resp_weight=0.0, occlusion=False, harm_threshold=0.1,
-                       risk_threshold=1.0):
+                       risk_threshold=1.0, thresholds=None):
     """Single-device (vmap) full multi-agent cycle.
 
     Returns fn(matrices (A,M,13), masks (A,M), stacked_ctx, *extras) → dict of
@@ -290,7 +294,7 @@ def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768,
     """
     return jax.jit(_vmapped_body(dt, n_steps, low_vel_mode, table_window,
                                  resp_weight, occlusion, harm_threshold,
-                                 risk_threshold))
+                                 risk_threshold, thresholds))
 
 
 def _poses_from(out):
@@ -313,6 +317,7 @@ def sharded_full_cycle(
     occlusion: bool = False,
     harm_threshold: float = 0.1,
     risk_threshold: float = 1.0,
+    thresholds=None,
 ):
     """Mesh-sharded full multi-agent cycle with ICI pose exchange.
 
@@ -329,7 +334,7 @@ def sharded_full_cycle(
     `occlusion` (see `batched_full_cycle`).
     """
     vbody = _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight,
-                          occlusion, harm_threshold, risk_threshold)
+                          occlusion, harm_threshold, risk_threshold, thresholds)
     sh, rep = P(axis_name), P()
 
     def sharded_body(matrices, masks, ctx, *extras):

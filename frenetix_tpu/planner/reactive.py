@@ -85,6 +85,9 @@ class PlannedTrajectory:
     sampling_parameters: np.ndarray  # (13,)
     mode: str = "optimal"  # optimal | standstill | stopping | min_risk
     cost_terms: Optional[np.ndarray] = None
+    # populated when debug.log_risk is on (reference log_risk, debug.yaml:4)
+    ego_risk: Optional[float] = None
+    obst_risk: Optional[float] = None
 
     @property
     def steering_angle(self) -> np.ndarray:
@@ -285,7 +288,8 @@ class ReactivePlanner:
                 )
                 safe = np.asarray(
                     self.occlusion_module.trajectory_safety_assessment(
-                        risks, self.phantom_mask
+                        risks, self.phantom_mask,
+                        rollout=res.rollout, preds=ctx.preds,
                     )
                 )
                 selectable = np.asarray(res.selectable) & safe
@@ -494,7 +498,7 @@ class ReactivePlanner:
     def _materialize(self, res, idx: int, matrix, mode: str) -> PlannedTrajectory:
         ro = res.rollout
         g = lambda arr: np.asarray(arr[idx], dtype=self.np_dtype)
-        return PlannedTrajectory(
+        plan = PlannedTrajectory(
             x=g(ro.x), y=g(ro.y), theta=g(ro.theta_gl), v=g(ro.v), a=g(ro.a),
             kappa=g(ro.kappa_gl),
             s=g(ro.s), s_dot=g(ro.s_vel), s_ddot=g(ro.s_acc),
@@ -504,3 +508,11 @@ class ReactivePlanner:
             mode=mode,
             cost_terms=np.asarray(res.cost_terms[idx]),
         ).compute_steering(self.veh.wheelbase)
+        if (self.config.debug.log_risk and self.preds is not None
+                and self.preds.num_obstacles > 0):
+            # selected trajectory's risk via the full harm x probability
+            # stack (reference debug.yaml log_risk → planner.py risk logging)
+            risks = self._risk_fn()(ro, self.preds, self._default_meta(self.preds))
+            plan.ego_risk = float(risks.ego_risk[idx])
+            plan.obst_risk = float(risks.obst_risk[idx])
+        return plan

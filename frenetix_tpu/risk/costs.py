@@ -53,6 +53,7 @@ class TrajectoryRisks(NamedTuple):
     ego_risk: jnp.ndarray            # (M,) max over obstacles
     obst_risk: jnp.ndarray           # (M,)
     obst_present: jnp.ndarray        # (O,) bool
+    coll_prob_per_obst: jnp.ndarray = None  # (M, O) max-over-time coll. prob
 
 
 def trajectory_risks(
@@ -72,7 +73,7 @@ def trajectory_risks(
     if o == 0:
         z2 = jnp.zeros((m, 0), dtype)
         z1 = jnp.zeros((m,), dtype)
-        return TrajectoryRisks(z2, z2, z2, z2, z1, z1, jnp.zeros((0,), bool))
+        return TrajectoryRisks(z2, z2, z2, z2, z1, z1, jnp.zeros((0,), bool), z2)
 
     n1 = ro.x.shape[1]
     # harm alignment: ego step i vs prediction step i, i = 0..pl-1
@@ -159,6 +160,7 @@ def trajectory_risks(
         ego_risk=jnp.max(ego_risk_po, axis=1),
         obst_risk=jnp.max(obst_risk_po, axis=1),
         obst_present=obst_present,
+        coll_prob_per_obst=jnp.max(prob[..., :t] * step_ok, axis=2) * pm,
     )
 
 

@@ -26,13 +26,19 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
     from frenetix_tpu.sim import Simulation
 
     scenario = load_scenario(path)
+    # --evaluate forces both; evaluation.yaml toggles enable them individually
+    ev = config.evaluation
+    do_metrics = evaluate or ev.evaluate_simulation
+    do_solution_check = evaluate or ev.evaluate_agents
     sim_logger = None
     if log_dir is not None and config.debug.activate_logging:
         from frenetix_tpu.evaluation.metrics import CRITICALITY_METRICS
         from frenetix_tpu.utils.sim_logging import SimulationLogger
 
+        enabled = [m for m in CRITICALITY_METRICS
+                   if ev.criticality_metrics.get(m, True)]
         sim_logger = SimulationLogger(
-            log_dir, evaluation_metrics=CRITICALITY_METRICS if evaluate else None
+            log_dir, evaluation_metrics=enabled if do_metrics else None
         )
     t0 = time.perf_counter()
     sim = Simulation(scenario, config, msg_logger, sim_logger=sim_logger,
@@ -56,10 +62,12 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
             plot_multiagent_overview(
                 scenario, res, save_path=os.path.join(log_dir, "overview.png")
             )
-    if evaluate:
+    if do_metrics or do_solution_check:
         from frenetix_tpu.evaluation import evaluate_simulation
 
-        evaluate_simulation(scenario, res, config, sim_logger, msg_logger=msg_logger)
+        evaluate_simulation(scenario, res, config, sim_logger,
+                            msg_logger=msg_logger,
+                            check_solutions=do_solution_check)
     if sim_logger:
         sim_logger.close()
     return res
@@ -137,7 +145,9 @@ def main(argv=None):
         config.visualization.save_gif = args.gif
 
     os.makedirs(args.logs, exist_ok=True)
-    msg_logger = make_msg_logger(args.logs)
+    # msg_log_mode (simulation.yaml): NOTSET/DEBUG/INFO/WARNING/ERROR/CRITICAL
+    msg_logger = make_msg_logger(args.logs,
+                                 level=config.simulation.msg_log_mode)
 
     if args.workers > 1:
         return _run_pipeline(args, config, msg_logger)

@@ -117,6 +117,8 @@ class Agent:
                 [k for k, v in config.cost_weights.items() if v != 0],
                 config_dict={"cost_weights": config.cost_weights},
                 save_all_traj=config.debug.save_all_traj,
+                save_unweighted=config.debug.save_unweighted_costs,
+                log_risk=config.debug.log_risk,
             )
             self.logger.write_reference_path(self.planner.ref_np.xy)
 
@@ -140,15 +142,28 @@ class Agent:
         # optional occlusion module (occlusion.yaml use_occlusion_module)
         self.occlusion = None
         if config.occlusion.use_occlusion_module:
-            from frenetix_tpu.occlusion import OcclusionModule
+            from frenetix_tpu.occlusion import OcclusionModule, PhantomThresholds
 
+            occ = config.occlusion
             self.occlusion = OcclusionModule(
                 scenario,
                 sensor_radius=config.prediction.sensor_radius,
-                max_phantoms=config.occlusion.max_phantoms,
-                harm_threshold=config.occlusion.harm_threshold,
-                risk_threshold=config.occlusion.risk_threshold,
-                phantom_type=config.occlusion.phantom_type,
+                max_phantoms=occ.max_phantoms,
+                harm_threshold=occ.harm_threshold,
+                risk_threshold=occ.risk_threshold,
+                thresholds=PhantomThresholds.from_config(occ),
+                phantom_type=occ.phantom_type,
+                spawn_point_behind_dynamic_obstacle=occ.spawn_point_behind_dynamic_obstacle,
+                spawn_point_behind_static_obstacle=occ.spawn_point_behind_static_obstacle,
+                spawn_points_behind_turn=occ.spawn_points_behind_turn,
+                max_dynamic_spawn_points=occ.max_dynamic_spawn_points,
+                max_static_spawn_points=occ.max_static_spawn_points,
+                variance_factor=occ.variance_factor,
+                size_factor_length=occ.size_factor_length,
+                size_factor_width=occ.size_factor_width,
+                veh=config.vehicle,
+                dt=config.planning.dt,
+                route_xy=np.asarray(polyline),
             )
 
         # optional behavior planner (behavior.yaml use_behavior_planner);

@@ -106,10 +106,22 @@ class Simulation:
     def _create_obstacle_agents(self):
         """Convert dynamic obstacles into planning agents: goal region from the
         obstacle's final trajectory state (simulation.py:154-346)."""
-        n_wanted = self.config.simulation.number_of_agents
+        sim_cfg = self.config.simulation
+        n_wanted = sim_cfg.number_of_agents
         candidates = self.scenario.dynamic_obstacles
-        if n_wanted >= 0:
-            candidates = candidates[:n_wanted]
+        if sim_cfg.use_specific_agents:
+            wanted = set(sim_cfg.agent_ids)
+            candidates = [ob for ob in candidates if ob.obstacle_id in wanted]
+        elif n_wanted >= 0:
+            if sim_cfg.select_agents_randomly and n_wanted < len(candidates):
+                # seeded for reproducibility (the reference samples with the
+                # process-global RNG, simulation.py:258-265)
+                rng = np.random.default_rng(len(candidates))
+                pick = sorted(rng.choice(len(candidates), size=n_wanted,
+                                         replace=False).tolist())
+                candidates = [candidates[i] for i in pick]
+            else:
+                candidates = candidates[:n_wanted]
         for ob in candidates:
             if ob.obstacle_type not in ("car", "truck", "bus"):
                 continue
@@ -657,11 +669,16 @@ class Simulation:
                 from frenetix_tpu.utils.visualization import plot_scenario_at_timestep
 
                 plot_scenario_at_timestep(
-                    self.scenario, self.agents, t, predictions=pd_base,
+                    self.scenario, self.agents, t,
+                    predictions=pd_base if vis.draw_predictions else None,
                     save_path=f"{self.log_dir}/frames/frame_{t:04d}.png",
                     window=vis.window,
                     veh_length=self.config.vehicle.length,
                     veh_width=self.config.vehicle.width,
+                    show_ref=vis.draw_reference_path,
+                    show_labels=vis.show_labels,
+                    draw_planning_problem=vis.draw_planning_problem,
+                    draw_icons=vis.draw_icons,
                 )
             if self.sim_logger:
                 plan_t = sum(

@@ -17,6 +17,7 @@ from typing import Optional
 from frenetix_tpu.ops.kinematics import VehicleParams
 
 __all__ = [
+    "EvaluationConfig",
     "OcclusionConfig",
     "BehaviorConfig",
     "VisualizationConfig",
@@ -74,6 +75,8 @@ class DebugConfig:
     """configurations/frenetix_motion_planner/debug.yaml (TPU-relevant subset)."""
 
     save_all_traj: bool = False
+    save_unweighted_costs: bool = False  # extra raw-term columns in logs.csv
+    log_risk: bool = False               # selected-plan ego/obst risk logging
     activate_logging: bool = True
     kinematic_debug: bool = True
     matrix_bucket: int = 256     # candidate-count padding bucket (jit shapes)
@@ -94,6 +97,13 @@ class SimulationConfig:
     check_road_boundary: bool = True     # executed off-road pose = failure
                                          # (reference simulation.py:474-495)
     number_of_agents: int = -1
+    # multiagent selection (simulation.yaml:20-30): with use_specific_agents,
+    # exactly `agent_ids` become agents; otherwise `number_of_agents` are
+    # chosen — randomly (seeded, reproducible) or in scenario order
+    use_specific_agents: bool = False
+    agent_ids: list = field(default_factory=list)
+    select_agents_randomly: bool = False
+    msg_log_mode: str = "INFO"           # simulation.yaml msg_log_mode
     ego_agent_id: int = 60000
 
 
@@ -160,14 +170,45 @@ class BehaviorConfig:
 
 
 @dataclass
+class EvaluationConfig:
+    """configurations/simulation/evaluation.yaml."""
+
+    evaluate_agents: bool = False      # per-agent vehicle-dynamics solution check
+    evaluate_simulation: bool = False  # criticality metrics for every agent
+    evaluate_runtime: bool = False     # per-component timing tables
+    radius: float = 100.0              # participants within this range count
+    tau: float = 2.0                   # TET / TIT threshold
+    a_max_lat: float = 8.0             # max lateral deceleration (a_lat_req)
+    # per-metric enable map (evaluation.yaml criticality_metrics); metrics
+    # missing from the map stay enabled
+    criticality_metrics: dict = field(default_factory=dict)
+
+
+@dataclass
 class OcclusionConfig:
-    """configurations/simulation/occlusion.yaml subset (off by default)."""
+    """configurations/simulation/occlusion.yaml (off by default).
+
+    `metric_thresholds` activates the full Frenetix-Occlusion metric gate
+    (keys: harm/risk/cp/ttc/wttc/ttce/dce/be; None = deactivated — the
+    yaml's activated_metrics list is implied by which thresholds are set).
+    harm_threshold/risk_threshold remain as the default-gate shorthand."""
 
     use_occlusion_module: bool = False
     harm_threshold: float = 0.1
     risk_threshold: float = 1.0
+    metric_thresholds: dict = field(default_factory=dict)
     max_phantoms: int = 4
-    phantom_type: str = "pedestrian"
+    phantom_type: str = "pedestrian"   # agent_manager types incl. car/truck
+    # spawn_locator (occlusion.yaml)
+    spawn_point_behind_dynamic_obstacle: bool = True
+    spawn_point_behind_static_obstacle: bool = True
+    spawn_points_behind_turn: bool = False
+    max_dynamic_spawn_points: int = 4
+    max_static_spawn_points: int = 4
+    # agent_manager prediction inflation (occlusion.yaml)
+    variance_factor: float = 1.05
+    size_factor_length: float = 1.2
+    size_factor_width: float = 1.3
 
 
 @dataclass
@@ -178,7 +219,12 @@ class VisualizationConfig:
     plot_interval: int = 5      # plot every k-th step
     save_gif: bool = False
     draw_traj_set: bool = False  # draw the full candidate fan (debug.yaml)
-    window: float = 60.0
+    window: float = 60.0         # plot_window_dyn
+    show_labels: bool = True             # vehicle-id annotations
+    draw_icons: bool = False             # windshield icon on vehicle boxes
+    draw_reference_path: bool = True
+    draw_predictions: bool = True
+    draw_planning_problem: bool = True   # goal regions as filled polygons
 
 
 @dataclass
@@ -190,6 +236,7 @@ class FrenetixConfig:
     visualization: VisualizationConfig = field(default_factory=VisualizationConfig)
     behavior: BehaviorConfig = field(default_factory=BehaviorConfig)
     occlusion: OcclusionConfig = field(default_factory=OcclusionConfig)
+    evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
     vehicle: VehicleParams = field(default_factory=VehicleParams)
     cost_weights: dict = field(default_factory=lambda: dict(DEFAULT_COST_WEIGHTS))
     dtype: str = "float32"      # device dtype ("float32" on TPU, "float64" CPU tests)

@@ -33,11 +33,14 @@ def _float_values(values) -> str:
 
 class TrajectoryLogger:
     def __init__(self, log_dir: str, cost_names, config_dict=None,
-                 save_all_traj: bool = False):
+                 save_all_traj: bool = False, save_unweighted: bool = False,
+                 log_risk: bool = False):
         os.makedirs(log_dir, exist_ok=True)
         self.log_dir = log_dir
         self.cost_names = list(cost_names)
         self.save_all_traj = save_all_traj
+        self.save_unweighted = save_unweighted
+        self.log_risk = log_risk
 
         self.con = sqlite3.connect(os.path.join(log_dir, "trajectories.db"))
         c = self.con
@@ -103,6 +106,11 @@ class TrajectoryLogger:
              "velocities_mps", "accelerations_mps2", "s_position_m", "d_position_m",
              "desired_velocity_mps", "trajectory_mode"]
             + [f"costs_{n}" for n in self.cost_names]
+            # debug.yaml save_unweighted_costs: raw (pre-weight) term columns
+            + ([f"costs_unweighted_{n}" for n in self.cost_names]
+               if save_unweighted else [])
+            # debug.yaml log_risk: selected-plan risk via the full harm stack
+            + (["ego_risk", "obst_risk"] if log_risk else [])
         )
         with open(self.csv_path, "w") as f:
             f.write(";".join(header) + "\n")
@@ -139,6 +147,18 @@ class TrajectoryLogger:
              round(float(desired_velocity), 3), plan.mode]
             + [round(t, 6) for t in terms]
         )
+        if self.save_unweighted:
+            if plan.cost_terms is not None:
+                from frenetix_tpu.ops.costs import COST_TERM_ORDER
+
+                order = {n: i for i, n in enumerate(COST_TERM_ORDER)}
+                row += [round(float(plan.cost_terms[order[n]]), 6)
+                        if n in order else 0.0 for n in self.cost_names]
+            else:
+                row += [0.0] * len(self.cost_names)
+        if self.log_risk:
+            row += [getattr(plan, "ego_risk", None),
+                    getattr(plan, "obst_risk", None)]
         with open(self.csv_path, "a") as f:
             f.write(";".join(str(v) for v in row) + "\n")
 

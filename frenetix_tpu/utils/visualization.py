@@ -45,6 +45,22 @@ def _vehicle_patch(ax, pos, theta, length, width, color, zorder=10, alpha=1.0):
     ax.add_patch(rect)
 
 
+def _windshield_patch(ax, pos, theta, length, width, zorder=10):
+    """Minimal vehicle 'icon' (visualization.yaml draw_icons): a darker
+    windshield trapezoid on the front third of the body box — readable at
+    overview zoom without the reference's per-pixel icon assets."""
+    from matplotlib.patches import Polygon as MplPolygon
+
+    ca, sa = np.cos(theta), np.sin(theta)
+    rot = np.array([[ca, -sa], [sa, ca]])
+    shape = np.array([
+        [0.10 * length, 0.40 * width], [0.25 * length, 0.32 * width],
+        [0.25 * length, -0.32 * width], [0.10 * length, -0.40 * width],
+    ])
+    ax.add_patch(MplPolygon(shape @ rot.T + np.asarray(pos), closed=True,
+                            facecolor="#223344", alpha=0.8, zorder=zorder))
+
+
 def _cov_ellipse(ax, mean, cov, color, n_sigma=1.0, alpha=0.25, zorder=5):
     from matplotlib.patches import Ellipse
 
@@ -59,7 +75,8 @@ def _cov_ellipse(ax, mean, cov, color, n_sigma=1.0, alpha=0.25, zorder=5):
 def plot_scenario_at_timestep(
     scenario, agents, t, *, cycle_result=None, matrix_mask=None, predictions=None,
     save_path=None, window=60.0, veh_length=4.508, veh_width=1.61, show_ref=True,
-    visible_area=None,
+    visible_area=None, show_labels=True, draw_planning_problem=True,
+    draw_icons=False,
 ):
     """One frame: scenario + agents + (optional) candidate set + predictions.
 
@@ -67,6 +84,9 @@ def plot_scenario_at_timestep(
     cost (the reference's draw_traj_set mode, visualization.py:236-340).
     visible_area: a sim.visible_area.VisibleArea to overlay the sensor's
     visible region (the reference's visible-area rendering).
+    show_labels / draw_planning_problem / draw_icons mirror the
+    visualization.yaml flags of the same names (goal regions as filled
+    polygons; icons draw a windshield wedge on the vehicle box).
     """
     import matplotlib
 
@@ -84,6 +104,21 @@ def plot_scenario_at_timestep(
             edgecolor="#bb9900", alpha=0.25, zorder=2,
         ))
 
+    # planning problems: goal regions + initial states (visualization.yaml
+    # draw_planning_problem; the reference renders them via commonroad's
+    # MPRenderer)
+    if draw_planning_problem:
+        from matplotlib.patches import Polygon as MplPolygon
+
+        for a in agents:
+            for g in getattr(a.problem, "goals", []):
+                if getattr(g, "position_shape", None) is not None:
+                    ax.add_patch(MplPolygon(
+                        np.asarray(g.position_shape), closed=True,
+                        facecolor="#ccddaa", edgecolor="#558833", alpha=0.5,
+                        zorder=3,
+                    ))
+
     # scenario obstacles at t
     agent_ids = {a.id for a in agents}
     for ob in scenario.obstacles.values():
@@ -94,7 +129,11 @@ def plot_scenario_at_timestep(
             continue
         _vehicle_patch(ax, st.position, st.orientation, ob.length, ob.width,
                        "#4477aa", zorder=8)
-        ax.annotate(str(ob.obstacle_id), st.position, fontsize=7, zorder=20)
+        if draw_icons:
+            _windshield_patch(ax, st.position, st.orientation, ob.length,
+                              ob.width, zorder=9)
+        if show_labels:
+            ax.annotate(str(ob.obstacle_id), st.position, fontsize=7, zorder=20)
 
     # candidate fan of the first agent
     if cycle_result is not None:
@@ -141,7 +180,11 @@ def plot_scenario_at_timestep(
         ax.plot(hist[:, 0], hist[:, 1], color=col, lw=1.2, zorder=9)
         _vehicle_patch(ax, a.state.position, a.state.orientation,
                        veh_length, veh_width, col, zorder=11)
-        ax.annotate(str(a.id), a.state.position, fontsize=7, zorder=20)
+        if draw_icons:
+            _windshield_patch(ax, a.state.position, a.state.orientation,
+                              veh_length, veh_width, zorder=12)
+        if show_labels:
+            ax.annotate(str(a.id), a.state.position, fontsize=7, zorder=20)
         if show_ref and a.planner.ref_np is not None:
             ax.plot(*np.asarray(a.planner.ref_np.xy).T, "--", color=col,
                     lw=0.6, alpha=0.5, zorder=2)

@@ -146,3 +146,89 @@ def test_multiagent_overview_plot(tmp_path):
     import os
 
     assert os.path.getsize(out) > 10_000
+
+
+def test_specific_agent_selection():
+    """simulation.yaml use_specific_agents/agent_ids: exactly the listed
+    obstacle becomes an agent (plus the original planning problem); random
+    selection is seeded-reproducible."""
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    sc_path = "/root/reference/example_scenarios/ZAM_Tjunction-1_23_T-1.xml"
+    obst_ids = [ob.obstacle_id for ob in load_scenario(sc_path).dynamic_obstacles]
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.simulation.start_multiagent = True
+    cfg.simulation.use_specific_agents = True
+    cfg.simulation.agent_ids = [obst_ids[1]]
+    sim = Simulation(load_scenario(sc_path), cfg)
+    assert sorted(a.id for a in sim.agents) == sorted([60000, obst_ids[1]])
+
+    cfg2 = FrenetixConfig(dtype="float64")
+    cfg2.simulation.start_multiagent = True
+    cfg2.simulation.number_of_agents = 2
+    cfg2.simulation.select_agents_randomly = True
+    pick1 = sorted(a.id for a in Simulation(load_scenario(sc_path), cfg2).agents)
+    pick2 = sorted(a.id for a in Simulation(load_scenario(sc_path), cfg2).agents)
+    assert pick1 == pick2                       # seeded → reproducible
+    assert len(pick1) <= 3 and 60000 in pick1
+
+
+def test_evaluation_config_toggles():
+    """evaluation.yaml: criticality_metrics toggles select the computed
+    columns; radius/tau/a_max_lat flow into Measures."""
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.evaluation import evaluate_simulation
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig(dtype="float64")
+    sim = Simulation(make_highway(n_steps=30), cfg)
+    res = sim.run()
+
+    cfg.evaluation.criticality_metrics = {"ttc": True, "hw": True,
+                                          **{m: False for m in
+                                             ("tit", "tet", "et", "pet")}}
+    out = evaluate_simulation(sim.scenario, res, cfg, check_solutions=False)
+    df = out[60000]
+    assert "ttc" in df.columns and "hw" in df.columns
+    assert "tit" not in df.columns and "pet" not in df.columns
+
+    cfg.evaluation.radius = 1.0  # nobody within 1 m → no leading vehicle
+    out2 = evaluate_simulation(sim.scenario, res, cfg, check_solutions=False)
+    import numpy as np
+    assert not np.isfinite(out2[60000]["ttc"]).any()
+
+
+def test_visualization_flags(tmp_path):
+    """visualization.yaml flags: goal regions, icons, labels render without
+    error; debug.yaml save_unweighted_costs + log_risk add logs.csv columns."""
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+    from frenetix_tpu.utils.visualization import plot_scenario_at_timestep
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.debug.save_unweighted_costs = True
+    cfg.debug.log_risk = True
+    sim = Simulation(make_highway(n_steps=30), cfg,
+                     log_dir=str(tmp_path))
+    sim.run()
+
+    out = plot_scenario_at_timestep(
+        sim.scenario, sim.agents, 10, draw_icons=True, show_labels=True,
+        draw_planning_problem=True,
+        save_path=str(tmp_path / "frame.png"),
+    )
+    import os
+    assert os.path.getsize(out) > 10_000
+
+    header = open(tmp_path / "60000" / "logs.csv").readline().strip().split(";")
+    assert any(h.startswith("costs_unweighted_") for h in header)
+    assert "ego_risk" in header and "obst_risk" in header
+    import csv as _csv
+    with open(tmp_path / "60000" / "logs.csv") as f:
+        rows = list(_csv.DictReader(f, delimiter=";"))
+    assert rows and rows[0]["ego_risk"] not in ("", "None")

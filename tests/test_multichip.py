@@ -428,3 +428,69 @@ def test_strict_cli_overrides_reject_typos():
     # lenient mode (YAML-style) still ignores unknowns
     cfg = load_config(overrides=parse_cli_overrides(["planing.dt=0.2"]))
     assert cfg.planning.dt == 0.1
+
+
+def test_inbatch_occlusion_gate_geometric_thresholds(stacked_problem):
+    """The in-batch gate with a GEOMETRIC metric threshold (dce) matches the
+    host shared-gate selection exactly — the full occlusion.yaml metric set
+    runs inside the fused device batch, not just harm/risk."""
+    import jax.numpy as jnp
+
+    from frenetix_tpu.occlusion import OcclusionModule, PhantomThresholds
+    from frenetix_tpu.parallel.mesh import (
+        _default_obstacle_meta, batched_full_cycle,
+    )
+    from frenetix_tpu.planner.core import evaluate_cycle
+    from frenetix_tpu.risk.costs import trajectory_risks
+
+    matrices, masks, ctx = stacked_problem
+    a = matrices.shape[0]
+    o = ctx.preds.means.shape[1]
+    dt, n_steps = 0.1, 30
+    thr = PhantomThresholds(harm=None, risk=None, dce=6.0)
+
+    # phantom = obstacle row 0, parked beside the endpoint fan of each
+    # agent's candidates so per-candidate closest-encounter distances vary
+    means = np.asarray(ctx.preds.means).copy()
+    for i in range(a):
+        means[i, 0, :, 0] = 40.0 + 12.0 * i
+        means[i, 0, :, 1] = 3.0
+    preds = ctx.preds._replace(means=jnp.asarray(means))
+    ctx = ctx._replace(preds=preds, obstacle_xy=jnp.asarray(means[:, :, 0]))
+    pm = np.zeros((a, o), bool)
+    pm[:, 0] = True
+
+    module = OcclusionModule(scenario=None, thresholds=thr, veh=ctx.veh,
+                             dt=dt)
+    exp_best, exp_found = [], []
+    gate_varies = False
+    for i in range(a):
+        ctx_i = _slice_ctx(ctx, i)
+        res = evaluate_cycle(
+            matrices[i], masks[i], ctx_i, dt=dt, n_steps=n_steps,
+            low_vel_mode=False, check_boundary=True,
+        )
+        risks = trajectory_risks(
+            res.rollout, ctx_i.preds, _default_obstacle_meta(ctx_i.preds),
+            ctx.veh.mass,
+        )
+        safe = np.asarray(module.trajectory_safety_assessment(
+            risks, pm[i], rollout=res.rollout, preds=ctx_i.preds))
+        sel = np.asarray(res.selectable)
+        if sel.any() and 0 < (safe & sel).sum() < sel.sum():
+            gate_varies = True
+        sel2 = sel & safe
+        if sel2.any():
+            exp_best.append(int(np.argmin(np.where(sel2, np.asarray(res.cost),
+                                                   np.inf))))
+            exp_found.append(True)
+        else:
+            exp_best.append(int(res.best_idx))
+            exp_found.append(False)
+    assert gate_varies  # the dce threshold must actually split candidates
+
+    vfn = batched_full_cycle(dt=dt, n_steps=n_steps, occlusion=True,
+                             thresholds=thr)
+    out_v = vfn(matrices, masks, ctx, jnp.asarray(pm))
+    assert np.asarray(out_v["best"]).tolist() == exp_best
+    assert np.asarray(out_v["found"]).tolist() == exp_found

@@ -220,3 +220,139 @@ def test_extra_occluders_block_sight():
     assert 301 not in visible_obstacles(
         sc, 60000, Ego(), 0, extra_occluders=blocker, **kw
     )
+
+
+# ------------------------------------------- full metric-threshold gate
+
+
+def _gate_fixture():
+    """Two candidates driving +x at 10 m/s; obstacle row 0 is REAL (far),
+    row 1 is a standing phantom at (5, 1).  Candidate 0 passes within 1 m
+    of the phantom; candidate 1 (offset to y=-7) stays ~8 m away."""
+    import jax.numpy as jnp
+
+    from frenetix_tpu.risk.costs import TrajectoryRisks
+
+    n = 10
+    t = np.arange(n + 1) * 0.1
+
+    class RO:
+        x = jnp.asarray(np.stack([10.0 * t, 10.0 * t]))
+        y = jnp.asarray(np.stack([np.zeros(n + 1), np.full(n + 1, -7.0)]))
+        v = jnp.full((2, n + 1), 10.0)
+
+    class Preds:
+        means = jnp.asarray(np.stack([
+            np.tile([100.0, 100.0], (n, 1)),       # real obstacle, far away
+            np.tile([5.0, 1.0], (n, 1)),           # phantom
+        ]))
+        lengths = jnp.asarray([4.5, 0.36])
+        widths = jnp.asarray([2.0, 0.65])
+
+    class Veh:
+        length, width = 4.5, 2.0
+
+    cp = np.array([[0.9, 0.5], [0.9, 0.01]])      # real column must NOT gate
+    risks = TrajectoryRisks(
+        ego_risk_per_obst=jnp.zeros((2, 2)),
+        obst_risk_per_obst=jnp.zeros((2, 2)),
+        ego_harm_per_obst=jnp.zeros((2, 2)),
+        obst_harm_per_obst=jnp.zeros((2, 2)),
+        ego_risk=jnp.zeros(2), obst_risk=jnp.zeros(2),
+        obst_present=jnp.ones(2, bool),
+        coll_prob_per_obst=jnp.asarray(cp),
+    )
+    phantom_mask = np.array([False, True])
+    return RO(), Preds(), Veh(), risks, phantom_mask
+
+
+def test_metric_gate_geometric_thresholds():
+    """Each occlusion.yaml metric threshold activated alone discriminates
+    the close-encounter candidate from the clear one, and never gates on
+    the REAL obstacle row."""
+    from frenetix_tpu.occlusion import PhantomThresholds, phantom_safety_mask
+
+    ro, preds, veh, risks, pm = _gate_fixture()
+    base = dict(harm=None, risk=None)
+
+    def gate(**kw):
+        thr = PhantomThresholds(**{**base, **kw})
+        return np.asarray(phantom_safety_mask(
+            risks, pm, thr, rollout=ro, preds=preds, veh=veh, dt=0.1))
+
+    assert gate(dce=2.0).tolist() == [False, True]
+    assert gate(ttc=1.0).tolist() == [False, True]   # contact r ≈ 2.8 m
+    assert gate(wttc=0.5).tolist() == [False, True]
+    assert gate(cp=0.1).tolist() == [False, True]
+    assert gate(be=20.0).tolist() == [False, True]   # 100 vs ~10 m/s² req.
+    # ttce gates the encounter TIME (0.5 s for both candidates)
+    assert gate(ttce=0.3).tolist() == [True, True]
+    assert gate(ttce=1.0).tolist() == [False, False]
+    # nothing activated → everything passes
+    assert gate().tolist() == [True, True]
+
+
+def test_thresholds_from_config():
+    from frenetix_tpu.occlusion import PhantomThresholds
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig()
+    thr = PhantomThresholds.from_config(cfg.occlusion)
+    assert thr == PhantomThresholds(harm=0.1, risk=1.0)   # reference default
+
+    cfg.occlusion.metric_thresholds = {"dce": 2.0, "harm": None}
+    thr = PhantomThresholds.from_config(cfg.occlusion)
+    assert thr.dce == 2.0 and thr.harm is None and thr.risk == 1.0
+
+
+def test_spawn_locator_flags():
+    """occlusion.yaml spawn_locator: per-category enable flags + caps."""
+    from frenetix_tpu.io.commonroad import Obstacle, Scenario, State
+    from frenetix_tpu.occlusion import OcclusionModule
+
+    truck = Obstacle(
+        obstacle_id=9, obstacle_type="truck", role="static", length=9.0,
+        width=2.5, initial_state=State(0, np.array([20.0, 3.5]), 0.0, 0.0))
+    car = Obstacle(
+        obstacle_id=10, obstacle_type="car", role="dynamic", length=4.5,
+        width=2.0, initial_state=State(0, np.array([30.0, -3.5]), 0.0, 5.0))
+    sc = Scenario("occ", 0.1, {}, {9: truck, 10: car}, {})
+
+    near = lambda sp, p: np.linalg.norm(sp.position - p) < 12.0
+    t_pos, c_pos = np.array([20.0, 3.5]), np.array([30.0, -3.5])
+
+    specs = OcclusionModule(sc, spawn_point_behind_static_obstacle=False,
+                            max_phantoms=8).find_spawn_points(_Ego(), 0)
+    assert specs and all(near(s, c_pos) for s in specs)
+
+    specs = OcclusionModule(sc, spawn_point_behind_dynamic_obstacle=False,
+                            max_phantoms=8).find_spawn_points(_Ego(), 0)
+    assert specs and all(near(s, t_pos) for s in specs)
+
+    specs = OcclusionModule(sc, max_dynamic_spawn_points=1,
+                            max_static_spawn_points=1,
+                            max_phantoms=8).find_spawn_points(_Ego(), 0)
+    assert sum(near(s, c_pos) for s in specs) == 1
+    assert sum(near(s, t_pos) for s in specs) == 1
+
+
+def test_spawn_points_behind_turn():
+    """spawn_points_behind_turn: a phantom on the unseen inside of the next
+    route turn, offset toward the turn center."""
+    from frenetix_tpu.io.commonroad import Scenario
+    from frenetix_tpu.occlusion import OcclusionModule
+
+    sc = Scenario("occ", 0.1, {}, {}, {})
+    th = np.linspace(0, np.pi / 2, 50)
+    arc = np.stack([20.0 * np.sin(th), 20.0 * (1 - np.cos(th))], axis=1)
+    mod = OcclusionModule(sc, spawn_points_behind_turn=True, route_xy=arc)
+    specs = mod.find_spawn_points(_Ego(), 0)
+    assert len(specs) == 1
+    center = np.array([0.0, 20.0])
+    d_route = np.linalg.norm(arc - specs[0].position[None], axis=1).min()
+    # inside the turn: closer to the arc center than the arc radius
+    assert np.linalg.norm(specs[0].position - center) < 20.0 - 2.0
+    assert d_route < 5.0
+
+    # flag off (default): no spawn points on an empty scenario
+    assert OcclusionModule(sc, route_xy=arc).find_spawn_points(_Ego(), 0) == []
