@@ -146,6 +146,44 @@ def _detect_lane_merges(scenario: Scenario, route_ids, frame):
     return merges
 
 
+def _detect_road_exits(scenario: Scenario, route_ids, frame):
+    """Route lanelets that take a fork OFF the through road (off-ramps): the
+    predecessor has ≥2 successors and the route's choice diverges from the
+    through branch — the branch whose endpoint stays on the predecessor's
+    extension line.  The inverse of `_detect_lane_merges`; the reference's
+    PathPlanner derives RoadExit goals from its route lane changes
+    (path_planner.py:586-610 neighborhood).  Junction-interior forks are
+    intersection/turn goals, not road exits."""
+    exits = []
+    inter_lls = intersection_successor_ids(scenario)
+    for lid in route_ids:
+        ll = scenario.lanelets.get(lid)
+        if ll is None or lid in inter_lls:
+            continue
+        for pid in ll.predecessors:
+            p = scenario.lanelets.get(pid)
+            if p is None or len(p.successors) < 2 or len(p.center_vertices) < 2:
+                continue
+            p_end = p.center_vertices[-1]
+            p_dir = p_end - p.center_vertices[-2]
+            p_dir = p_dir / max(np.linalg.norm(p_dir), 1e-9)
+            lateral = {}
+            for sid in p.successors:
+                s_ll = scenario.lanelets.get(sid)
+                if s_ll is None or len(s_ll.center_vertices) < 2:
+                    continue
+                rel = s_ll.center_vertices[-1] - p_end
+                lateral[sid] = abs(float(p_dir[0] * rel[1] - p_dir[1] * rel[0]))
+            if len(lateral) < 2 or lid not in lateral:
+                continue
+            if lateral[lid] > min(lateral.values()) + 1.0:
+                exit_s, _ = frame.project(ll.center_vertices[0])
+                exits.append(dict(type="RoadExit", position_s=exit_s,
+                                  lanelet_id=lid))
+                break
+    return exits
+
+
 def intersection_successor_ids(scenario: Scenario) -> set:
     """All lanelet ids that are successors of an intersection incoming —
     the junction-interior lanelets.  Single source of truth shared by the
@@ -336,6 +374,7 @@ def build_static_route_plan(
         _detect_stop_line_goals(scenario, route_ids, frame)
         + _detect_crosswalks(scenario, route_ids, frame)
         + _detect_lane_merges(scenario, route_ids, frame)
+        + _detect_road_exits(scenario, route_ids, frame)
         + _detect_intersections(scenario, route_ids, frame)
         + _detect_turns(scenario, route_ids, frame)
     )

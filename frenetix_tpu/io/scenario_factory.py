@@ -21,6 +21,7 @@ __all__ = [
     "make_yield_sign", "make_lane_merge", "make_behavior_overtake",
     "make_crosswalk", "make_intersection_crossing", "make_turn_left",
     "make_turn_right", "make_double_lane_change", "make_double_crossing",
+    "make_road_exit",
 ]
 
 
@@ -414,6 +415,47 @@ def make_intersection_crossing(arm=60.0, box=10.0, lane_width=3.6, ego_v=10.0,
     )
     return Scenario("SYN_Crossing-1", dt, lanelets, obstacles, {60000: pp},
                     intersections=[intersection])
+
+
+def make_road_exit(main_len=100.0, ramp_len=90.0, lane_width=3.6, ego_v=13.0,
+                   radius=260.0, dt=0.1, n_steps=220, through_v=None):
+    """Highway off-ramp: the route forks off the through road at x=main_len
+    onto a gently curving exit ramp (κ = 1/radius ≈ 0.004, far below the
+    turn-detection threshold).  Exercises the (Prepare)RoadExit static goals
+    and the RoadExit FSM situation.  `through_v` adds a car continuing on
+    the through lane (the ego must not treat it as crossing traffic)."""
+    m1 = _straight(main_len)                       # approach, x ∈ [0, 100]
+    m2 = _straight(150.0, x0=main_len)             # through road continues
+    # ramp: arc of radius `radius` curving right from (main_len, 0)
+    th = np.linspace(0.0, ramp_len / radius, 40)
+    ramp = np.stack([main_len + radius * np.sin(th),
+                     radius * (np.cos(th) - 1.0)], axis=1)
+
+    lanelets = {
+        50000: _lanelet_from_center(50000, m1, lane_width / 2, [50001, 50010]),
+        50001: _lanelet_from_center(50001, m2, lane_width / 2, []),
+        50010: _lanelet_from_center(50010, ramp, lane_width / 2, []),
+    }
+    lanelets[50001].predecessors = [50000]
+    lanelets[50010].predecessors = [50000]
+
+    obstacles = {}
+    if through_v:
+        obstacles = _traffic(np.concatenate([m1, m2[1:]]), [through_v], dt,
+                             n_steps, [main_len - 20.0])
+
+    goal_center = ramp[-1] - 10.0 * (ramp[-1] - ramp[-2]) / np.linalg.norm(
+        ramp[-1] - ramp[-2])
+    half = np.array([[8.0, 3.0], [8.0, -3.0], [-8.0, -3.0], [-8.0, 3.0]])
+    goal = GoalCondition(position_shape=half + goal_center,
+                         time_interval=(0, n_steps),
+                         velocity_interval=(0.0, ego_v + 6.0))
+    pp = PlanningProblem(
+        problem_id=60000,
+        initial_state=State(0, np.array([2.0, 0.0]), 0.0, float(ego_v)),
+        goals=[goal],
+    )
+    return Scenario("SYN_RoadExit-1", dt, lanelets, obstacles, {60000: pp})
 
 
 def make_double_crossing(arm=50.0, box=10.0, spacing=70.0, lane_width=3.6,

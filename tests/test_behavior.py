@@ -704,3 +704,54 @@ def test_batched_behavior_lane_change_rebuilds_tables():
     assert len(builds) >= 2        # initial build + ref-path invalidation
     ys = np.array([s.position[1] for s in sim.agents[0].record.states])
     assert ys[-1] > 3.0            # ego finished on the left lane
+
+
+def test_road_exit_in_static_route_plan():
+    """An off-ramp fork produces (Prepare)RoadExit goals before the fork —
+    and no Turn misfire (the ramp's curvature is far below the threshold)."""
+    from frenetix_tpu.io.scenario_factory import make_road_exit
+
+    mod, sc = _behavior_module(make_road_exit)
+    plan = mod.bm.PP_state.static_route_plan
+    types = [g.goal_type for g in plan]
+    assert "RoadExit" in types and "PrepareRoadExit" in types
+    assert not any("Turn" in t for t in types), types
+    # the exit goal ends at the fork (ramp start projects to s ≈ 100 + pad)
+    g = plan[types.index("RoadExit")]
+    fork_s = mod.bm.PP_state.frame.project([100.0, 0.0])[0]
+    assert abs(g.end_s - fork_s) < 5.0
+
+    # a plain highway (no fork on the route) yields no RoadExit
+    from frenetix_tpu.io.scenario_factory import make_highway
+
+    mod2, _ = _behavior_module(make_highway)
+    assert not any("RoadExit" in g.goal_type
+                   for g in mod2.bm.PP_state.static_route_plan)
+
+
+def test_e2e_road_exit():
+    """End-to-end: the ego takes the off-ramp (enters the RoadExit FSM state
+    on the way), ignores the car continuing on the through lane, and reaches
+    the ramp goal."""
+    from frenetix_tpu.io.scenario_factory import make_road_exit
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.behavior.use_behavior_planner = True
+    sim = Simulation(make_road_exit(through_v=10.0), cfg)
+    agent = sim.agents[0]
+    visited = set()
+    orig = agent.behavior.execute
+
+    def wrapped(preds, st, t):
+        out = orig(preds, st, t)
+        visited.add(agent.behavior.bm.FSM_state.behavior_state_static)
+        return out
+
+    agent.behavior.execute = wrapped
+    res = sim.run()
+    assert list(res.agent_status.values())[0].name == "COMPLETED_SUCCESS"
+    assert {"PrepareRoadExit", "RoadExit"} <= visited, visited
+    final = agent.record.states[-1].position
+    assert final[1] < -4.0            # left the through road onto the ramp
