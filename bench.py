@@ -193,6 +193,43 @@ def main():
             m_padded=m_padded, n_valid=n_valid, cycle_s=cycle_s, flops=flops,
         )
 
+    def measure_batched_agents(a, reps=20, outer=5, compiles=2):
+        """A agents' FULL cycles fused in ONE device call (the production
+        multi-agent path, parallel.mesh.batched_full_cycle) on the real chip:
+        agent-replans/s vs. batch size.  768 padded candidates per agent
+        (the default sampling level)."""
+        import jax.numpy as jnp
+
+        from bench_scaling import build_stacked_problem
+        from frenetix_tpu.parallel.mesh import _vmapped_body
+
+        matrices, masks, ctx = build_stacked_problem(a, dtype=np.float32)
+
+        def make_batch(k):
+            vb = _vmapped_body(0.1, 30, False, 768)
+
+            def f(m, msk, c):
+                out = vb(m, msk, c)
+                bump = sum([jnp.zeros(())] * k, jnp.zeros(())) if k else 0.0
+                return out["best"], out["found"], out["cost"] + bump
+
+            return jax.jit(f)
+
+        fn = _best_of_compiles(make_batch, (matrices, masks, ctx), n=compiles)
+        times = []
+        for _ in range(outer):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(matrices, masks, ctx)
+            jax.block_until_ready(out)
+            times.append((time.perf_counter() - t0) / reps)
+        s = float(np.median(times))
+        return {
+            "agents": a,
+            "p50_batch_latency_ms": round(1000.0 * s, 3),
+            "agent_replans_per_sec": round(a / s, 1),
+        }
+
     # headline config (dense sweep, ~35k candidates) + a candidates sweep
     # (VERDICT r1 item 8: report valid-candidate throughput AND the sweep)
     headline = measure(density=5, bucket=1024, compiles=3)
@@ -247,6 +284,9 @@ def main():
             "flops_per_cycle": headline["flops"],
             "mfu_vs_v5e_bf16_peak": mfu,
             "sweep": sweep,
+            # production multi-agent path: fused full cycles per device call
+            "multi_agent_batched": [measure_batched_agents(a)
+                                    for a in (1, 4, 16)],
             "device": str(jax.devices()[0]),
             "dtype": "float32",
         },
