@@ -232,3 +232,35 @@ def test_visualization_flags(tmp_path):
     with open(tmp_path / "60000" / "logs.csv") as f:
         rows = list(_csv.DictReader(f, delimiter=";"))
     assert rows and rows[0]["ego_risk"] not in ("", "None")
+
+
+def test_risk_visualization_charts(tmp_path):
+    """Risk-colored candidate fan + cost-composition chart (reference
+    risk_visualization.py create_scenario_figure / create_cost_chart)."""
+    import os
+
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.risk.visualization import (
+        plot_cost_composition, plot_scenario_risk,
+    )
+    from frenetix_tpu.sim.simulation import Simulation
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig(dtype="float64")
+    cfg.debug.save_all_traj = True
+    sim = Simulation(make_highway(n_steps=30), cfg, log_dir=str(tmp_path))
+    sim.run()
+    agent = sim.agents[0]
+
+    res, mat, msk = agent.planner.last_cycle
+    risks = agent.planner._risk_fn()(
+        res.rollout, agent.planner.preds,
+        agent.planner._default_meta(agent.planner.preds),
+    )
+    out = plot_scenario_risk(sim.scenario, [agent], res, risks, t=30,
+                             save_path=str(tmp_path / "risk_fan.png"))
+    assert os.path.getsize(out) > 10_000
+
+    out2 = plot_cost_composition(str(tmp_path / "60000" / "logs.csv"),
+                                 save_path=str(tmp_path / "costs.png"))
+    assert os.path.getsize(out2) > 10_000
