@@ -167,15 +167,30 @@ def _detect_road_exits(scenario: Scenario, route_ids, frame):
             p_end = p.center_vertices[-1]
             p_dir = p_end - p.center_vertices[-2]
             p_dir = p_dir / max(np.linalg.norm(p_dir), 1e-9)
-            lateral = {}
+            # measure every branch at the SAME arc length (capped at the
+            # shortest branch / 40 m) — raw endpoint offsets mis-rank
+            # branches of unequal length (a long curving through-road would
+            # read as the exit)
+            sibs = {}
             for sid in p.successors:
                 s_ll = scenario.lanelets.get(sid)
-                if s_ll is None or len(s_ll.center_vertices) < 2:
-                    continue
-                rel = s_ll.center_vertices[-1] - p_end
-                lateral[sid] = abs(float(p_dir[0] * rel[1] - p_dir[1] * rel[0]))
-            if len(lateral) < 2 or lid not in lateral:
+                if s_ll is not None and len(s_ll.center_vertices) >= 2:
+                    sibs[sid] = s_ll.center_vertices
+            if len(sibs) < 2 or lid not in sibs:
                 continue
+
+            def _arclen(v):
+                return float(np.linalg.norm(np.diff(v, axis=0), axis=1).sum())
+
+            probe = min(min(_arclen(v) for v in sibs.values()), 40.0)
+            lateral = {}
+            for sid, verts in sibs.items():
+                seg = np.linalg.norm(np.diff(verts, axis=0), axis=1)
+                s_tab = np.concatenate([[0.0], np.cumsum(seg)])
+                q = np.array([np.interp(probe, s_tab, verts[:, 0]),
+                              np.interp(probe, s_tab, verts[:, 1])])
+                rel = q - p_end
+                lateral[sid] = abs(float(p_dir[0] * rel[1] - p_dir[1] * rel[0]))
             if lateral[lid] > min(lateral.values()) + 1.0:
                 exit_s, _ = frame.project(ll.center_vertices[0])
                 exits.append(dict(type="RoadExit", position_s=exit_s,

@@ -7,7 +7,7 @@ finished simulation and persists them to the `scenario_evaluation` table.
 """
 from __future__ import annotations
 
-from frenetix_tpu.evaluation.metrics import CRITICALITY_METRICS, Measures
+from frenetix_tpu.evaluation.metrics import Measures
 
 __all__ = ["evaluate_simulation"]
 
@@ -21,10 +21,11 @@ def evaluate_simulation(scenario, result, config=None, sim_logger=None,
     `config.evaluation` (evaluation.yaml) controls the per-metric enable map
     (criticality_metrics), the participant radius, the TET/TIT threshold tau
     and a_max_lat; explicit `metrics`/`check_solutions` arguments override."""
+    from frenetix_tpu.evaluation.metrics import enabled_metrics
+
     ev = config.evaluation if config is not None else None
     if metrics is None:
-        toggles = ev.criticality_metrics if ev else {}
-        metrics = [m for m in CRITICALITY_METRICS if toggles.get(m, True)]
+        metrics = enabled_metrics(ev.criticality_metrics if ev else {})
     veh = config.vehicle if config is not None else None
     dt = scenario.dt
     out = {}

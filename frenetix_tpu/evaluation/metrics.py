@@ -21,13 +21,27 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["CRITICALITY_METRICS", "Measures"]
+__all__ = ["CRITICALITY_METRICS", "Measures", "enabled_metrics"]
 
 CRITICALITY_METRICS = [
     "hw", "thw", "ttc", "tit", "tet", "dce", "ttce", "a_long_req", "btn",
     "a_lat_req", "stn", "et", "pet", "msd", "psd", "jerk", "jerk_lat",
     "jerk_long", "acc", "a_lat", "a_long", "v", "v_lat", "v_long",
 ]
+
+
+def enabled_metrics(toggles) -> list:
+    """CRITICALITY_METRICS filtered by an evaluation.yaml enable map;
+    unknown metric names raise (a typo'd toggle must not silently leave the
+    real metric enabled)."""
+    toggles = toggles or {}
+    unknown = set(toggles) - set(CRITICALITY_METRICS)
+    if unknown:
+        raise ValueError(
+            f"unknown criticality metric(s) {sorted(unknown)}; "
+            f"valid: {CRITICALITY_METRICS}"
+        )
+    return [m for m in CRITICALITY_METRICS if toggles.get(m, True)]
 
 
 class Measures:
@@ -541,7 +555,7 @@ class Measures:
         """→ pandas DataFrame indexed by time_step."""
         import pandas as pd
 
-        metrics = metrics or CRITICALITY_METRICS
+        metrics = CRITICALITY_METRICS if metrics is None else metrics
         data = {}
         for m in metrics:
             try:

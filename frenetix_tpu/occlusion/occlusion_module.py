@@ -58,6 +58,14 @@ class PhantomThresholds(NamedTuple):
     @staticmethod
     def from_config(occ_cfg) -> "PhantomThresholds":
         t = dict(occ_cfg.metric_thresholds or {})
+        unknown = set(t) - set(PhantomThresholds._fields)
+        if unknown:
+            # a typo'd threshold key must not silently leave the gate at its
+            # defaults (cf. the strict --set override contract)
+            raise ValueError(
+                f"unknown occlusion metric threshold(s) {sorted(unknown)}; "
+                f"valid: {list(PhantomThresholds._fields)}"
+            )
         t.setdefault("harm", occ_cfg.harm_threshold)
         t.setdefault("risk", occ_cfg.risk_threshold)
         return PhantomThresholds(**{

@@ -297,7 +297,8 @@ class ReactivePlanner:
                     cost_np = np.where(selectable, np.asarray(res.cost), np.inf)
                     idx = int(np.argmin(cost_np))
                     mode = "stopping_plan" if quintic_lon else "optimal"
-                    optimal = self._materialize(res, idx, matrix, mode)
+                    optimal = self._materialize(res, idx, matrix, mode,
+                                                risks=risks)
                 else:
                     occ_ok = False
             if optimal is None and occ_ok and bool(res.found):
@@ -335,9 +336,10 @@ class ReactivePlanner:
             # minimum-risk selection (reactive_planner_cpp.py:409-413 →
             # risk_costs.calc_risk): lowest ego_risk + obst_risk over the full
             # harm × collision-probability model, batched for all candidates
-            total = np.asarray(self._risk_totals(last_res.rollout))
-            total = np.where(feas, total, np.inf)
-            return self._materialize(last_res, int(np.argmin(total)), last_matrix, "min_risk")
+            total, risks = self._risk_totals(last_res.rollout, return_risks=True)
+            total = np.where(feas, np.asarray(total), np.inf)
+            return self._materialize(last_res, int(np.argmin(total)),
+                                     last_matrix, "min_risk", risks=risks)
         return None
 
     def _risk_fn(self):
@@ -367,13 +369,18 @@ class ReactivePlanner:
             )
         return meta
 
-    def _risk_totals(self, ro):
-        """(M,) ego_risk + obst_risk via the full risk stack (risk/)."""
+    def _risk_totals(self, ro, return_risks=False):
+        """(M,) ego_risk + obst_risk via the full risk stack (risk/).
+        With return_risks, also hands back the full TrajectoryRisks so
+        callers (min-risk fallback → _materialize log_risk) don't recompute
+        the batch."""
         preds = self.preds
         if preds is None or preds.num_obstacles == 0:
-            return np.zeros(ro.x.shape[0], self.np_dtype)
+            z = np.zeros(ro.x.shape[0], self.np_dtype)
+            return (z, None) if return_risks else z
         risks = self._risk_fn()(ro, preds, self._default_meta(preds))
-        return risks.ego_risk + risks.obst_risk
+        total = risks.ego_risk + risks.obst_risk
+        return (total, risks) if return_risks else total
 
     def set_occlusion_module(self, module, phantom_mask=None):
         """Occlusion-aware safety gating (reference set_occlusion_module,
@@ -495,7 +502,8 @@ class ReactivePlanner:
         ).compute_steering(self.veh.wheelbase)
 
     # ---------------------------------------------------------- materialation
-    def _materialize(self, res, idx: int, matrix, mode: str) -> PlannedTrajectory:
+    def _materialize(self, res, idx: int, matrix, mode: str,
+                     risks=None) -> PlannedTrajectory:
         ro = res.rollout
         g = lambda arr: np.asarray(arr[idx], dtype=self.np_dtype)
         plan = PlannedTrajectory(
@@ -511,8 +519,11 @@ class ReactivePlanner:
         if (self.config.debug.log_risk and self.preds is not None
                 and self.preds.num_obstacles > 0):
             # selected trajectory's risk via the full harm x probability
-            # stack (reference debug.yaml log_risk → planner.py risk logging)
-            risks = self._risk_fn()(ro, self.preds, self._default_meta(self.preds))
+            # stack (reference debug.yaml log_risk → planner.py risk
+            # logging); reuse the caller's batch when it already computed one
+            if risks is None:
+                risks = self._risk_fn()(ro, self.preds,
+                                        self._default_meta(self.preds))
             plan.ego_risk = float(risks.ego_risk[idx])
             plan.obst_risk = float(risks.obst_risk[idx])
         return plan

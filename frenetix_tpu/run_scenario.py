@@ -32,13 +32,13 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
     do_solution_check = evaluate or ev.evaluate_agents
     sim_logger = None
     if log_dir is not None and config.debug.activate_logging:
-        from frenetix_tpu.evaluation.metrics import CRITICALITY_METRICS
+        from frenetix_tpu.evaluation.metrics import enabled_metrics
         from frenetix_tpu.utils.sim_logging import SimulationLogger
 
-        enabled = [m for m in CRITICALITY_METRICS
-                   if ev.criticality_metrics.get(m, True)]
         sim_logger = SimulationLogger(
-            log_dir, evaluation_metrics=enabled if do_metrics else None
+            log_dir,
+            evaluation_metrics=(enabled_metrics(ev.criticality_metrics)
+                                if do_metrics else None),
         )
     t0 = time.perf_counter()
     sim = Simulation(scenario, config, msg_logger, sim_logger=sim_logger,
@@ -65,7 +65,11 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
     if do_metrics or do_solution_check:
         from frenetix_tpu.evaluation import evaluate_simulation
 
-        evaluate_simulation(scenario, res, config, sim_logger,
+        # solution-check-only runs skip the metric suite entirely and must
+        # not feed a logger whose scenario_evaluation table was never created
+        evaluate_simulation(scenario, res, config,
+                            sim_logger if do_metrics else None,
+                            metrics=None if do_metrics else [],
                             msg_logger=msg_logger,
                             check_solutions=do_solution_check)
     if sim_logger:

@@ -114,9 +114,10 @@ class Simulation:
             candidates = [ob for ob in candidates if ob.obstacle_id in wanted]
         elif n_wanted >= 0:
             if sim_cfg.select_agents_randomly and n_wanted < len(candidates):
-                # seeded for reproducibility (the reference samples with the
-                # process-global RNG, simulation.py:258-265)
-                rng = np.random.default_rng(len(candidates))
+                # fresh entropy unless agent_selection_seed pins the sample
+                # (the reference samples with the process-global RNG,
+                # simulation.py:258-265)
+                rng = np.random.default_rng(sim_cfg.agent_selection_seed)
                 pick = sorted(rng.choice(len(candidates), size=n_wanted,
                                          replace=False).tolist())
                 candidates = [candidates[i] for i in pick]

@@ -103,6 +103,9 @@ class SimulationConfig:
     use_specific_agents: bool = False
     agent_ids: list = field(default_factory=list)
     select_agents_randomly: bool = False
+    # None → fresh entropy per run (real random sampling, like the
+    # reference's process RNG); set an int for a reproducible pick
+    agent_selection_seed: Optional[int] = None
     msg_log_mode: str = "INFO"           # simulation.yaml msg_log_mode
     ego_agent_id: int = 60000
 

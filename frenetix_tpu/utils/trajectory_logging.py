@@ -157,8 +157,11 @@ class TrajectoryLogger:
             else:
                 row += [0.0] * len(self.cost_names)
         if self.log_risk:
-            row += [getattr(plan, "ego_risk", None),
-                    getattr(plan, "obst_risk", None)]
+            # empty fields (not the string 'None') when a cycle carries no
+            # risk — standstill plans / zero-obstacle phases
+            row += ["" if v is None else v
+                    for v in (getattr(plan, "ego_risk", None),
+                              getattr(plan, "obst_risk", None))]
         with open(self.csv_path, "a") as f:
             f.write(";".join(str(v) for v in row) + "\n")
 

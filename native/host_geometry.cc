@@ -45,12 +45,39 @@ static bool point_in_union(double px, double py, const double* polys,
 }
 
 // points (P, 2) vs. union of polygons (concatenated rings + offsets (n+1,)).
+// Per-ring bounding boxes are precomputed once: on reach-grid rasters most
+// cells fall outside most lanelets' boxes, turning the scan from
+// O(P * total_vertices) into ~O(P * n_polys).
 void points_in_polygons(const double* points, int64_t n_points,
                         const double* polys, const int64_t* offsets,
                         int64_t n_polys, uint8_t* out) {
+    int np = static_cast<int>(n_polys);
+    std::vector<double> bbox(4 * np);
+    for (int p = 0; p < np; ++p) {
+        const double* ring = polys + 2 * offsets[p];
+        int n = static_cast<int>(offsets[p + 1] - offsets[p]);
+        double xmin = 1e300, xmax = -1e300, ymin = 1e300, ymax = -1e300;
+        for (int i = 0; i < n; ++i) {
+            double x = ring[2 * i], y = ring[2 * i + 1];
+            if (x < xmin) xmin = x;
+            if (x > xmax) xmax = x;
+            if (y < ymin) ymin = y;
+            if (y > ymax) ymax = y;
+        }
+        bbox[4 * p] = xmin; bbox[4 * p + 1] = xmax;
+        bbox[4 * p + 2] = ymin; bbox[4 * p + 3] = ymax;
+    }
     for (int64_t i = 0; i < n_points; ++i) {
-        out[i] = point_in_union(points[2 * i], points[2 * i + 1], polys,
-                                offsets, static_cast<int>(n_polys));
+        double px = points[2 * i], py = points[2 * i + 1];
+        uint8_t hit = 0;
+        for (int p = 0; p < np; ++p) {
+            if (px < bbox[4 * p] || px > bbox[4 * p + 1] ||
+                py < bbox[4 * p + 2] || py > bbox[4 * p + 3]) continue;
+            const double* ring = polys + 2 * offsets[p];
+            int n = static_cast<int>(offsets[p + 1] - offsets[p]);
+            if (point_in_ring(px, py, ring, n)) { hit = 1; break; }
+        }
+        out[i] = hit;
     }
 }
 

@@ -268,3 +268,15 @@ def test_tit_tet_future_cumulative():
         k = int(np.argmax(exposed))
         expect = np.sum((m.tau - ttc[exposed]) * dt)
         assert tit[0] == pytest.approx(expect)
+
+
+def test_enabled_metrics_validates_names():
+    from frenetix_tpu.evaluation.metrics import enabled_metrics
+
+    assert "ttc" in enabled_metrics({})
+    assert "tit" not in enabled_metrics({"tit": False})
+    try:
+        enabled_metrics({"ttcc": True})
+        assert False, "typo'd metric name must raise"
+    except ValueError as e:
+        assert "ttcc" in str(e)

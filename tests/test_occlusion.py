@@ -356,3 +356,16 @@ def test_spawn_points_behind_turn():
 
     # flag off (default): no spawn points on an empty scenario
     assert OcclusionModule(sc, route_xy=arc).find_spawn_points(_Ego(), 0) == []
+
+
+def test_threshold_typos_raise():
+    from frenetix_tpu.occlusion import PhantomThresholds
+    from frenetix_tpu.utils.config import FrenetixConfig
+
+    cfg = FrenetixConfig()
+    cfg.occlusion.metric_thresholds = {"dcee": 2.0}
+    try:
+        PhantomThresholds.from_config(cfg.occlusion)
+        assert False, "typo'd threshold key must raise"
+    except ValueError as e:
+        assert "dcee" in str(e)
