@@ -155,11 +155,25 @@ class Lanelet:
 
     @property
     def polygon(self) -> np.ndarray:
-        """Closed ring: left bound + reversed right bound."""
-        return np.concatenate([self.left_vertices, self.right_vertices[::-1]], axis=0)
+        """Closed ring: left bound + reversed right bound (cached — hot in
+        membership scans; vertices are never reassigned after construction)."""
+        ring = getattr(self, "_polygon", None)
+        if ring is None:
+            ring = np.concatenate(
+                [self.left_vertices, self.right_vertices[::-1]], axis=0)
+            object.__setattr__(self, "_polygon", ring)
+            object.__setattr__(self, "_bbox", (
+                float(ring[:, 0].min()), float(ring[:, 0].max()),
+                float(ring[:, 1].min()), float(ring[:, 1].max())))
+        return ring
 
     def contains_point(self, p) -> bool:
-        return bool(_point_in_ring(np.asarray(p, dtype=np.float64), self.polygon))
+        p = np.asarray(p, dtype=np.float64)
+        ring = self.polygon
+        x0, x1, y0, y1 = self._bbox
+        if p[0] < x0 or p[0] > x1 or p[1] < y0 or p[1] > y1:
+            return False
+        return bool(_point_in_ring(p, ring))
 
 
 @dataclass
