@@ -123,3 +123,26 @@ def test_writer_roundtrip_traffic_elements(tmp_path):
                 assert l2.stop_line.traffic_light_refs == ll.stop_line.traffic_light_refs
         for tid, tl in sc.traffic_lights.items():
             assert sc2.traffic_lights[tid].cycle == tl.cycle
+
+
+def test_round_trip_behavior_junction(tmp_path):
+    """A junction family survives the XML round trip with everything the
+    behavior planner needs (intersection elements for conflict clearance),
+    and the reloaded scenario drives the full FSM to goal success."""
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.io.commonroad_writer import write_scenario
+    from frenetix_tpu.io.scenario_factory import make_turn_right
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    sc = make_turn_right()
+    path = os.path.join(tmp_path, "turn.xml")
+    write_scenario(sc, path)
+    back = load_scenario(path)
+    assert back.intersections and len(back.intersections[0].incomings) == 2
+
+    cfg = _cfg()
+    cfg.behavior.use_behavior_planner = True
+    res = Simulation(back, cfg).run()
+    assert res.agent_status[60000] == AgentStatus.COMPLETED_SUCCESS, \
+        res.agent_messages
