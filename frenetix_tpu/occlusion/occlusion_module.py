@@ -167,6 +167,55 @@ def phantom_safety_mask(risks, phantom_mask, thresholds: PhantomThresholds,
     return safe
 
 
+def external_occlusion_costs(rollout, *, w_pm=0.0, w_um=0.0, w_ve=0.0,
+                             risks=None, phantom_mask=None, ego=None,
+                             r_vis=None, occluder_pts=None,
+                             occluder_valid=None):
+    """(M,) soft occlusion cost terms (cost.yaml external_cost_weights; the
+    reference wires these to the external Frenetix-Occlusion package — the
+    in-repo definitions, all pure jnp and batched over candidates:
+
+      occ_pm — Phantom Module: expected harm against phantom rows
+               (Σ over phantoms of harm × collision probability),
+      occ_um — Uncertainty Map: mean depth of trajectory points BEYOND the
+               visible range of their ray (distance into unobserved space,
+               from the polar visibility map `r_vis` (K,) around `ego`),
+      occ_ve — Visibility Estimator: exp-decay proximity to occluder
+               silhouette points — lateral clearance from occluders widens
+               the visible wedge, so closeness is penalized.
+    """
+    import jax.numpy as jnp
+
+    m = rollout.x.shape[0]
+    cost = jnp.zeros(m, rollout.x.dtype)
+    if w_pm and risks is not None and phantom_mask is not None:
+        pm = jnp.asarray(phantom_mask)[None, :]
+        cost = cost + w_pm * jnp.sum(
+            jnp.where(pm, risks.obst_risk_per_obst, 0.0), axis=1)
+    if (w_um or w_ve) and ego is not None:
+        ex, ey = ego[0], ego[1]
+        x, y = rollout.x[:, 1:], rollout.y[:, 1:]
+    if w_um and r_vis is not None:
+        r_vis = jnp.asarray(r_vis)
+        k = r_vis.shape[0]
+        d = jnp.hypot(x - ex, y - ey)
+        ang = jnp.arctan2(y - ey, x - ex)
+        # nearest-ray lookup, mirroring VisibleArea.r_at
+        idx = jnp.round((ang + jnp.pi) / (2.0 * jnp.pi) * k).astype(jnp.int32) % k
+        depth = jnp.maximum(d - r_vis[idx], 0.0)
+        cost = cost + w_um * jnp.mean(depth, axis=1)
+    if w_ve and occluder_pts is not None and occluder_pts.shape[0] > 0:
+        pts = jnp.asarray(occluder_pts)                       # (Q, 2)
+        dq = jnp.hypot(x[:, None, :] - pts[None, :, 0:1],
+                       y[:, None, :] - pts[None, :, 1:2])     # (M, Q, N)
+        if occluder_valid is not None:
+            big = jnp.asarray(1e9, rollout.x.dtype)
+            dq = jnp.where(jnp.asarray(occluder_valid)[None, :, None], dq, big)
+        d_near = jnp.min(dq, axis=1)                          # (M, N)
+        cost = cost + w_ve * jnp.mean(jnp.exp(-d_near / 2.0), axis=1)
+    return cost
+
+
 @dataclass
 class PhantomSpec:
     position: np.ndarray
@@ -323,6 +372,43 @@ class OcclusionModule:
                         "velocities", "lengths", "widths", "valid"):
                 pd[key][slot] = rows[key][j]
         return pd, n
+
+    # ------------------------------------------------- external-cost inputs
+    def polar_map(self, ego_state, time_step, n_rays: int = 720):
+        """(r_vis (K,), ego (2,)) — polar visibility map around the ego from
+        obstacle shadows within sensor range (input to the occ_um uncertainty
+        cost).  Road walls are deliberately excluded: off-road space is
+        handled by the boundary check, not priced as 'unobserved'."""
+        from frenetix_tpu.sim.visible_area import (
+            obstacle_obb_segments, polar_visibility,
+        )
+
+        ego = np.asarray(ego_state.position, dtype=np.float64)
+        segs = []
+        for ob in self.scenario.obstacles.values():
+            st = ob.state_at_time(time_step)
+            if st is None:
+                continue
+            if np.linalg.norm(np.asarray(st.position) - ego) > self.sensor_radius:
+                continue
+            segs.append(obstacle_obb_segments(
+                st.position, st.orientation, ob.length, ob.width))
+        segs = (np.concatenate(segs, axis=0) if segs
+                else np.zeros((0, 2, 2)))
+        _, r_vis = polar_visibility(ego, segs, self.sensor_radius, n_rays)
+        return r_vis, ego
+
+    def occluder_points(self):
+        """(Q, 2) padded silhouette points of the current phantoms + (Q,)
+        valid mask (input to the occ_ve visibility-adaptation cost); fixed
+        Q = max_phantoms so the jitted cost program does not retrace."""
+        q = self.max_phantoms
+        pts = np.zeros((q, 2))
+        valid = np.zeros(q, bool)
+        for i, sp in enumerate(self._last_phantoms[:q]):
+            pts[i] = sp.position
+            valid[i] = True
+        return pts, valid
 
     # -------------------------------------------------------------- assessment
     def trajectory_safety_assessment(self, risks, phantom_mask, rollout=None,

@@ -98,11 +98,22 @@ class BatchedAgentStepper:
         self.use_occlusion = bool(config.occlusion.use_occlusion_module)
         from frenetix_tpu.occlusion import PhantomThresholds
 
+        ew = config.external_cost_weights
+        if self.use_occlusion and (float(ew.get("occ_um", 0.0)) != 0.0
+                                   or float(ew.get("occ_ve", 0.0)) != 0.0):
+            # these soft costs need per-agent polar visibility maps, which
+            # only the host path builds — fail loudly instead of silently
+            # dropping the terms from the fused batch
+            raise ValueError(
+                "external_cost_weights occ_um/occ_ve are not supported with "
+                "batched_device_agents (host-path only); occ_pm runs in-batch"
+            )
         self._occl_kwargs = dict(
             occlusion=self.use_occlusion,
             harm_threshold=float(config.occlusion.harm_threshold),
             risk_threshold=float(config.occlusion.risk_threshold),
             thresholds=PhantomThresholds.from_config(config.occlusion),
+            occ_pm_weight=float(ew.get("occ_pm", 0.0)),
         )
 
         # the program is shape-polymorphic via jit retracing; build once

@@ -188,7 +188,8 @@ GRID_IN_AXES = ReachSetGrid(origin=0, occupancy=0, valid=0, cell=0, dt_rs=None)
 
 def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
                       n_steps, low_vel_mode, table_window, resp_weight=0.0,
-                      harm_threshold=0.1, risk_threshold=1.0, thresholds=None):
+                      harm_threshold=0.1, risk_threshold=1.0, thresholds=None,
+                      occ_pm_weight=0.0):
     """One agent's FULL cycle + on-device selection gather.
 
     With `resp_weight` ≠ 0 and a per-agent ReachSetGrid, the lanelet
@@ -227,7 +228,9 @@ def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
     if use_gate:
         # the SAME shared gate as the host path
         # (OcclusionModule.trajectory_safety_assessment)
-        from frenetix_tpu.occlusion import PhantomThresholds, phantom_safety_mask
+        from frenetix_tpu.occlusion import (
+            PhantomThresholds, external_occlusion_costs, phantom_safety_mask,
+        )
 
         thr = thresholds or PhantomThresholds(harm=harm_threshold,
                                               risk=risk_threshold)
@@ -235,6 +238,14 @@ def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
                                    rollout=res.rollout, preds=ctx.preds,
                                    veh=ctx.veh, dt=dt)
         selectable = selectable & safe
+        if occ_pm_weight:
+            # the occ_pm soft cost runs in-batch (occ_um/occ_ve need
+            # per-agent polar maps and stay host-only — BatchedAgentStepper
+            # rejects the combination)
+            cost = cost + external_occlusion_costs(
+                res.rollout, w_pm=occ_pm_weight, risks=risks,
+                phantom_mask=phantom_mask,
+            )
     if use_resp or use_gate:
         masked = jnp.where(selectable, cost, jnp.inf)
         found = jnp.any(selectable)
@@ -262,7 +273,7 @@ def _extra_axes(resp_weight, occlusion):
 
 def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
                   occlusion=False, harm_threshold=0.1, risk_threshold=1.0,
-                  thresholds=None):
+                  thresholds=None, occ_pm_weight=0.0):
     use_grid = resp_weight != 0.0
 
     def body(matrix, mask, ctx, *extras):
@@ -273,6 +284,7 @@ def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
             low_vel_mode=low_vel_mode, table_window=table_window,
             resp_weight=resp_weight, harm_threshold=harm_threshold,
             risk_threshold=risk_threshold, thresholds=thresholds,
+            occ_pm_weight=occ_pm_weight,
         )
 
     return jax.vmap(
@@ -282,7 +294,7 @@ def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
 
 def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768,
                        resp_weight=0.0, occlusion=False, harm_threshold=0.1,
-                       risk_threshold=1.0, thresholds=None):
+                       risk_threshold=1.0, thresholds=None, occ_pm_weight=0.0):
     """Single-device (vmap) full multi-agent cycle.
 
     Returns fn(matrices (A,M,13), masks (A,M), stacked_ctx, *extras) → dict of
@@ -294,7 +306,7 @@ def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768,
     """
     return jax.jit(_vmapped_body(dt, n_steps, low_vel_mode, table_window,
                                  resp_weight, occlusion, harm_threshold,
-                                 risk_threshold, thresholds))
+                                 risk_threshold, thresholds, occ_pm_weight))
 
 
 def _poses_from(out):
@@ -318,6 +330,7 @@ def sharded_full_cycle(
     harm_threshold: float = 0.1,
     risk_threshold: float = 1.0,
     thresholds=None,
+    occ_pm_weight: float = 0.0,
 ):
     """Mesh-sharded full multi-agent cycle with ICI pose exchange.
 
@@ -334,7 +347,8 @@ def sharded_full_cycle(
     `occlusion` (see `batched_full_cycle`).
     """
     vbody = _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight,
-                          occlusion, harm_threshold, risk_threshold, thresholds)
+                          occlusion, harm_threshold, risk_threshold, thresholds,
+                          occ_pm_weight)
     sh, rep = P(axis_name), P()
 
     def sharded_body(matrices, masks, ctx, *extras):

@@ -294,7 +294,11 @@ class ReactivePlanner:
                 )
                 selectable = np.asarray(res.selectable) & safe
                 if selectable.any():
-                    cost_np = np.where(selectable, np.asarray(res.cost), np.inf)
+                    cost_base = np.asarray(res.cost)
+                    extra = self._external_occlusion_costs(res, risks)
+                    if extra is not None:
+                        cost_base = cost_base + extra
+                    cost_np = np.where(selectable, cost_base, np.inf)
                     idx = int(np.argmin(cost_np))
                     mode = "stopping_plan" if quintic_lon else "optimal"
                     optimal = self._materialize(res, idx, matrix, mode,
@@ -382,11 +386,63 @@ class ReactivePlanner:
         total = risks.ego_risk + risks.obst_risk
         return (total, risks) if return_risks else total
 
-    def set_occlusion_module(self, module, phantom_mask=None):
+    def set_occlusion_module(self, module, phantom_mask=None, ego_state=None,
+                             time_step=None):
         """Occlusion-aware safety gating (reference set_occlusion_module,
-        planner.py:271-273; assessment applied at :385-389)."""
+        planner.py:271-273; assessment applied at :385-389).  `ego_state` /
+        `time_step` feed the external soft-cost terms (occ_um needs the polar
+        visibility map around the current pose)."""
         self.occlusion_module = module
         self.phantom_mask = phantom_mask
+        self._occ_ego_state = ego_state
+        self._occ_time_step = time_step
+
+    def _ext_cost_fn(self):
+        """Jitted external occlusion-cost program with the configured
+        weights folded in (eager jnp over the TPU tunnel costs seconds)."""
+        if not hasattr(self, "_ext_cost_cached"):
+            import jax
+
+            from frenetix_tpu.occlusion import external_occlusion_costs
+
+            ew = self.config.external_cost_weights
+            w_pm = float(ew.get("occ_pm", 0.0))
+            w_um = float(ew.get("occ_um", 0.0))
+            w_ve = float(ew.get("occ_ve", 0.0))
+
+            def f(ro, risks, pm, ego, r_vis, pts, pts_valid):
+                return external_occlusion_costs(
+                    ro, w_pm=w_pm, w_um=w_um, w_ve=w_ve, risks=risks,
+                    phantom_mask=pm, ego=ego, r_vis=r_vis,
+                    occluder_pts=pts, occluder_valid=pts_valid,
+                )
+
+            self._ext_cost_cached = jax.jit(f)
+        return self._ext_cost_cached
+
+    def _external_occlusion_costs(self, res, risks):
+        """(M,) soft occlusion costs for the current cycle, or None when all
+        external weights are zero (cost.yaml external_cost_weights)."""
+        ew = self.config.external_cost_weights
+        if not any(float(ew.get(k, 0.0)) != 0.0
+                   for k in ("occ_pm", "occ_um", "occ_ve")):
+            return None
+        mod = self.occlusion_module
+        ego_state = getattr(self, "_occ_ego_state", None)
+        if ego_state is not None and float(ew.get("occ_um", 0.0)) != 0.0:
+            r_vis, ego = mod.polar_map(ego_state, self._occ_time_step)
+        else:
+            r_vis = np.full(720, float(mod.sensor_radius))
+            ego = (np.asarray(ego_state.position, dtype=np.float64)
+                   if ego_state is not None else np.zeros(2))
+        pts, pts_valid = mod.occluder_points()
+        return np.asarray(self._ext_cost_fn()(
+            res.rollout, risks, self.phantom_mask,
+            self.jnp.asarray(ego, self.np_dtype),
+            self.jnp.asarray(r_vis, self.np_dtype),
+            self.jnp.asarray(pts, self.np_dtype),
+            self.jnp.asarray(pts_valid),
+        ))
 
     def set_reach_grid(self, grid):
         """Lanelet-following reach sets for the responsibility cost

@@ -604,8 +604,11 @@ class Simulation:
             )
             phantom_mask = pd["valid"].any(axis=1) & ~before
             # host fallbacks (low-vel / stopping / batched misses) apply
-            # the same gate through the planner
-            a.planner.set_occlusion_module(a.occlusion, phantom_mask)
+            # the same gate through the planner; ego pose feeds the
+            # external soft-cost terms (occ_um polar map)
+            a.planner.set_occlusion_module(a.occlusion, phantom_mask,
+                                           ego_state=a.state,
+                                           time_step=a.state.time_step)
         return pd, phantom_mask
 
     def _check_road_departure(self):

@@ -242,6 +242,11 @@ class FrenetixConfig:
     evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
     vehicle: VehicleParams = field(default_factory=VehicleParams)
     cost_weights: dict = field(default_factory=lambda: dict(DEFAULT_COST_WEIGHTS))
+    # cost.yaml external_cost_weights — occlusion soft-cost terms (the
+    # reference wires these to the external Frenetix-Occlusion package; the
+    # in-repo definitions live in occlusion.external_occlusion_costs)
+    external_cost_weights: dict = field(default_factory=lambda: {
+        "occ_pm": 0.0, "occ_um": 0.0, "occ_ve": 0.0})
     dtype: str = "float32"      # device dtype ("float32" on TPU, "float64" CPU tests)
 
 

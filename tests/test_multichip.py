@@ -494,3 +494,59 @@ def test_inbatch_occlusion_gate_geometric_thresholds(stacked_problem):
     out_v = vfn(matrices, masks, ctx, jnp.asarray(pm))
     assert np.asarray(out_v["best"]).tolist() == exp_best
     assert np.asarray(out_v["found"]).tolist() == exp_found
+
+
+def test_inbatch_occ_pm_soft_cost_matches_host(stacked_problem):
+    """The occ_pm soft cost (cost.yaml external_cost_weights) applied inside
+    the fused batch selects the same candidates as the host-side math."""
+    import jax.numpy as jnp
+
+    from frenetix_tpu.occlusion import external_occlusion_costs
+    from frenetix_tpu.parallel.mesh import (
+        _default_obstacle_meta, batched_full_cycle,
+    )
+    from frenetix_tpu.planner.core import evaluate_cycle
+    from frenetix_tpu.risk.costs import trajectory_risks
+
+    matrices, masks, ctx = stacked_problem
+    a = matrices.shape[0]
+    o = ctx.preds.means.shape[1]
+    dt, n_steps = 0.1, 30
+    w_pm = 1e6   # phantom risks are tiny here; the weight must move argmin
+
+    means = np.asarray(ctx.preds.means).copy()
+    for i in range(a):
+        means[i, 0, :, 0] = 40.0 + 12.0 * i
+        means[i, 0, :, 1] = 3.0
+    preds = ctx.preds._replace(means=jnp.asarray(means))
+    ctx = ctx._replace(preds=preds, obstacle_xy=jnp.asarray(means[:, :, 0]))
+    pm = np.zeros((a, o), bool)
+    pm[:, 0] = True
+
+    exp_best = []
+    shifted = False
+    for i in range(a):
+        ctx_i = _slice_ctx(ctx, i)
+        res = evaluate_cycle(
+            matrices[i], masks[i], ctx_i, dt=dt, n_steps=n_steps,
+            low_vel_mode=False, check_boundary=True,
+        )
+        risks = trajectory_risks(
+            res.rollout, ctx_i.preds, _default_obstacle_meta(ctx_i.preds),
+            ctx.veh.mass,
+        )
+        extra = np.asarray(external_occlusion_costs(
+            res.rollout, w_pm=w_pm, risks=risks, phantom_mask=pm[i]))
+        sel = np.asarray(res.selectable)
+        cost = np.where(sel, np.asarray(res.cost) + extra, np.inf)
+        best = int(np.argmin(cost))
+        if best != int(res.best_idx):
+            shifted = True
+        exp_best.append(best)
+    assert shifted  # the soft cost must actually move some selection
+
+    vfn = batched_full_cycle(dt=dt, n_steps=n_steps, occlusion=True,
+                             harm_threshold=1e9, risk_threshold=1e9,
+                             occ_pm_weight=w_pm)
+    out_v = vfn(matrices, masks, ctx, jnp.asarray(pm))
+    assert np.asarray(out_v["best"]).tolist() == exp_best

@@ -369,3 +369,80 @@ def test_threshold_typos_raise():
         assert False, "typo'd threshold key must raise"
     except ValueError as e:
         assert "dcee" in str(e)
+
+
+# ------------------------------------------------ external soft-cost terms
+
+
+def test_external_occlusion_costs_geometry():
+    """cost.yaml external_cost_weights: hand geometry for each term."""
+    import jax.numpy as jnp
+
+    from frenetix_tpu.occlusion import external_occlusion_costs
+
+    n = 10
+    t = np.arange(n + 1)
+
+    class RO:
+        # candidate 0 stays within 8 m of the ego; candidate 1 runs to 20 m
+        x = jnp.asarray(np.stack([0.8 * t, 2.0 * t]))
+        y = jnp.zeros((2, n + 1))
+
+    ego = jnp.zeros(2)
+    r_vis = jnp.full(720, 10.0)          # visible out to 10 m on every ray
+
+    # occ_um: only candidate 1 enters unobserved space (beyond 10 m)
+    c = np.asarray(external_occlusion_costs(
+        RO(), w_um=1.0, ego=ego, r_vis=r_vis))
+    assert c[0] == 0.0 and c[1] > 0.0
+    # mean depth of candidate 1: max(2t - 10, 0) averaged over t=1..10
+    exp = np.maximum(2.0 * np.arange(1, 11) - 10.0, 0.0).mean()
+    assert abs(c[1] - exp) < 1e-5
+
+    # occ_ve: candidate 0 passes the occluder point (4, 0) closely
+    pts = np.array([[4.0, 0.0], [0.0, 0.0]])
+    valid = np.array([True, False])      # padded row must not contribute
+    c = np.asarray(external_occlusion_costs(
+        RO(), w_ve=1.0, ego=ego, occluder_pts=jnp.asarray(pts),
+        occluder_valid=jnp.asarray(valid)))
+    assert c[0] > c[1] > 0.0
+
+    # occ_pm: phantom risk sum
+    class Risks:
+        obst_risk_per_obst = jnp.asarray([[0.5, 0.3], [0.5, 0.1]])
+
+    c = np.asarray(external_occlusion_costs(
+        RO(), w_pm=2.0, risks=Risks(), phantom_mask=np.array([False, True])))
+    assert np.allclose(c, [0.6, 0.2])
+
+
+def test_external_costs_e2e_and_batched_guard():
+    """occ_um wired end-to-end through the host planner (blind-spot scenario
+    still completes); occ_um + batched_device_agents fails loudly."""
+    from frenetix_tpu.io.commonroad import Obstacle, State
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.utils.config import load_config
+
+    sc = make_highway(ego_v=13.0, lead_v=13.0, lead_gap=120.0, n_steps=150)
+    sc.obstacles[200] = Obstacle(
+        obstacle_id=200, obstacle_type="truck", role="static", length=9.0,
+        width=2.5, initial_state=State(0, np.array([60.0, 2.6]), 0.0, 0.0),
+    )
+    cfg = load_config()
+    cfg.dtype = "float64"
+    cfg.occlusion.use_occlusion_module = True
+    cfg.external_cost_weights["occ_um"] = 2.0
+    cfg.external_cost_weights["occ_ve"] = 0.5
+    res = Simulation(sc, cfg).run()
+    assert list(res.agent_status.values())[0].name == "COMPLETED_SUCCESS"
+
+    cfg.simulation.batched_device_agents = True
+    from frenetix_tpu.parallel.batched_sim import BatchedAgentStepper
+
+    sim = Simulation(sc, cfg)
+    try:
+        BatchedAgentStepper(cfg, sim.agents)
+        assert False, "occ_um + batched must raise"
+    except ValueError as e:
+        assert "occ_um" in str(e)
