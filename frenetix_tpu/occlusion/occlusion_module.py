@@ -192,7 +192,11 @@ def external_occlusion_costs(rollout, *, w_pm=0.0, w_um=0.0, w_ve=0.0,
         pm = jnp.asarray(phantom_mask)[None, :]
         cost = cost + w_pm * jnp.sum(
             jnp.where(pm, risks.obst_risk_per_obst, 0.0), axis=1)
-    if (w_um or w_ve) and ego is not None:
+    need_geometry = (w_um and r_vis is not None) or (
+        w_ve and occluder_pts is not None and occluder_pts.shape[0] > 0)
+    if need_geometry:
+        if ego is None:
+            raise ValueError("occ_um/occ_ve require the ego position")
         ex, ey = ego[0], ego[1]
         x, y = rollout.x[:, 1:], rollout.y[:, 1:]
     if w_um and r_vis is not None:
@@ -378,24 +382,47 @@ class OcclusionModule:
         """(r_vis (K,), ego (2,)) — polar visibility map around the ego from
         obstacle shadows within sensor range (input to the occ_um uncertainty
         cost).  Road walls are deliberately excluded: off-road space is
-        handled by the boundary check, not priced as 'unobserved'."""
+        handled by the boundary check, not priced as 'unobserved'.
+
+        Agent-converted obstacles are skipped via `occluder_exclude` (their
+        scenario trajectories go stale when they become agents) and their
+        LIVE poses occlude via `extra_occluders` — both set per step by the
+        owning simulation, mirroring the sensor path.  Cached per time_step
+        (densification levels within one plan call reuse it)."""
+        key = (int(time_step), n_rays)
+        if getattr(self, "_polar_cache_key", None) == key:
+            return self._polar_cache
         from frenetix_tpu.sim.visible_area import (
             obstacle_obb_segments, polar_visibility,
         )
 
+        exclude = getattr(self, "occluder_exclude", frozenset())
+        extras = getattr(self, "extra_occluders", ())
         ego = np.asarray(ego_state.position, dtype=np.float64)
         segs = []
         for ob in self.scenario.obstacles.values():
+            if ob.obstacle_id in exclude:
+                continue
             st = ob.state_at_time(time_step)
             if st is None:
                 continue
-            if np.linalg.norm(np.asarray(st.position) - ego) > self.sensor_radius:
+            # extent margin: a body protruding into range occludes even when
+            # its center is just outside (cf. compute_visible_area)
+            if (np.linalg.norm(np.asarray(st.position) - ego)
+                    > self.sensor_radius + max(ob.length, ob.width)):
                 continue
             segs.append(obstacle_obb_segments(
                 st.position, st.orientation, ob.length, ob.width))
+        for pos, theta, length, width in extras:
+            if (np.linalg.norm(np.asarray(pos) - ego)
+                    > self.sensor_radius + max(length, width)):
+                continue
+            segs.append(obstacle_obb_segments(pos, theta, length, width))
         segs = (np.concatenate(segs, axis=0) if segs
                 else np.zeros((0, 2, 2)))
         _, r_vis = polar_visibility(ego, segs, self.sensor_radius, n_rays)
+        self._polar_cache_key = key
+        self._polar_cache = (r_vis, ego)
         return r_vis, ego
 
     def occluder_points(self):

@@ -301,8 +301,12 @@ class ReactivePlanner:
                     cost_np = np.where(selectable, cost_base, np.inf)
                     idx = int(np.argmin(cost_np))
                     mode = "stopping_plan" if quintic_lon else "optimal"
-                    optimal = self._materialize(res, idx, matrix, mode,
-                                                risks=risks)
+                    # record the SELECTION cost (incl. external terms) so the
+                    # host and in-batch paths log comparable numbers
+                    optimal = self._materialize(
+                        res, idx, matrix, mode, risks=risks,
+                        cost_override=cost_np[idx] if extra is not None else None,
+                    )
                 else:
                     occ_ok = False
             if optimal is None and occ_ok and bool(res.found):
@@ -559,7 +563,7 @@ class ReactivePlanner:
 
     # ---------------------------------------------------------- materialation
     def _materialize(self, res, idx: int, matrix, mode: str,
-                     risks=None) -> PlannedTrajectory:
+                     risks=None, cost_override=None) -> PlannedTrajectory:
         ro = res.rollout
         g = lambda arr: np.asarray(arr[idx], dtype=self.np_dtype)
         plan = PlannedTrajectory(
@@ -567,7 +571,8 @@ class ReactivePlanner:
             kappa=g(ro.kappa_gl),
             s=g(ro.s), s_dot=g(ro.s_vel), s_ddot=g(ro.s_acc),
             d=g(ro.d), d_dot=g(ro.d_vel), d_ddot=g(ro.d_acc),
-            cost=float(res.cost[idx]),
+            cost=float(res.cost[idx]) if cost_override is None
+            else float(cost_override),
             sampling_parameters=np.asarray(matrix[idx]),
             mode=mode,
             cost_terms=np.asarray(res.cost_terms[idx]),

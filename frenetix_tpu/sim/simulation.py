@@ -77,6 +77,17 @@ class Simulation:
         self.sim_logger = sim_logger
         self.dt = self.config.planning.dt
 
+        ew = self.config.external_cost_weights
+        if (not self.config.occlusion.use_occlusion_module
+                and any(float(ew.get(k, 0.0)) != 0.0
+                        for k in ("occ_pm", "occ_um", "occ_ve"))):
+            # the external terms only evaluate inside the occlusion-module
+            # branch — a nonzero weight without the module must not be a
+            # silent no-op
+            raise ValueError(
+                "external_cost_weights require occlusion.use_occlusion_module"
+            )
+
         horizon = scenario.max_time_step
         if horizon > 0:
             self.max_steps = int(horizon * self.config.simulation.max_steps_factor)
@@ -598,6 +609,16 @@ class Simulation:
         pd = self._augment_with_agents(pd, a)
         phantom_mask = None
         if a.occlusion is not None:
+            # mirror the sensor path: agent obstacles' recorded trajectories
+            # are stale — exclude them as occluders and use live poses
+            veh = self.config.vehicle
+            a.occlusion.occluder_exclude = {p.id for p in self.agents}
+            a.occlusion.extra_occluders = [
+                (p.state.position, p.state.orientation, veh.length, veh.width)
+                for p in self.agents
+                if p.id != a.id
+                and p.status in (AgentStatus.IDLE, AgentStatus.RUNNING)
+            ]
             before = pd["valid"].any(axis=1).copy()
             pd, _ = a.occlusion.augment_predictions(
                 pd, a.state, a.state.time_step, self.dt

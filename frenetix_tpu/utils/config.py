@@ -250,6 +250,24 @@ class FrenetixConfig:
     dtype: str = "float32"      # device dtype ("float32" on TPU, "float64" CPU tests)
 
 
+def _dict_key_schema(path: str):
+    """Known key sets for fixed-schema dict config fields — a typo'd key in
+    them must not be a silent no-op (all reads use .get with defaults)."""
+    if path == "cost_weights":
+        return set(DEFAULT_COST_WEIGHTS)
+    if path == "external_cost_weights":
+        return {"occ_pm", "occ_um", "occ_ve"}
+    if path == "occlusion.metric_thresholds":
+        from frenetix_tpu.occlusion import PhantomThresholds
+
+        return set(PhantomThresholds._fields)
+    if path == "evaluation.criticality_metrics":
+        from frenetix_tpu.evaluation.metrics import CRITICALITY_METRICS
+
+        return set(CRITICALITY_METRICS)
+    return None
+
+
 def _apply_overrides(obj, overrides: dict, _path: str = "", _unknown=None):
     """Merge an override dict into the config tree; unknown keys are
     collected into `_unknown` (a misspelled key must not be a silent no-op —
@@ -263,6 +281,10 @@ def _apply_overrides(obj, overrides: dict, _path: str = "", _unknown=None):
         if dataclasses.is_dataclass(cur) and isinstance(v, dict):
             _apply_overrides(cur, v, _path=f"{_path}{k}.", _unknown=_unknown)
         elif isinstance(cur, dict) and isinstance(v, dict):
+            allowed = _dict_key_schema(f"{_path}{k}")
+            if allowed is not None and _unknown is not None:
+                _unknown.extend(f"{_path}{k}.{kk}" for kk in v
+                                if kk not in allowed)
             cur.update(v)
         elif isinstance(cur, VehicleParams) and isinstance(v, dict):
             bad = [kk for kk in v if kk not in cur._fields]
@@ -316,8 +338,12 @@ def load_config(config_dir: Optional[str] = None, overrides: Optional[dict] = No
             with open(os.path.join(config_dir, fname)) as f:
                 data = yaml.safe_load(f) or {}
             stem = os.path.splitext(fname)[0]
-            if stem == "cost" and "cost_weights" in data:
-                merged.setdefault("cost_weights", {}).update(data["cost_weights"])
+            if stem == "cost":
+                # cost.yaml's two top-level maps are root-level config fields
+                # (the reference's layout: cost_weights + external_cost_weights)
+                for key in ("cost_weights", "external_cost_weights"):
+                    if key in data:
+                        merged.setdefault(key, {}).update(data[key])
             else:
                 merged.setdefault(stem, {}).update(data)
     _apply_overrides(cfg, merged)

@@ -446,3 +446,86 @@ def test_external_costs_e2e_and_batched_guard():
         assert False, "occ_um + batched must raise"
     except ValueError as e:
         assert "occ_um" in str(e)
+
+
+def test_external_cost_config_guards(tmp_path):
+    """Fix pack: cost.yaml external_cost_weights load; typo'd dict keys raise
+    in strict mode; nonzero weights without the module raise; occ_um without
+    ego raises."""
+    import jax.numpy as jnp
+
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.occlusion import external_occlusion_costs
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.utils.config import load_config, parse_cli_overrides
+
+    # cost.yaml round trip incl. external_cost_weights
+    (tmp_path / "cost.yaml").write_text(
+        "cost_weights:\n  prediction: 0.7\n"
+        "external_cost_weights:\n  occ_pm: 1.5\n")
+    cfg = load_config(str(tmp_path))
+    assert cfg.cost_weights["prediction"] == 0.7
+    assert cfg.external_cost_weights["occ_pm"] == 1.5
+
+    # strict override typo in a fixed-schema dict raises
+    for bad in ("external_cost_weights.occ_pmm=1.0",
+                "cost_weights.predction=1.0",
+                "evaluation.criticality_metrics.ttcc=false"):
+        try:
+            load_config(overrides=parse_cli_overrides([bad]),
+                        strict_overrides=True)
+            assert False, bad
+        except ValueError:
+            pass
+
+    # nonzero weight without the occlusion module fails loudly
+    cfg2 = load_config()
+    cfg2.external_cost_weights["occ_um"] = 1.0
+    try:
+        Simulation(make_highway(), cfg2)
+        assert False, "external weights without the module must raise"
+    except ValueError as e:
+        assert "use_occlusion_module" in str(e)
+
+    # occ_um without an ego position is an error, not a NameError
+    class RO:
+        x = jnp.zeros((2, 5))
+        y = jnp.zeros((2, 5))
+
+    try:
+        external_occlusion_costs(RO(), w_um=1.0, r_vis=jnp.full(720, 10.0))
+        assert False
+    except ValueError as e:
+        assert "ego" in str(e)
+
+
+def test_polar_map_excludes_agents_and_caches():
+    """polar_map skips agent-converted obstacles (stale trajectories), takes
+    live poses as extra occluders, and caches per time_step."""
+    import numpy as np
+
+    from frenetix_tpu.io.commonroad import Obstacle, Scenario, State
+    from frenetix_tpu.occlusion import OcclusionModule
+
+    car = Obstacle(
+        obstacle_id=7, obstacle_type="car", role="dynamic", length=4.5,
+        width=2.0, initial_state=State(0, np.array([15.0, 0.0]), 0.0, 5.0))
+    sc = Scenario("occ", 0.1, {}, {7: car}, {})
+
+    class Ego:
+        position = np.array([0.0, 0.0])
+
+    mod = OcclusionModule(sc, sensor_radius=50.0)
+    r_blocked, _ = mod.polar_map(Ego(), 0)
+    k0 = len(r_blocked) // 2  # phi = 0 ray (straight +x)
+    assert r_blocked[k0] < 14.0          # the car's OBB clips the ray
+
+    mod2 = OcclusionModule(sc, sensor_radius=50.0)
+    mod2.occluder_exclude = {7}          # 7 became an agent → stale pose out
+    r_free, _ = mod2.polar_map(Ego(), 0)
+    assert r_free[k0] == 50.0
+    mod2.extra_occluders = [(np.array([15.0, 0.0]), 0.0, 4.5, 2.0)]
+    r_live, _ = mod2.polar_map(Ego(), 0)   # cached → extras ignored this step
+    assert r_live[k0] == 50.0
+    r_live, _ = mod2.polar_map(Ego(), 1)   # new step → live pose occludes
+    assert r_live[k0] < 14.0
