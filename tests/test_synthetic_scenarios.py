@@ -146,3 +146,36 @@ def test_round_trip_behavior_junction(tmp_path):
     res = Simulation(back, cfg).run()
     assert res.agent_status[60000] == AgentStatus.COMPLETED_SUCCESS, \
         res.agent_messages
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_fuzzed_scenarios_never_crash(seed):
+    """Robustness fuzz: randomized scenario parameters across the families
+    must never raise — agents may time out or yield forever, but the stack
+    (route → behavior → planner → sim) must degrade gracefully (the
+    containment contract, SURVEY §5.3)."""
+    from frenetix_tpu.io import scenario_factory as fac
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    rng = np.random.default_rng(seed)
+    makers = [
+        lambda: fac.make_highway(ego_v=float(rng.uniform(5, 20)),
+                                 lead_v=float(rng.uniform(3, 15)),
+                                 lead_gap=float(rng.uniform(20, 120)),
+                                 n_steps=80),
+        lambda: fac.make_curve(radius=float(rng.uniform(40, 150)),
+                               ego_v=float(rng.uniform(5, 14)), n_steps=120),
+        lambda: fac.make_overtake(ego_v=float(rng.uniform(8, 16)),
+                                  lead_v=float(rng.uniform(2, 7)),
+                                  n_steps=120),
+        lambda: fac.make_intersection_crossing(
+            cross_v=float(rng.uniform(4, 12)),
+            cross_delay=float(rng.uniform(-20, 50)), n_steps=120),
+    ]
+    maker = makers[seed % len(makers)]
+    cfg = _cfg()
+    cfg.behavior.use_behavior_planner = bool(seed % 2)
+    res = Simulation(maker(), cfg).run()
+    status = res.agent_status[60000]
+    assert status != AgentStatus.ERROR, res.agent_messages
