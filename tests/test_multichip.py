@@ -223,7 +223,7 @@ def test_agent_pose_predictions_device_rebuild(stacked_problem):
 
 
 def _run_sim(batched: bool, responsibility: float = 0.0,
-             occlusion: bool = False):
+             occlusion: bool = False, maker=None):
     from frenetix_tpu.io.scenario_factory import make_highway
     from frenetix_tpu.sim.simulation import Simulation
     from frenetix_tpu.utils.config import FrenetixConfig
@@ -233,7 +233,7 @@ def _run_sim(batched: bool, responsibility: float = 0.0,
     cfg.simulation.batched_device_agents = batched
     cfg.cost_weights["responsibility"] = responsibility
     cfg.occlusion.use_occlusion_module = occlusion
-    sim = Simulation(make_highway(n_steps=80), cfg)
+    sim = Simulation(maker() if maker else make_highway(n_steps=80), cfg)
     res = sim.run()
     states = {
         a.id: np.array([[*s.position, s.velocity] for s in a.record.states])
@@ -550,3 +550,27 @@ def test_inbatch_occ_pm_soft_cost_matches_host(stacked_problem):
                              occ_pm_weight=w_pm)
     out_v = vfn(matrices, masks, ctx, jnp.asarray(pm))
     assert np.asarray(out_v["best"]).tolist() == exp_best
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_batched_parity_fuzzed_scenarios(seed):
+    """Randomized multi-agent scenarios: the fused device batch and the
+    sequential host loop must stay bit-identical on statuses and executed
+    trajectories — not just on the hand-built highway."""
+    from frenetix_tpu.io import scenario_factory as fac
+
+    rng = np.random.default_rng(seed)
+    params = dict(ego_v=float(rng.uniform(8, 16)),
+                  lead_v=float(rng.uniform(3, 8)),
+                  n_steps=70)
+
+    def maker():
+        return fac.make_overtake(**params)
+
+    res_seq, st_seq = _run_sim(batched=False, maker=maker)
+    res_bat, st_bat = _run_sim(batched=True, maker=maker)
+    assert {k: v.name for k, v in res_seq.agent_status.items()} == \
+           {k: v.name for k, v in res_bat.agent_status.items()}
+    assert res_seq.steps == res_bat.steps
+    for aid in st_seq:
+        np.testing.assert_allclose(st_seq[aid], st_bat[aid], atol=1e-9)
