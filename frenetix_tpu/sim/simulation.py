@@ -559,8 +559,12 @@ class Simulation:
             # agent_pose_predictions — the lockstep loop the driver dryrun
             # exercises); the host loop itself reads agent states directly
             self._last_poses_all = poses_all
+            # ONE device→host fetch of the whole selection dict — per-agent
+            # per-field `np.asarray(out[k][i])` slices each pay a separate
+            # device round trip (~40 s of a 48 s six-agent CPU run)
+            out = jax.device_get(out)
             batch_time = _time.perf_counter() - t0
-            found = np.asarray(out["found"])
+            found = out["found"]
             still_pending = []
             for a in pending:
                 i = a_index[a.id]
