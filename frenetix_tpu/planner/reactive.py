@@ -309,24 +309,34 @@ class ReactivePlanner:
                     )
                 else:
                     occ_ok = False
-            if optimal is None and occ_ok and bool(res.found):
-                mode = "stopping_plan" if quintic_lon else "optimal"
-                optimal = self._materialize(res, int(res.best_idx), matrix, mode)
-            elif use_stopping:
+            if optimal is None and occ_ok:
+                # found + best_idx in ONE fetch (two scalar round trips
+                # otherwise)
+                fb = np.asarray(self._found_best_fn()(res.found, res.best_idx))
+                if bool(fb[0]):
+                    mode = "stopping_plan" if quintic_lon else "optimal"
+                    optimal = self._materialize(res, int(fb[1]), matrix, mode)
+            if optimal is None and use_stopping:
                 # stopping sampling found nothing → fall back to regular
                 # sampling at the same level (reactive_planner_cpp.py:336-341)
                 use_stopping = False
                 continue
             level += 1
 
-        self.infeasible_histogram = np.asarray(last_res.histogram)
+        # one fused device fetch for histogram + stat counters (each separate
+        # np.asarray is a full round trip over the remote tunnel)
+        summary = np.asarray(self._summary_fn()(
+            last_res.rollout.feasible, last_res.collides,
+            last_res.boundary_step, last_res.histogram, last_mask,
+        ))
+        self.infeasible_histogram = summary[:-3]
         if self.config.debug.save_all_traj:
             self.last_cycle = (last_res, last_matrix, last_mask)
         self.stats = {
-            "feasible": int(np.asarray(last_res.rollout.feasible & last_mask).sum()),
+            "feasible": int(summary[-3]),
             "total": int(last_mask.sum()),
-            "collisions": int(np.asarray(last_res.collides & last_mask).sum()),
-            "off_road": int(np.asarray((last_res.boundary_step >= 0) & last_mask).sum()),
+            "collisions": int(summary[-2]),
+            "off_road": int(summary[-1]),
         }
 
         if optimal is not None:
@@ -562,20 +572,90 @@ class ReactivePlanner:
         ).compute_steering(self.veh.wheelbase)
 
     # ---------------------------------------------------------- materialation
+    def _found_best_fn(self):
+        """Jitted (found, best_idx) packer — one scalar fetch, not two."""
+        if not hasattr(self, "_found_best_cached"):
+            import jax
+
+            jnp = self.jnp
+            self._found_best_cached = jax.jit(
+                lambda found, best: jnp.stack(
+                    [found.astype(jnp.int32), best.astype(jnp.int32)])
+            )
+        return self._found_best_cached
+
+    def _summary_fn(self):
+        """Jitted [histogram..., feasible, collisions, off_road] packer —
+        one device fetch instead of four."""
+        if not hasattr(self, "_summary_cached"):
+            import jax
+
+            jnp = self.jnp
+
+            def f(feasible, collides, boundary_step, histogram, mask):
+                return jnp.concatenate([
+                    histogram.astype(jnp.int32),
+                    jnp.stack([
+                        jnp.sum(feasible & mask),
+                        jnp.sum(collides & mask),
+                        jnp.sum((boundary_step >= 0) & mask),
+                    ]).astype(jnp.int32),
+                ])
+
+            self._summary_cached = jax.jit(f)
+        return self._summary_cached
+
+    def _select_rows_fn(self):
+        """Jitted single-fetch materialization: the selected candidate's 12
+        state rows + a 13th row carrying [cost, cost_terms...] — every
+        per-field device slice costs a separate round trip over the remote
+        tunnel (~14 per replan before this)."""
+        if not hasattr(self, "_select_rows_cached"):
+            import jax
+
+            jnp = self.jnp
+
+            def f(ro, cost, terms, idx):
+                k = terms.shape[1]
+                n1 = ro.x.shape[1]
+                length = max(n1, 1 + k)  # short horizons: pad, don't clip
+
+                def pad(v):
+                    return jnp.zeros(length, ro.x.dtype).at[:n1].set(v)
+
+                extra = jnp.zeros(length, ro.x.dtype)
+                extra = extra.at[0].set(cost[idx]).at[1:1 + k].set(terms[idx])
+                return jnp.stack([
+                    pad(ro.x[idx]), pad(ro.y[idx]), pad(ro.theta_gl[idx]),
+                    pad(ro.v[idx]), pad(ro.a[idx]), pad(ro.kappa_gl[idx]),
+                    pad(ro.s[idx]), pad(ro.s_vel[idx]), pad(ro.s_acc[idx]),
+                    pad(ro.d[idx]), pad(ro.d_vel[idx]), pad(ro.d_acc[idx]),
+                    extra,
+                ])
+
+            self._select_rows_cached = jax.jit(f)
+        return self._select_rows_cached
+
     def _materialize(self, res, idx: int, matrix, mode: str,
                      risks=None, cost_override=None) -> PlannedTrajectory:
-        ro = res.rollout
-        g = lambda arr: np.asarray(arr[idx], dtype=self.np_dtype)
+        k = res.cost_terms.shape[1]
+        n1 = res.rollout.x.shape[1]
+        rows = np.asarray(
+            self._select_rows_fn()(res.rollout, res.cost, res.cost_terms, idx),
+            dtype=self.np_dtype,
+        )
+        (x, y, theta, v, a_, kappa, s, s_dot, s_ddot, d, d_dot, d_ddot) = (
+            r[:n1] for r in rows[:12])
+        extra = rows[12]
         plan = PlannedTrajectory(
-            x=g(ro.x), y=g(ro.y), theta=g(ro.theta_gl), v=g(ro.v), a=g(ro.a),
-            kappa=g(ro.kappa_gl),
-            s=g(ro.s), s_dot=g(ro.s_vel), s_ddot=g(ro.s_acc),
-            d=g(ro.d), d_dot=g(ro.d_vel), d_ddot=g(ro.d_acc),
-            cost=float(res.cost[idx]) if cost_override is None
+            x=x, y=y, theta=theta, v=v, a=a_, kappa=kappa,
+            s=s, s_dot=s_dot, s_ddot=s_ddot,
+            d=d, d_dot=d_dot, d_ddot=d_ddot,
+            cost=float(extra[0]) if cost_override is None
             else float(cost_override),
             sampling_parameters=np.asarray(matrix[idx]),
             mode=mode,
-            cost_terms=np.asarray(res.cost_terms[idx]),
+            cost_terms=extra[1:1 + k],
         ).compute_steering(self.veh.wheelbase)
         if (self.config.debug.log_risk and self.preds is not None
                 and self.preds.num_obstacles > 0):
@@ -583,7 +663,7 @@ class ReactivePlanner:
             # stack (reference debug.yaml log_risk → planner.py risk
             # logging); reuse the caller's batch when it already computed one
             if risks is None:
-                risks = self._risk_fn()(ro, self.preds,
+                risks = self._risk_fn()(res.rollout, self.preds,
                                         self._default_meta(self.preds))
             plan.ego_risk = float(risks.ego_risk[idx])
             plan.obst_risk = float(risks.obst_risk[idx])
