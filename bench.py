@@ -148,6 +148,26 @@ def main():
 
     from frenetix_tpu.planner.core import evaluate_cycle
 
+    # fail fast with a diagnosable error if the remote-TPU tunnel is hung
+    # (observed 2026-08-18: a trivial jit blocked indefinitely).  The probe
+    # runs in a SUBPROCESS: a hung XLA call blocks in native code where
+    # Python signal handlers cannot fire, so an in-process alarm cannot
+    # interrupt it — but the parent can kill a child.
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as j;"
+             "jax.block_until_ready(jax.jit(lambda v: v*2)(j.arange(8.0)))"],
+            timeout=180, check=True, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print("bench: device unresponsive (tunnel hang) — trivial jit did "
+              "not complete within 180 s", file=sys.stderr)
+        raise SystemExit(1)
+
     def measure(density, bucket, reps=30, outer=7, compiles=2):
         """One workload size → timing + accounting dict."""
         matrix, mask, ctx, dt, n_steps, n_valid = build_workload(
