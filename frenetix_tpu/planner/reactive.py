@@ -19,6 +19,7 @@ stays small across cycles and levels.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -573,68 +574,13 @@ class ReactivePlanner:
 
     # ---------------------------------------------------------- materialation
     def _found_best_fn(self):
-        """Jitted (found, best_idx) packer — one scalar fetch, not two."""
-        if not hasattr(self, "_found_best_cached"):
-            import jax
-
-            jnp = self.jnp
-            self._found_best_cached = jax.jit(
-                lambda found, best: jnp.stack(
-                    [found.astype(jnp.int32), best.astype(jnp.int32)])
-            )
-        return self._found_best_cached
+        return _jitted_found_best()
 
     def _summary_fn(self):
-        """Jitted [histogram..., feasible, collisions, off_road] packer —
-        one device fetch instead of four."""
-        if not hasattr(self, "_summary_cached"):
-            import jax
-
-            jnp = self.jnp
-
-            def f(feasible, collides, boundary_step, histogram, mask):
-                return jnp.concatenate([
-                    histogram.astype(jnp.int32),
-                    jnp.stack([
-                        jnp.sum(feasible & mask),
-                        jnp.sum(collides & mask),
-                        jnp.sum((boundary_step >= 0) & mask),
-                    ]).astype(jnp.int32),
-                ])
-
-            self._summary_cached = jax.jit(f)
-        return self._summary_cached
+        return _jitted_summary()
 
     def _select_rows_fn(self):
-        """Jitted single-fetch materialization: the selected candidate's 12
-        state rows + a 13th row carrying [cost, cost_terms...] — every
-        per-field device slice costs a separate round trip over the remote
-        tunnel (~14 per replan before this)."""
-        if not hasattr(self, "_select_rows_cached"):
-            import jax
-
-            jnp = self.jnp
-
-            def f(ro, cost, terms, idx):
-                k = terms.shape[1]
-                n1 = ro.x.shape[1]
-                length = max(n1, 1 + k)  # short horizons: pad, don't clip
-
-                def pad(v):
-                    return jnp.zeros(length, ro.x.dtype).at[:n1].set(v)
-
-                extra = jnp.zeros(length, ro.x.dtype)
-                extra = extra.at[0].set(cost[idx]).at[1:1 + k].set(terms[idx])
-                return jnp.stack([
-                    pad(ro.x[idx]), pad(ro.y[idx]), pad(ro.theta_gl[idx]),
-                    pad(ro.v[idx]), pad(ro.a[idx]), pad(ro.kappa_gl[idx]),
-                    pad(ro.s[idx]), pad(ro.s_vel[idx]), pad(ro.s_acc[idx]),
-                    pad(ro.d[idx]), pad(ro.d_vel[idx]), pad(ro.d_acc[idx]),
-                    extra,
-                ])
-
-            self._select_rows_cached = jax.jit(f)
-        return self._select_rows_cached
+        return _jitted_select_rows()
 
     def _materialize(self, res, idx: int, matrix, mode: str,
                      risks=None, cost_override=None) -> PlannedTrajectory:
@@ -668,3 +614,71 @@ class ReactivePlanner:
             plan.ego_risk = float(risks.ego_risk[idx])
             plan.obst_risk = float(risks.obst_risk[idx])
         return plan
+
+
+# ---------------------------------------------------------------------------
+# fused-fetch device programs (tunnel round-trip economy, see PERF.md).
+# MODULE-LEVEL singletons: per-planner jit closures would recompile for
+# every new Agent/Simulation (a fresh function identity is a fresh jit
+# cache entry — measured ~2.5 s per Simulation on CPU).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_found_best():
+    """Jitted (found, best_idx) packer — one scalar fetch, not two."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda found, best: jnp.stack(
+        [found.astype(jnp.int32), best.astype(jnp.int32)]))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_summary():
+    """Jitted [histogram..., feasible, collisions, off_road] packer — one
+    device fetch instead of four."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(feasible, collides, boundary_step, histogram, mask):
+        return jnp.concatenate([
+            histogram.astype(jnp.int32),
+            jnp.stack([
+                jnp.sum(feasible & mask),
+                jnp.sum(collides & mask),
+                jnp.sum((boundary_step >= 0) & mask),
+            ]).astype(jnp.int32),
+        ])
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_select_rows():
+    """Jitted single-fetch materialization: the selected candidate's 12
+    state rows + a 13th row carrying [cost, cost_terms...] — every per-field
+    device slice costs a separate round trip over the remote tunnel (~14 per
+    replan before this)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(ro, cost, terms, idx):
+        k = terms.shape[1]
+        n1 = ro.x.shape[1]
+        length = max(n1, 1 + k)  # short horizons: pad, don't clip
+
+        def pad(v):
+            return jnp.zeros(length, ro.x.dtype).at[:n1].set(v)
+
+        extra = jnp.zeros(length, ro.x.dtype)
+        extra = extra.at[0].set(cost[idx]).at[1:1 + k].set(terms[idx])
+        return jnp.stack([
+            pad(ro.x[idx]), pad(ro.y[idx]), pad(ro.theta_gl[idx]),
+            pad(ro.v[idx]), pad(ro.a[idx]), pad(ro.kappa_gl[idx]),
+            pad(ro.s[idx]), pad(ro.s_vel[idx]), pad(ro.s_acc[idx]),
+            pad(ro.d[idx]), pad(ro.d_vel[idx]), pad(ro.d_acc[idx]),
+            extra,
+        ])
+
+    return jax.jit(f)
