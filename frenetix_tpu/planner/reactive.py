@@ -279,9 +279,20 @@ class ReactivePlanner:
             )
             res = self._apply_responsibility(res)
             last_res, last_matrix, last_mask = res, matrix, mask
+            # ONE device→host round trip per level: found/best + the summary
+            # header + the selected candidate's rows (_jitted_replan_pack) —
+            # over the remote-TPU tunnel every separate fetch is a full
+            # network round trip and the fetch count IS the replan wall time
+            pack = np.asarray(self._replan_pack_fn()(
+                res.rollout, res.cost, res.cost_terms, res.collides,
+                res.boundary_step, res.histogram, res.found, res.best_idx,
+                self.jnp.asarray(mask),
+            ), dtype=self.np_dtype)
+            last_pack = pack
+            found = bool(pack[0, 0])
             occ_ok = True
             if (self.occlusion_module is not None and self.phantom_mask is not None
-                    and bool(res.found)):
+                    and found):
                 # occlusion safety gate: re-select among candidates whose
                 # phantom risk stays under the thresholds
                 risks = self._risk_fn()(
@@ -310,13 +321,10 @@ class ReactivePlanner:
                     )
                 else:
                     occ_ok = False
-            if optimal is None and occ_ok:
-                # found + best_idx in ONE fetch (two scalar round trips
-                # otherwise)
-                fb = np.asarray(self._found_best_fn()(res.found, res.best_idx))
-                if bool(fb[0]):
-                    mode = "stopping_plan" if quintic_lon else "optimal"
-                    optimal = self._materialize(res, int(fb[1]), matrix, mode)
+            if optimal is None and occ_ok and found:
+                mode = "stopping_plan" if quintic_lon else "optimal"
+                optimal = self._plan_from_rows(
+                    pack[1:], res, int(pack[0, 1]), matrix, mode)
             if optimal is None and use_stopping:
                 # stopping sampling found nothing → fall back to regular
                 # sampling at the same level (reactive_planner_cpp.py:336-341)
@@ -324,20 +332,18 @@ class ReactivePlanner:
                 continue
             level += 1
 
-        # one fused device fetch for histogram + stat counters (each separate
-        # np.asarray is a full round trip over the remote tunnel)
-        summary = np.asarray(self._summary_fn()(
-            last_res.rollout.feasible, last_res.collides,
-            last_res.boundary_step, last_res.histogram, last_mask,
-        ))
-        self.infeasible_histogram = summary[:-3]
+        # histogram + stat counters ride the last level's pack header — no
+        # extra device fetch
+        h = int(last_res.histogram.shape[0])
+        header = last_pack[0]
+        self.infeasible_histogram = header[5:5 + h].astype(np.int64)
         if self.config.debug.save_all_traj:
             self.last_cycle = (last_res, last_matrix, last_mask)
         self.stats = {
-            "feasible": int(summary[-3]),
+            "feasible": int(header[2]),
             "total": int(last_mask.sum()),
-            "collisions": int(summary[-2]),
-            "off_road": int(summary[-1]),
+            "collisions": int(header[3]),
+            "off_road": int(header[4]),
         }
 
         if optimal is not None:
@@ -573,23 +579,27 @@ class ReactivePlanner:
         ).compute_steering(self.veh.wheelbase)
 
     # ---------------------------------------------------------- materialation
-    def _found_best_fn(self):
-        return _jitted_found_best()
-
-    def _summary_fn(self):
-        return _jitted_summary()
-
     def _select_rows_fn(self):
         return _jitted_select_rows()
 
+    def _replan_pack_fn(self):
+        return _jitted_replan_pack()
+
     def _materialize(self, res, idx: int, matrix, mode: str,
                      risks=None, cost_override=None) -> PlannedTrajectory:
-        k = res.cost_terms.shape[1]
-        n1 = res.rollout.x.shape[1]
         rows = np.asarray(
             self._select_rows_fn()(res.rollout, res.cost, res.cost_terms, idx),
             dtype=self.np_dtype,
         )
+        return self._plan_from_rows(rows, res, idx, matrix, mode,
+                                    risks=risks, cost_override=cost_override)
+
+    def _plan_from_rows(self, rows, res, idx: int, matrix, mode: str,
+                        risks=None, cost_override=None) -> PlannedTrajectory:
+        """Build the PlannedTrajectory from already-fetched (13, L) rows
+        (12 state rows + [cost, cost_terms...]; see _jitted_select_rows)."""
+        k = res.cost_terms.shape[1]
+        n1 = res.rollout.x.shape[1]
         (x, y, theta, v, a_, kappa, s, s_dot, s_ddot, d, d_dot, d_ddot) = (
             r[:n1] for r in rows[:12])
         extra = rows[12]
@@ -625,30 +635,48 @@ class ReactivePlanner:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_found_best():
-    """Jitted (found, best_idx) packer — one scalar fetch, not two."""
+def _jitted_replan_pack():
+    """ONE-fetch replan result, (14, L): a header row
+    [found, best_idx, feasible, collisions, off_road, histogram...] followed
+    by the selected candidate's 12 state rows and a [cost, cost_terms...]
+    row, all evaluated at best_idx (the rows are garbage when found == 0 and
+    ignored by the host).  The sequential path previously paid three round
+    trips per replan over the remote tunnel (found/best, selected rows,
+    summary); all counters/indices are < 2^24 so they survive the float32
+    packing exactly."""
     import jax
     import jax.numpy as jnp
 
-    return jax.jit(lambda found, best: jnp.stack(
-        [found.astype(jnp.int32), best.astype(jnp.int32)]))
+    def f(ro, cost, terms, collides, boundary_step, histogram, found, best,
+          mask):
+        k = terms.shape[1]
+        n1 = ro.x.shape[1]
+        h = histogram.shape[0]
+        length = max(n1, 1 + k, 5 + h)
+        idx = best
+        dt_ = ro.x.dtype
 
+        def pad(v):
+            return jnp.zeros(length, dt_).at[:n1].set(v)
 
-@functools.lru_cache(maxsize=None)
-def _jitted_summary():
-    """Jitted [histogram..., feasible, collisions, off_road] packer — one
-    device fetch instead of four."""
-    import jax
-    import jax.numpy as jnp
-
-    def f(feasible, collides, boundary_step, histogram, mask):
-        return jnp.concatenate([
-            histogram.astype(jnp.int32),
-            jnp.stack([
-                jnp.sum(feasible & mask),
-                jnp.sum(collides & mask),
-                jnp.sum((boundary_step >= 0) & mask),
-            ]).astype(jnp.int32),
+        header = (
+            jnp.zeros(length, dt_)
+            .at[0].set(found.astype(dt_))
+            .at[1].set(best.astype(dt_))
+            .at[2].set(jnp.sum(ro.feasible & mask).astype(dt_))
+            .at[3].set(jnp.sum(collides & mask).astype(dt_))
+            .at[4].set(jnp.sum((boundary_step >= 0) & mask).astype(dt_))
+            .at[5:5 + h].set(histogram.astype(dt_))
+        )
+        extra = jnp.zeros(length, dt_)
+        extra = extra.at[0].set(cost[idx]).at[1:1 + k].set(terms[idx])
+        return jnp.stack([
+            header,
+            pad(ro.x[idx]), pad(ro.y[idx]), pad(ro.theta_gl[idx]),
+            pad(ro.v[idx]), pad(ro.a[idx]), pad(ro.kappa_gl[idx]),
+            pad(ro.s[idx]), pad(ro.s_vel[idx]), pad(ro.s_acc[idx]),
+            pad(ro.d[idx]), pad(ro.d_vel[idx]), pad(ro.d_acc[idx]),
+            extra,
         ])
 
     return jax.jit(f)

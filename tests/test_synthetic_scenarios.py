@@ -179,3 +179,49 @@ def test_fuzzed_scenarios_never_crash(seed):
     res = Simulation(maker(), cfg).run()
     status = res.agent_status[60000]
     assert status != AgentStatus.ERROR, res.agent_messages
+
+
+def test_replan_pack_header_consistency():
+    """The single-fetch replan pack (planner/reactive._jitted_replan_pack)
+    must carry exactly what the three fetches it replaced carried: stats and
+    the infeasibility histogram must equal independently fetched per-field
+    values, and the materialized plan must equal a from-scratch
+    `_materialize` at the device best index."""
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim import Simulation
+
+    cfg = _cfg()
+    cfg.debug.save_all_traj = True  # keep last_cycle for the cross-check
+    sim = Simulation(make_highway(), cfg)
+    a = sim.agents[0]
+    pl = a.planner
+    orig = pl.plan
+    checked = []
+
+    def wrapped(x0, x_cl):
+        p = orig(x0, x_cl)
+        if checked:
+            return p
+        res, matrix, mask = pl.last_cycle
+        feasible = int((np.asarray(res.rollout.feasible) & mask).sum())
+        collisions = int((np.asarray(res.collides) & mask).sum())
+        off_road = int(((np.asarray(res.boundary_step) >= 0) & mask).sum())
+        hist = np.asarray(res.histogram).astype(int)
+        assert pl.stats["feasible"] == feasible
+        assert pl.stats["collisions"] == collisions
+        assert pl.stats["off_road"] == off_road
+        assert pl.stats["total"] == int(mask.sum())
+        np.testing.assert_array_equal(pl.infeasible_histogram, hist)
+        if p is not None and p.mode == "optimal" and bool(np.asarray(res.found)):
+            ref = pl._materialize(res, int(np.asarray(res.best_idx)),
+                                  matrix, "optimal")
+            np.testing.assert_array_equal(p.x, ref.x)
+            np.testing.assert_array_equal(p.d, ref.d)
+            np.testing.assert_array_equal(p.cost_terms, ref.cost_terms)
+            assert p.cost == ref.cost
+            checked.append(True)
+        return p
+
+    pl.plan = wrapped
+    sim.run()
+    assert checked, "no optimal cycle was cross-checked"
