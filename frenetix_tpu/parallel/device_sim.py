@@ -1,0 +1,582 @@
+"""Fully device-resident multi-agent simulation: one fetch per RUN.
+
+The lockstep host loop (sim/simulation.py) pays one device round trip per
+global step — over a remote-TPU tunnel that round trip, not device compute,
+is the entire wall time (PERF.md "Tunnel round-trip fusion").  This module
+moves the WHOLE simulation into one `lax.scan` over replanning cycles:
+
+    carry: per-agent curvilinear state, pose, status
+    body:  on-device sampling matrix → full `evaluate_cycle` (vmapped over
+           agents) → execute `replanning_frequency` sub-steps with per-step
+           goal/collision status ladder → CV obstacle tensors from the
+           executed poses for the next cycle
+    fetch: ONE `jax.device_get` of statuses + trajectories at the end.
+
+Behavioral spec is the host loop itself (sim/simulation.py:668-749,
+sim/agent.py:282-376, the reference's simulation.py:497-741); the parity test
+(tests/test_device_sim.py) pins statuses, step-by-step executed trajectories
+and per-cycle selections against the batched host path.
+
+Restrictions of this headless mode (all deliberate, all checked at
+construction where possible):
+
+- predictions: ground_truth / constant_velocity only (windows are
+  precomputed per cycle by the host's own `_predictions_for_step` — exact
+  input parity); walenet needs per-step host rasterization.
+- no behavior planner / occlusion module / responsibility term / sensor
+  filtering (host sequential or batched modes cover those).
+- no progressive densification: the cycle evaluates the `sampling_min`
+  level only.  The emergency ladder IS implemented on device (standstill at
+  v ≤ 0.1, the `emergency_mode="stopping"` ordered fallback); `min_risk`
+  emergency mode is not (construction raises).  An agent failing the whole
+  ladder freezes with status ERROR.
+- `low_vel_mode` is fixed False (the host path switches kinematics below
+  `low_vel_mode_threshold`).
+- road-departure failsafe of executed poses is skipped — selected plans are
+  already corridor-checked inside the cycle.
+- agent-agent collision is symmetric: BOTH vehicles of a colliding pair get
+  COLLISION (the host loop's in-order sweep marks only the first).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["DeviceSimulation", "DeviceSimResult"]
+
+from dataclasses import dataclass, field
+
+# AgentStatus integer values (sim/agent.py:32-40) — kept as plain ints so the
+# scan carry is a simple int32 array
+_RUNNING, _SUCCESS, _TIMELIMIT, _COLLISION, _ERROR = 1, 2, 3, 4, 5
+
+
+@dataclass
+class DeviceSimResult:
+    """Host-side result of one device-resident run (single fetch)."""
+
+    agent_ids: list
+    status: np.ndarray            # (A,) AgentStatus ints (TIMELIMIT applied)
+    steps: int                    # executed global steps (host loop parity)
+    trajectories: np.ndarray      # (T, A, 5): center x, y, theta, v, a
+    status_per_step: np.ndarray   # (T, A)
+    selections: np.ndarray        # (C, A, 3): chosen (t1, ss1_target, d1)
+    found: np.ndarray             # (C, A) bool
+    wall_time: float = 0.0
+    extras: dict = field(default_factory=dict)
+
+
+def _goal_tensors(agents, dtype):
+    """Stack every agent's goal test into fixed-shape tensors.
+
+    Host spec: Agent.goal_reached (sim/agent.py:218-242) — per goal,
+    (position ∈ any ring) ∧ (velocity ∈ interval); rings are goal-lanelet
+    polygons + the goal position shape; a goal with no rings is a
+    velocity-only goal.
+    """
+    ring_lists = []     # per agent: list[(ring (E,2), vlo, vhi)]
+    velonly = []        # per agent: (has, lo, hi)
+    for a in agents:
+        rows = []
+        vo = (False, -np.inf, np.inf)
+        for g in a.problem.goals:
+            vlo, vhi = (-np.inf, np.inf)
+            if g.velocity_interval is not None:
+                vlo, vhi = g.velocity_interval
+            rings = []
+            for lid in g.position_lanelets:
+                if lid in a.scenario.lanelets:
+                    rings.append(a.scenario.lanelets[lid].polygon)
+            if g.position_shape is not None:
+                rings.append(g.position_shape)
+            if rings:
+                rows.extend((np.asarray(r, float), vlo, vhi) for r in rings)
+            else:
+                vo = (True, vlo, vhi)
+        ring_lists.append(rows)
+        velonly.append(vo)
+
+    g_max = max((len(r) for r in ring_lists), default=0) or 1
+    e_max = max((len(ring) for rows in ring_lists for ring, _, _ in rows),
+                default=0) or 3
+    a_n = len(agents)
+    rings = np.zeros((a_n, g_max, e_max, 2), dtype)
+    ring_valid = np.zeros((a_n, g_max), bool)
+    ring_v = np.zeros((a_n, g_max, 2), dtype)
+    ring_v[..., 0], ring_v[..., 1] = -1e30, 1e30
+    for i, rows in enumerate(ring_lists):
+        for j, (ring, vlo, vhi) in enumerate(rows):
+            # pad by repeating the last vertex: degenerate edges add no
+            # crossings, the roll-closure edge stays last→first
+            e = len(ring)
+            rings[i, j, :e] = ring
+            rings[i, j, e:] = ring[-1]
+            ring_valid[i, j] = True
+            ring_v[i, j] = (max(vlo, -1e30), min(vhi, 1e30))
+    vo_has = np.array([v[0] for v in velonly])
+    vo_int = np.array([[max(v[1], -1e30), min(v[2], 1e30)] for v in velonly],
+                      dtype)
+    return rings, ring_valid, ring_v, vo_has, vo_int
+
+
+def _velocity_goal_tensors(agents, dtype):
+    """Static inputs of the sim-level velocity planner
+    (Agent.desired_velocity, sim/agent.py:245-267)."""
+    a_n = len(agents)
+    goal_s = np.zeros(a_n, dtype)
+    has_goal_s = np.zeros(a_n, bool)
+    goal_t_hi = np.zeros(a_n, dtype)
+    has_goal_t = np.zeros(a_n, bool)
+    goal_v_mean = np.zeros(a_n, dtype)
+    for i, a in enumerate(agents):
+        if a._goal_s is not None:
+            goal_s[i] = a._goal_s
+            has_goal_s[i] = True
+        if a._goal_time is not None:
+            goal_t_hi[i] = a._goal_time[1]
+            has_goal_t[i] = True
+        for g in a.problem.goals:
+            if g.velocity_interval is not None:
+                lo, hi = g.velocity_interval
+                goal_v_mean[i] = max(0.0, (lo + hi) / 2.0)
+                break
+    return goal_s, has_goal_s, goal_t_hi, has_goal_t, goal_v_mean
+
+
+def _obstacle_step_poses(scenario, agent_obstacle_ids, n_steps_total, dtype):
+    """(T+1, O, 3) pose + (T+1, O) valid + (O, 2) half-dims of every
+    scenario obstacle (the collision-check side, _check_collisions)."""
+    obs = [ob for ob in scenario.obstacles.values()
+           if ob.obstacle_id not in agent_obstacle_ids]
+    o_n = len(obs) or 1
+    poses = np.zeros((n_steps_total + 1, o_n, 3), dtype)
+    valid = np.zeros((n_steps_total + 1, o_n), bool)
+    half = np.zeros((o_n, 2), dtype)
+    for j, ob in enumerate(obs):
+        half[j] = (ob.length / 2.0, ob.width / 2.0)
+        for t in range(n_steps_total + 1):
+            st = ob.state_at_time(t)
+            if st is None:
+                continue
+            poses[t, j, :2] = st.position
+            poses[t, j, 2] = st.orientation
+            valid[t, j] = True
+    return poses, valid, half
+
+
+class DeviceSimulation:
+    """Device-resident run of an (already constructed) host `Simulation`.
+
+    Usage:
+        sim = Simulation(scenario, config)      # host setup only — don't run
+        dres = DeviceSimulation(sim).run()
+
+    The host Simulation provides agents (routes, reference paths, corridors),
+    which are stacked once; everything per-step happens on device.
+    """
+
+    def __init__(self, sim):
+        import jax.numpy as jnp
+
+        from frenetix_tpu.parallel.batched_sim import BatchedAgentStepper
+        from frenetix_tpu.sim.agent import AgentStatus
+
+        config = sim.config
+        if config.prediction.mode not in ("ground_truth", "constant_velocity"):
+            raise ValueError(
+                "DeviceSimulation supports ground_truth/constant_velocity "
+                f"predictions only (got {config.prediction.mode!r})")
+        if config.behavior.use_behavior_planner:
+            raise ValueError("DeviceSimulation does not run the behavior "
+                             "planner (host modes do)")
+        if config.occlusion.use_occlusion_module:
+            raise ValueError("DeviceSimulation does not run the occlusion "
+                             "module (host modes do)")
+        if float(config.cost_weights.get("responsibility", 0.0)) != 0.0:
+            raise ValueError("DeviceSimulation does not evaluate the "
+                             "responsibility term (host modes do)")
+        if config.planning.emergency_mode != "stopping":
+            raise ValueError("DeviceSimulation implements the 'stopping' "
+                             "emergency mode only")
+
+        self.sim = sim
+        self.config = config
+        self.jnp = jnp
+        self.agents = sim.agents
+        self.dt = config.planning.dt
+        self.n_steps = config.planning.n_steps
+        self.k_replan = int(config.planning.replanning_frequency)
+        self.max_steps = int(sim.max_steps)
+        self.n_cycles = (self.max_steps + self.k_replan - 1) // self.k_replan
+        dtype = np.float64 if config.dtype == "float64" else np.float32
+        self.np_dtype = dtype
+
+        # stacked per-agent tables (reference paths, corridors, lane
+        # segments) — same stacking as the batched host path
+        self.stepper = BatchedAgentStepper(config, self.agents)
+        self.veh = config.vehicle
+
+        from frenetix_tpu.ops.costs import COST_TERM_ORDER
+
+        self.weights = jnp.asarray(np.array(
+            [config.cost_weights.get(k, 0.0) for k in COST_TERM_ORDER], dtype))
+
+        # ---- static sampling grids (ReactivePlanner._sampling_ranges) -----
+        from frenetix_tpu.ops import sampling as smp
+
+        p = config.planning
+        self.horizon = p.planning_horizon
+        level = p.sampling_min
+        t1 = smp.time_samples(p.t_min, self.horizon, self.dt, level)
+        t1 = np.unique(np.concatenate([t1, [self.n_steps * self.dt]]))
+        self.t_grid = jnp.asarray(t1.astype(dtype))
+        self.n_v = len(smp.linspace_samples(0.0, 1.0, level))
+        if p.d_ego_pos:
+            # grid is recentred on the current d each cycle (host: x0±d_min/max)
+            self.d_grid_np = smp.linspace_samples(p.d_min, p.d_max, level)
+        else:
+            self.d_grid_np = smp.linspace_samples(p.d_min, p.d_max, level)
+        self.d_ego_pos = bool(p.d_ego_pos)
+        self.d_grid = jnp.asarray(self.d_grid_np.astype(dtype))
+        self.m_total = (len(t1) * (self.n_v + 1) * (len(self.d_grid_np) + 1))
+
+        # ---- initial per-agent state -------------------------------------
+        a_n = len(self.agents)
+        x_cl0 = np.zeros((a_n, 6), dtype)
+        pose0 = np.zeros((a_n, 4), dtype)   # center x, y, theta, v
+        acc0 = np.zeros(a_n, dtype)
+        for i, a in enumerate(self.agents):
+            a.ensure_x_cl()
+            lon, lat = a.x_cl
+            x_cl0[i] = np.concatenate([np.asarray(lon), np.asarray(lat)])
+            pose0[i] = (*a.state.position, a.state.orientation,
+                        a.state.velocity)
+            acc0[i] = a.state.acceleration
+        self.x_cl0, self.pose0, self.acc0 = x_cl0, pose0, acc0
+
+        # ---- goal / velocity-planner tensors ------------------------------
+        (self.g_rings, self.g_ring_valid, self.g_ring_v, self.g_vo_has,
+         self.g_vo_int) = _goal_tensors(self.agents, dtype)
+        (self.goal_s, self.has_goal_s, self.goal_t_hi, self.has_goal_t,
+         self.goal_v_mean) = _velocity_goal_tensors(self.agents, dtype)
+
+        # ---- scenario-obstacle tensors ------------------------------------
+        # prediction windows per cycle, via the host's own builder (input
+        # parity with the host replan)
+        pds = [sim._predictions_for_step(c * self.k_replan)[0]
+               for c in range(self.n_cycles)]
+        self.pred_windows = {
+            k: jnp.asarray(np.stack([pd[k] for pd in pds]))
+            for k in pds[0]
+        }
+        op, ov, oh = _obstacle_step_poses(
+            sim.scenario, sim.agent_obstacle_ids,
+            self.max_steps + self.k_replan, dtype)
+        self.obst_poses = jnp.asarray(op)
+        self.obst_valid = jnp.asarray(ov)
+        self.obst_half = jnp.asarray(oh)
+
+        self._run_fn = None
+        self._status_enum = AgentStatus
+
+    # ------------------------------------------------------------ device fns
+    def _build_matrix_fn(self):
+        """Per-agent on-device sampling matrix (ReactivePlanner.
+        _sampling_ranges + ops.sampling.build_sampling_matrix): static t/d
+        grids, velocity grid from the current state, current ṡ and d
+        appended (the host unions them in; duplicates are harmless
+        identical candidates)."""
+        jnp = self.jnp
+        veh, horizon = self.veh, self.horizon
+        t_grid, d_grid, n_v = self.t_grid, self.d_grid, self.n_v
+        d_ego = self.d_ego_pos
+
+        def one(x_cl, v_cur):
+            s0, ss0, sss0, d0, dd0, ddd0 = (x_cl[i] for i in range(6))
+            v_lo = jnp.maximum(0.001, v_cur - veh.a_max * horizon)
+            v_hi = jnp.minimum(v_cur + (veh.a_max / 6.0) * horizon, veh.v_max)
+            vs = v_lo + (v_hi - v_lo) * jnp.linspace(0.0, 1.0, n_v).astype(x_cl.dtype)
+            vs = jnp.concatenate([vs, ss0[None]])
+            base_d = d_grid + (d0 if d_ego else 0.0)
+            ds = jnp.concatenate([base_d, d0[None]])
+            t_n, v_n, d_n = t_grid.shape[0], vs.shape[0], ds.shape[0]
+            m = t_n * v_n * d_n
+            mat = jnp.zeros((m, 13), x_cl.dtype)
+            mat = mat.at[:, 1].set(jnp.repeat(t_grid, v_n * d_n))
+            mat = mat.at[:, 5].set(jnp.tile(jnp.repeat(vs, d_n), t_n))
+            mat = mat.at[:, 10].set(jnp.tile(ds, t_n * v_n))
+            mat = mat.at[:, 2].set(s0).at[:, 3].set(ss0).at[:, 4].set(sss0)
+            mat = mat.at[:, 7].set(d0).at[:, 8].set(dd0).at[:, 9].set(ddd0)
+            return mat
+
+        return one
+
+    def _goal_check_fn(self):
+        """Vectorized Agent.goal_reached: (A,) bool from centers/velocities."""
+        jnp = self.jnp
+        rings = self.jnp.asarray(self.g_rings)
+        ring_valid = self.jnp.asarray(self.g_ring_valid)
+        ring_v = self.jnp.asarray(self.g_ring_v)
+        vo_has = self.jnp.asarray(self.g_vo_has)
+        vo_int = self.jnp.asarray(self.g_vo_int)
+
+        def check(center, vel):
+            # crossing-number ring test (io.commonroad._point_in_ring)
+            a = rings                                    # (A, G, E, 2)
+            b = jnp.roll(rings, -1, axis=2)
+            p = center[:, None, None, :]                 # (A, 1, 1, 2)
+            cond = (a[..., 1] > p[..., 1]) != (b[..., 1] > p[..., 1])
+            den = b[..., 1] - a[..., 1]
+            den = jnp.where(den == 0.0, 1.0, den)
+            x_int = a[..., 0] + (p[..., 1] - a[..., 1]) * (b[..., 0] - a[..., 0]) / den
+            crossings = jnp.sum(cond & (p[..., 0] < x_int), axis=-1)  # (A, G)
+            inside = (crossings % 2).astype(bool) & ring_valid
+            vel_ok = ((vel[:, None] >= ring_v[..., 0])
+                      & (vel[:, None] <= ring_v[..., 1]))
+            pos_goal = jnp.any(inside & vel_ok, axis=1)
+            vo_ok = (vo_has & (vel >= vo_int[:, 0]) & (vel <= vo_int[:, 1]))
+            return pos_goal | vo_ok
+
+        return check
+
+    def _desired_velocity_fn(self):
+        """Vectorized Agent.desired_velocity (sim/agent.py:245-267)."""
+        jnp = self.jnp
+        goal_s = jnp.asarray(self.goal_s)
+        has_goal = jnp.asarray(self.has_goal_s)
+        goal_t_hi = jnp.asarray(self.goal_t_hi)
+        has_goal_t = jnp.asarray(self.has_goal_t)
+        goal_v_mean = jnp.asarray(self.goal_v_mean)
+        dt = self.dt
+
+        def v_des(x_cl, v_cur, t_step):
+            s_cur = x_cl[:, 0]
+            dist = goal_s - s_cur
+            rem_t = (goal_t_hi - t_step) * dt
+            rem_d = jnp.maximum(dist, 0.0) / jnp.maximum(v_cur, 1.0)
+            remaining = jnp.where(has_goal_t, rem_t, rem_d)
+            safe_rem = jnp.where(remaining == 0.0, 1.0, remaining)
+            v = jnp.clip(dist / safe_rem,
+                         jnp.maximum(v_cur - 5.0, 0.0), v_cur + 5.0)
+            v = jnp.where(remaining <= 0.0, jnp.maximum(v_cur, 1.0), v)
+            v = jnp.where(dist <= 2.0, goal_v_mean, v)
+            return jnp.where(has_goal, v, v_cur)
+
+        return v_des
+
+    # ------------------------------------------------------------------- run
+    def _build_run(self):
+        import jax
+        import jax.numpy as jnp
+
+        from frenetix_tpu.ops.collision import obb_overlap
+        from frenetix_tpu.ops.costs import PredictionTensors
+        from frenetix_tpu.parallel.mesh import (
+            _SEL_FIELDS, CTX_IN_AXES, agent_pose_predictions, concat_obstacles,
+        )
+        from frenetix_tpu.planner.core import CycleContext, evaluate_cycle
+
+        stepper = self.stepper
+        veh = self.veh
+        dtype = self.np_dtype
+        a_n = len(self.agents)
+        k = self.k_replan
+        m_total = self.m_total
+        h_agent = jnp.asarray([veh.length / 2.0, veh.width / 2.0], dtype)
+        wb = veh.wb_rear_axle
+        pcfg = self.config.prediction
+
+        matrix_fn = jax.vmap(self._build_matrix_fn())
+        goal_fn = self._goal_check_fn()
+        vdes_fn = self._desired_velocity_fn()
+        dt, n_steps = self.dt, self.n_steps
+
+        def one_select(matrix, mask, ctx, d0):
+            """One agent's cycle + the host emergency ladder's stopping
+            fallback (ReactivePlanner.plan fallback,
+            planner/reactive.py:346-361): when no candidate is selectable,
+            pick among feasible∧valid by (v asc, t asc, |d − d0| asc) —
+            `_select_stopping_index` as one composite argmin key (v spans
+            dominate t spans dominate d spans at these scales)."""
+            res = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
+                                 low_vel_mode=False, table_window=768)
+            ro = res.rollout
+            feas = ro.feasible & ro.valid & mask
+            key = (matrix[:, 5] * 1e8 + matrix[:, 1] * 1e4
+                   + jnp.abs(matrix[:, 10] - d0))
+            key = jnp.where(feas, key, jnp.inf)
+            fb_idx = jnp.argmin(key).astype(jnp.int32)
+            fb_ok = jnp.any(feas)
+            idx = jnp.where(res.found, res.best_idx, fb_idx)
+            out = {k_: getattr(ro, attr)[idx] for attr, k_ in _SEL_FIELDS}
+            out.update(found=res.found, fb_ok=fb_ok, best=idx)
+            return out
+
+        cycle_fn = jax.vmap(one_select, in_axes=(0, 0, CTX_IN_AXES, 0))
+        masks = jnp.ones((a_n, m_total), bool)
+        pred_windows = self.pred_windows
+        obst_poses, obst_valid, obst_half = (
+            self.obst_poses, self.obst_valid, self.obst_half)
+        weights = self.weights
+        max_steps = self.max_steps
+        eye = jnp.eye(a_n, dtype=bool)
+
+        def body(carry, c):
+            x_cl, center, theta, v, acc, status = carry
+            t0 = c * k
+
+            # --- pre_step goal check at the cycle-start state -------------
+            running = status == _RUNNING
+            reached = goal_fn(center, v) & running
+            status = jnp.where(reached, _SUCCESS, status)
+            running = status == _RUNNING
+
+            # --- replan (one fused vmapped cycle over all agents) ---------
+            mats = matrix_fn(x_cl, v)
+            v_des = vdes_fn(x_cl, v, t0.astype(dtype))
+            # scenario-obstacle window of this cycle, broadcast to the agent
+            # axis (every agent sees the same ground-truth rows — host
+            # parity: pd_base is shared, sensor filtering is off here)
+            window = PredictionTensors(*(
+                jnp.broadcast_to(pred_windows[k_][c][None],
+                                 (a_n,) + pred_windows[k_].shape[1:])
+                for k_ in PredictionTensors._fields))
+            poses_all = jnp.concatenate(
+                [center, theta[:, None], v[:, None]], axis=1)
+            agent_preds = agent_pose_predictions(
+                poses_all, horizon=window.means.shape[2], dt=self.dt,
+                length=veh.length + 0.5, width=veh.width + 0.2,
+                cov_pos=pcfg.cov_pos, active=running,
+            )
+            preds = concat_obstacles(window, agent_preds)
+            ctx = CycleContext(
+                ref=stepper.ref, veh=veh, weights=weights, preds=preds,
+                obstacle_xy=preds.means[:, :, 0],
+                obstacle_valid=preds.valid[:, :, 0],
+                corridor=stepper.corridors,
+                lane_segments=stepper.lane_segments,
+                lane_valid=stepper.lane_valid,
+                x0_orientation=theta, desired_velocity=v_des,
+                desired_avg_velocity=v_des,
+            )
+            out = cycle_fn(mats, masks, ctx, x_cl[:, 3])
+            found = out["found"]
+            # host emergency ladder (plan() fallback): standstill at v ≤ 0.1
+            # takes precedence, then the stopping fallback, then failure
+            std = running & ~found & (v <= 0.1)
+            fail = running & ~found & ~std & ~out["fb_ok"]
+            status = jnp.where(fail, _ERROR, status)
+            running = status == _RUNNING
+            sel = jnp.stack([
+                jnp.take_along_axis(mats[:, :, 1], out["best"][:, None], 1)[:, 0],
+                jnp.take_along_axis(mats[:, :, 5], out["best"][:, None], 1)[:, 0],
+                jnp.take_along_axis(mats[:, :, 10], out["best"][:, None], 1)[:, 0],
+            ], axis=1)
+
+            # --- execute k sub-steps with the status ladder ---------------
+            traj_steps, status_steps = [], []
+            for j in range(1, k + 1):
+                t_glob = t0 + j
+                if j > 1:
+                    reached = goal_fn(center, v) & running
+                    status = jnp.where(reached, _SUCCESS, status)
+                    running = status == _RUNNING
+                step_ok = running & (t_glob <= max_steps)
+                mov = step_ok & ~std
+                rear = jnp.stack([out["x"][:, j], out["y"][:, j]], axis=1)
+                th_j = out["theta"][:, j]
+                c_j = rear + wb * jnp.stack(
+                    [jnp.cos(th_j), jnp.sin(th_j)], axis=1)
+                center = jnp.where(mov[:, None], c_j, center)
+                theta = jnp.where(mov, th_j, theta)
+                # standstill agents hold pose and brake to zero (host
+                # _standstill_trajectory: constant pose, braking pulse)
+                v = jnp.where(mov, out["v"][:, j],
+                              jnp.where(step_ok & std, 0.0, v))
+                acc = jnp.where(mov, out["a"][:, j],
+                                jnp.where(step_ok & std, 0.0, acc))
+                hold_cl = x_cl.at[:, 1].set(0.0).at[:, 2].set(0.0) \
+                              .at[:, 4].set(0.0).at[:, 5].set(0.0)
+                x_cl = jnp.where(mov[:, None], jnp.stack(
+                    [out["s"][:, j], out["s_dot"][:, j], out["s_ddot"][:, j],
+                     out["d"][:, j], out["d_dot"][:, j], out["d_ddot"][:, j]],
+                    axis=1), jnp.where((step_ok & std)[:, None], hold_cl, x_cl))
+
+                # collision ladder at the new poses (_check_collisions)
+                op = obst_poses[t_glob]                   # (O, 3)
+                ov = obst_valid[t_glob]                   # (O,)
+                hit_obs = jnp.any(
+                    obb_overlap(center[:, None], theta[:, None],
+                                h_agent[None, None], op[None, :, :2],
+                                op[None, :, 2], obst_half[None]) & ov[None],
+                    axis=1)
+                live = status == _RUNNING
+                pair = obb_overlap(center[:, None], theta[:, None],
+                                   h_agent[None, None], center[None, :],
+                                   theta[None, :], h_agent[None, None])
+                hit_agent = jnp.any(pair & ~eye & live[None] & live[:, None],
+                                    axis=1)
+                collided = (hit_obs | hit_agent) & step_ok
+                status = jnp.where(collided, _COLLISION, status)
+                running = status == _RUNNING
+
+                traj_steps.append(jnp.concatenate(
+                    [center, theta[:, None], v[:, None], acc[:, None]],
+                    axis=1))
+                status_steps.append(status)
+
+            carry = (x_cl, center, theta, v, acc, status)
+            ys = (jnp.stack(traj_steps), jnp.stack(status_steps), sel, found)
+            return carry, ys
+
+        def run(x_cl0, pose0, acc0):
+            center0 = pose0[:, :2]
+            theta0, v0 = pose0[:, 2], pose0[:, 3]
+            status0 = jnp.full(a_n, _RUNNING, jnp.int32)
+            carry0 = (x_cl0, center0, theta0, v0, acc0, status0)
+            carry, ys = jax.lax.scan(
+                body, carry0, jnp.arange(self.n_cycles, dtype=jnp.int32))
+            traj, status_steps, sel, found = ys
+            t_tot = self.n_cycles * k
+            return {
+                "final_status": carry[5],
+                "trajectories": traj.reshape(t_tot, a_n, 5),
+                "status_per_step": status_steps.reshape(t_tot, a_n),
+                "selections": sel,
+                "found": found,
+            }
+
+        return jax.jit(run)
+
+    def run(self) -> DeviceSimResult:
+        import time
+
+        import jax
+
+        t_start = time.perf_counter()
+        if self._run_fn is None:
+            self._run_fn = self._build_run()
+        jnp = self.jnp
+        out = self._run_fn(jnp.asarray(self.x_cl0), jnp.asarray(self.pose0),
+                           jnp.asarray(self.acc0))
+        out = jax.device_get(out)     # THE one fetch
+
+        # host-side epilogue (host loop parity): clip to max_steps; agents
+        # still RUNNING at the end get TIMELIMIT (simulation.py:724-726)
+        status = out["final_status"].copy()
+        status[status == _RUNNING] = _TIMELIMIT
+        traj = out["trajectories"][: self.max_steps]
+        sps = out["status_per_step"][: self.max_steps]
+        # executed steps: the host loop breaks once no agent is RUNNING
+        # after a step (sps[i] is the status after executed step i+1)
+        alive = (sps == _RUNNING).any(axis=1)
+        steps = self.max_steps if alive.all() else int(np.argmin(alive)) + 1
+        return DeviceSimResult(
+            agent_ids=[a.id for a in self.agents],
+            status=status,
+            steps=steps,
+            trajectories=traj,
+            status_per_step=sps,
+            selections=out["selections"],
+            found=out["found"],
+            wall_time=time.perf_counter() - t_start,
+        )

@@ -384,13 +384,16 @@ def agent_pose_predictions(
     length: float,
     width: float,
     cov_pos: float,
+    active=None,
 ):
     """Device-side obstacle tensors from gathered agent poses.
 
     poses_all (A, 4: x,y,θ,v) → PredictionTensors with O=A obstacles per
     agent: constant-velocity extrapolation of every agent's executed pose
     (the device-resident replacement for the host's `_augment_with_agents`,
-    sim/simulation.py).  `valid[i, j] = (i != j)` masks each agent's own row.
+    sim/simulation.py).  `valid[i, j] = (i != j)` masks each agent's own row;
+    an optional `active` (A,) bool additionally masks terminated agents
+    (they leave the world, like the host's status filter).
 
     Returns a PredictionTensors whose leading axis is the observing agent —
     concatenate with scenario-obstacle tensors along the obstacle axis.
@@ -411,6 +414,8 @@ def agent_pose_predictions(
         jnp.eye(2, dtype=dtype) / jnp.maximum(cov_pos, 0.1), (a, a, horizon, 2, 2)
     )
     not_self = ~jnp.eye(a, dtype=bool)
+    if active is not None:
+        not_self = not_self & active[None, :]
     valid = jnp.broadcast_to(not_self[:, :, None], (a, a, horizon))
     lengths = jnp.full((a, a), length, dtype)
     widths = jnp.full((a, a), width, dtype)

@@ -1,0 +1,99 @@
+"""Device-resident simulation (parallel/device_sim): parity vs the host loop.
+
+The entire multi-agent simulation runs as one lax.scan with a single
+device→host fetch; these tests pin its semantics step-by-step against the
+host Simulation (sequential and batched paths).
+"""
+import numpy as np
+import pytest
+
+
+def _cfg(**kw):
+    from frenetix_tpu.utils.config import load_config
+
+    cfg = load_config()
+    cfg.dtype = "float64"
+    for k, v in kw.items():
+        obj = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], v)
+    return cfg
+
+
+def _run_device(scenario, cfg):
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+
+    return DeviceSimulation(Simulation(scenario, cfg)).run()
+
+
+def test_device_sim_single_agent_matches_host_exactly():
+    """Highway lead-follow: the device scan must reproduce the host loop's
+    executed trajectory step by step (same plans → same states), including
+    the first cycle's stopping-mode fallback (the factory ego starts just
+    before the drivable corridor)."""
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    res_d = _run_device(make_highway(), _cfg())
+    res_h = Simulation(make_highway(), _cfg()).run()
+
+    assert res_h.agent_status[60000] == AgentStatus.COMPLETED_SUCCESS
+    assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
+    assert res_d.steps == res_h.steps
+    # the device sim went through the same fallback on cycle 0
+    assert not res_d.found[0, 0] and res_d.found[1, 0]
+
+    h = res_h.histories[60000]          # h[i] = state after executed step i
+    for i in range(1, len(h)):
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, :2], h[i].position, atol=1e-9,
+            err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
+
+
+def test_device_sim_multiagent_matches_host_batched():
+    """Two-agent overtake (obstacle converted to an agent): statuses and
+    per-step executed positions must match the batched host path."""
+    from frenetix_tpu.io.scenario_factory import make_overtake
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    cfg = _cfg(**{"simulation.start_multiagent": True})
+    res_d = _run_device(make_overtake(), cfg)
+
+    cfg_h = _cfg(**{"simulation.start_multiagent": True,
+                    "simulation.batched_device_agents": True})
+    sim_h = Simulation(make_overtake(), cfg_h)
+    res_h = sim_h.run()
+
+    assert res_d.steps == res_h.steps
+    for col, aid in enumerate(res_d.agent_ids):
+        assert res_h.agent_status[aid] == AgentStatus.COMPLETED_SUCCESS
+        assert int(res_d.status[col]) == int(AgentStatus.COMPLETED_SUCCESS)
+        h = res_h.histories[aid]
+        for i in range(1, len(h)):
+            np.testing.assert_allclose(
+                res_d.trajectories[i - 1, col, :2], h[i].position, atol=1e-9,
+                err_msg=f"agent {aid} step {i}")
+
+
+def test_device_sim_guards():
+    """Unsupported host-only features must fail loudly at construction."""
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+
+    for key, val in [
+        ("prediction.mode", "walenet"),
+        ("behavior.use_behavior_planner", True),
+        ("planning.emergency_mode", "min_risk"),
+    ]:
+        cfg = _cfg(**{key: val})
+        sim = Simulation(make_highway(), cfg)
+        with pytest.raises(ValueError):
+            DeviceSimulation(sim)
