@@ -12,6 +12,12 @@ moves the WHOLE simulation into one `lax.scan` over replanning cycles:
            executed poses for the next cycle
     fetch: ONE `jax.device_get` of statuses + trajectories at the end.
 
+Multi-chip: pass a `jax.sharding.Mesh` — the expensive stage (the fused
+cycle) runs shard_mapped over the agent axis with the small selection dict
+all-gathered over ICI; the O(A) status/goal/collision bookkeeping stays
+replicated (trivially cheap next to candidate evaluation).  Sharded ==
+single-device to selection equality (tests/test_device_sim.py).
+
 Behavioral spec is the host loop itself (sim/simulation.py:668-749,
 sim/agent.py:282-376, the reference's simulation.py:497-741); the parity test
 (tests/test_device_sim.py) pins statuses, step-by-step executed trajectories
@@ -174,13 +180,19 @@ class DeviceSimulation:
     which are stacked once; everything per-step happens on device.
     """
 
-    def __init__(self, sim):
+    def __init__(self, sim, mesh=None, axis_name: str = "agents"):
         import jax.numpy as jnp
 
         from frenetix_tpu.parallel.batched_sim import BatchedAgentStepper
         from frenetix_tpu.sim.agent import AgentStatus
 
         config = sim.config
+        if mesh is not None and len(sim.agents) % mesh.size != 0:
+            raise ValueError(
+                f"agent count {len(sim.agents)} must divide evenly over the "
+                f"{mesh.size}-device mesh")
+        self.mesh = mesh
+        self.axis_name = axis_name
         if config.prediction.mode not in ("ground_truth", "constant_velocity"):
             raise ValueError(
                 "DeviceSimulation supports ground_truth/constant_velocity "
@@ -411,7 +423,33 @@ class DeviceSimulation:
             out.update(found=res.found, fb_ok=fb_ok, best=idx)
             return out
 
-        cycle_fn = jax.vmap(one_select, in_axes=(0, 0, CTX_IN_AXES, 0))
+        vbody = jax.vmap(one_select, in_axes=(0, 0, CTX_IN_AXES, 0))
+        if self.mesh is None:
+            cycle_fn = vbody
+        else:
+            # multi-chip: shard the expensive stage — the fused cycle — over
+            # the agent mesh and all_gather the small selection dict; the
+            # O(A) status/goal/collision bookkeeping in the scan body stays
+            # replicated (it is trivially cheap next to candidate
+            # evaluation).  Same pattern as mesh.sharded_full_cycle.
+            from frenetix_tpu.parallel.mesh import _ctx_pspecs
+            from jax.sharding import PartitionSpec as P
+
+            axis = self.axis_name
+            sh = P(axis)
+
+            def sharded(mats, msks, ctx, d0):
+                out = vbody(mats, msks, ctx, d0)
+                return jax.tree.map(
+                    lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+                    out)
+
+            cycle_fn = jax.shard_map(
+                sharded, mesh=self.mesh,
+                in_specs=(sh, sh, _ctx_pspecs(axis), sh),
+                out_specs=P(),
+                check_vma=False,   # all_gather output is replicated
+            )
         masks = jnp.ones((a_n, m_total), bool)
         pred_windows = self.pred_windows
         obst_poses, obst_valid, obst_half = (

@@ -97,3 +97,31 @@ def test_device_sim_guards():
         sim = Simulation(make_highway(), cfg)
         with pytest.raises(ValueError):
             DeviceSimulation(sim)
+
+
+def test_device_sim_sharded_matches_vmap():
+    """The mesh-sharded device sim (cycle stage shard_mapped over agents,
+    selection dict all-gathered) must reproduce the single-device scan:
+    identical selections, trajectories to float reassociation noise."""
+    import jax
+
+    from frenetix_tpu.io.scenario_factory import make_overtake
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.parallel.mesh import make_agent_mesh
+    from frenetix_tpu.sim import Simulation
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    cfg = _cfg(**{"simulation.start_multiagent": True})
+    r_v = DeviceSimulation(Simulation(make_overtake(), cfg)).run()
+    mesh = make_agent_mesh(jax.devices()[:2])
+    r_s = DeviceSimulation(Simulation(make_overtake(), cfg), mesh=mesh).run()
+
+    np.testing.assert_array_equal(r_v.status, r_s.status)
+    assert r_v.steps == r_s.steps
+    np.testing.assert_array_equal(r_v.selections, r_s.selections)
+    np.testing.assert_allclose(r_v.trajectories, r_s.trajectories, atol=1e-9)
+
+    with pytest.raises(ValueError):
+        DeviceSimulation(Simulation(make_overtake(), cfg),
+                         mesh=make_agent_mesh(jax.devices()[:3]))
