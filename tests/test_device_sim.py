@@ -125,3 +125,40 @@ def test_device_sim_sharded_matches_vmap():
     with pytest.raises(ValueError):
         DeviceSimulation(Simulation(make_overtake(), cfg),
                          mesh=make_agent_mesh(jax.devices()[:3]))
+
+
+def test_device_sim_tjunction_six_agents():
+    """The real reference scenario (T-junction, 6 agents): statuses and step
+    count must match the batched host loop; trajectories are bit-equal for
+    agents that never drop below the low-velocity threshold (the device sim
+    fixes low_vel_mode=False — the one documented kinematics divergence)."""
+    import os
+
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    path = "/root/reference/example_scenarios/ZAM_Tjunction-1_23_T-1.xml"
+    if not os.path.isfile(path):
+        pytest.skip("reference scenarios not present")
+
+    cfg = _cfg(**{"simulation.start_multiagent": True})
+    res_d = DeviceSimulation(Simulation(load_scenario(path), cfg)).run()
+
+    cfg_h = _cfg(**{"simulation.start_multiagent": True,
+                    "simulation.batched_device_agents": True})
+    res_h = Simulation(load_scenario(path), cfg_h).run()
+
+    assert res_d.steps == res_h.steps
+    low_thr = cfg.planning.low_vel_mode_threshold
+    for col, aid in enumerate(res_d.agent_ids):
+        assert res_h.agent_status[aid] == AgentStatus.COMPLETED_SUCCESS
+        assert int(res_d.status[col]) == int(AgentStatus.COMPLETED_SUCCESS)
+        h = res_h.histories[aid]
+        diffs = [np.linalg.norm(res_d.trajectories[i - 1, col, :2]
+                                - h[i].position) for i in range(1, len(h))]
+        if min(s.velocity for s in h) >= low_thr:
+            assert max(diffs) < 1e-9, (aid, max(diffs))
+        else:
+            assert max(diffs) < 0.05, (aid, max(diffs))
