@@ -36,8 +36,9 @@ construction where possible):
   v ≤ 0.1, the `emergency_mode="stopping"` ordered fallback); `min_risk`
   emergency mode is not (construction raises).  An agent failing the whole
   ladder freezes with status ERROR.
-- `low_vel_mode` is fixed False (the host path switches kinematics below
-  `low_vel_mode_threshold`).
+- low-velocity kinematics match the host: both cycle programs run each
+  replan and a per-agent `where` picks by `v < low_vel_mode_threshold`
+  (nearly free in the launch-bound regime).
 - road-departure failsafe of executed poses is skipped — selected plans are
   already corridor-checked inside the cycle.
 - agent-agent collision is symmetric: BOTH vehicles of a colliding pair get
@@ -402,15 +403,15 @@ class DeviceSimulation:
         vdes_fn = self._desired_velocity_fn()
         dt, n_steps = self.dt, self.n_steps
 
-        def one_select(matrix, mask, ctx, d0):
-            """One agent's cycle + the host emergency ladder's stopping
-            fallback (ReactivePlanner.plan fallback,
-            planner/reactive.py:346-361): when no candidate is selectable,
-            pick among feasible∧valid by (v asc, t asc, |d − d0| asc) —
-            `_select_stopping_index` as one composite argmin key (v spans
-            dominate t spans dominate d spans at these scales)."""
-            res = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
-                                 low_vel_mode=False, table_window=768)
+        low_thr = self.config.planning.low_vel_mode_threshold
+
+        def _select_from(res, matrix, mask, d0):
+            """Host emergency ladder's stopping fallback (ReactivePlanner.plan
+            fallback, planner/reactive.py:346-361): when no candidate is
+            selectable, pick among feasible∧valid by (v asc, t asc,
+            |d − d0| asc) — `_select_stopping_index` as one composite argmin
+            key (v spans dominate t spans dominate d spans at these
+            scales)."""
             ro = res.rollout
             feas = ro.feasible & ro.valid & mask
             key = (matrix[:, 5] * 1e8 + matrix[:, 1] * 1e4
@@ -423,7 +424,25 @@ class DeviceSimulation:
             out.update(found=res.found, fb_ok=fb_ok, best=idx)
             return out
 
-        vbody = jax.vmap(one_select, in_axes=(0, 0, CTX_IN_AXES, 0))
+        def one_select(matrix, mask, ctx, d0, v_cur):
+            """One agent's cycle in BOTH kinematics modes, picking by the
+            host's low-velocity rule (v < low_vel_mode_threshold →
+            lateral-over-arclength rollout).  low_vel_mode is a static flag
+            of evaluate_cycle, so both programs run and a per-agent where
+            selects — in the launch-bound regime the second cycle is nearly
+            free, and it removes the one kinematics divergence from the
+            host loop."""
+            res_hi = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
+                                    low_vel_mode=False, table_window=768)
+            res_lo = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
+                                    low_vel_mode=True, table_window=768)
+            out_hi = _select_from(res_hi, matrix, mask, d0)
+            out_lo = _select_from(res_lo, matrix, mask, d0)
+            lv = v_cur < low_thr
+            return jax.tree.map(lambda a, b: jnp.where(lv, b, a),
+                                out_hi, out_lo)
+
+        vbody = jax.vmap(one_select, in_axes=(0, 0, CTX_IN_AXES, 0, 0))
         if self.mesh is None:
             cycle_fn = vbody
         else:
@@ -438,15 +457,15 @@ class DeviceSimulation:
             axis = self.axis_name
             sh = P(axis)
 
-            def sharded(mats, msks, ctx, d0):
-                out = vbody(mats, msks, ctx, d0)
+            def sharded(mats, msks, ctx, d0, v_cur):
+                out = vbody(mats, msks, ctx, d0, v_cur)
                 return jax.tree.map(
                     lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
                     out)
 
             cycle_fn = jax.shard_map(
                 sharded, mesh=self.mesh,
-                in_specs=(sh, sh, _ctx_pspecs(axis), sh),
+                in_specs=(sh, sh, _ctx_pspecs(axis), sh, sh),
                 out_specs=P(),
                 check_vma=False,   # all_gather output is replicated
             )
@@ -496,7 +515,7 @@ class DeviceSimulation:
                 x0_orientation=theta, desired_velocity=v_des,
                 desired_avg_velocity=v_des,
             )
-            out = cycle_fn(mats, masks, ctx, x_cl[:, 3])
+            out = cycle_fn(mats, masks, ctx, x_cl[:, 3], v)
             found = out["found"]
             # host emergency ladder (plan() fallback): standstill at v ≤ 0.1
             # takes precedence, then the stopping fallback, then failure

@@ -128,10 +128,11 @@ def test_device_sim_sharded_matches_vmap():
 
 
 def test_device_sim_tjunction_six_agents():
-    """The real reference scenario (T-junction, 6 agents): statuses and step
-    count must match the batched host loop; trajectories are bit-equal for
-    agents that never drop below the low-velocity threshold (the device sim
-    fixes low_vel_mode=False — the one documented kinematics divergence)."""
+    """The real reference scenario (T-junction, 6 agents): statuses, step
+    count and every agent's executed trajectory must match the batched host
+    loop — including the agent that brakes below the low-velocity threshold
+    (the device sim evaluates both kinematics modes and selects per
+    agent)."""
     import os
 
     from frenetix_tpu.io import load_scenario
@@ -152,13 +153,14 @@ def test_device_sim_tjunction_six_agents():
 
     assert res_d.steps == res_h.steps
     low_thr = cfg.planning.low_vel_mode_threshold
+    saw_low_vel = False
     for col, aid in enumerate(res_d.agent_ids):
         assert res_h.agent_status[aid] == AgentStatus.COMPLETED_SUCCESS
         assert int(res_d.status[col]) == int(AgentStatus.COMPLETED_SUCCESS)
         h = res_h.histories[aid]
-        diffs = [np.linalg.norm(res_d.trajectories[i - 1, col, :2]
-                                - h[i].position) for i in range(1, len(h))]
-        if min(s.velocity for s in h) >= low_thr:
-            assert max(diffs) < 1e-9, (aid, max(diffs))
-        else:
-            assert max(diffs) < 0.05, (aid, max(diffs))
+        saw_low_vel |= min(s.velocity for s in h) < low_thr
+        for i in range(1, len(h)):
+            np.testing.assert_allclose(
+                res_d.trajectories[i - 1, col, :2], h[i].position, atol=1e-9,
+                err_msg=f"agent {aid} step {i}")
+    assert saw_low_vel, "scenario no longer exercises the low-vel branch"
