@@ -637,3 +637,56 @@ class DeviceSimulation:
             found=out["found"],
             wall_time=time.perf_counter() - t_start,
         )
+
+    def to_simulation_result(self, dres: DeviceSimResult):
+        """Adapt a device run into the host `SimulationResult` shape so the
+        downstream pipeline (score CSV, plots, criticality metrics) consumes
+        it unchanged.  Histories follow the host recording convention: the
+        initial state, then every state executed while RUNNING, including
+        the colliding state (the host appends it before the post-step
+        collision check flags the agent)."""
+        from frenetix_tpu.sim.agent import AgentStatus, EgoState
+        from frenetix_tpu.sim.simulation import SimulationResult
+
+        wb = self.veh.wheelbase
+        messages = {
+            int(AgentStatus.COMPLETED_SUCCESS): "success",
+            int(AgentStatus.TIMELIMIT): "timelimit",
+            int(AgentStatus.COLLISION): "collision",
+            int(AgentStatus.ERROR): "no feasible trajectory",
+        }
+        histories, statuses, msgs = {}, {}, {}
+        for col, (aid, agent) in enumerate(zip(dres.agent_ids, self.agents)):
+            states = [agent.record.states[0]]
+            prev_theta = float(self.pose0[col, 2])
+            for i in range(dres.steps):
+                s_i = int(dres.status_per_step[i, col])
+                executed = (s_i == int(AgentStatus.RUNNING)) or (
+                    s_i == int(AgentStatus.COLLISION)
+                    and (i == 0 or int(dres.status_per_step[i - 1, col])
+                         == int(AgentStatus.RUNNING)))
+                if not executed:
+                    break
+                x, y, th, v, a = (float(f) for f in dres.trajectories[i, col])
+                yaw_rate = (th - prev_theta) / self.dt
+                prev_theta = th
+                states.append(EgoState(
+                    time_step=i + 1, position=np.array([x, y]),
+                    orientation=th, velocity=v, acceleration=a,
+                    yaw_rate=yaw_rate,
+                    steering_angle=float(np.arctan2(
+                        wb * yaw_rate, max(v, 1e-3))),
+                ))
+            histories[aid] = states
+            st = AgentStatus(int(dres.status[col]))
+            statuses[aid] = st
+            msgs[aid] = messages.get(int(st), "")
+        return SimulationResult(
+            scenario_id=self.sim.scenario.scenario_id,
+            agent_status=statuses,
+            agent_messages=msgs,
+            steps=dres.steps,
+            wall_time=dres.wall_time,
+            planning_times=[],
+            histories=histories,
+        )

@@ -51,7 +51,15 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
             {"prediction_mode": config.prediction.mode},
             {"cost_weights": config.cost_weights},
         )
-    res = sim.run()
+    if config.simulation.device_resident_sim:
+        # whole-sim-on-device scan, ONE fetch per run (parallel/device_sim);
+        # the adapter feeds the normal downstream pipeline
+        from frenetix_tpu.parallel.device_sim import DeviceSimulation
+
+        ds = DeviceSimulation(sim)
+        res = ds.to_simulation_result(ds.run())
+    else:
+        res = sim.run()
     if log_dir is not None and config.visualization.save_plots:
         from frenetix_tpu.utils.visualization import (
             plot_final, plot_multiagent_overview,
@@ -92,6 +100,9 @@ def main(argv=None):
     ap.add_argument("scenarios", nargs="+",
                     help="CommonRoad XML files or directories of them")
     ap.add_argument("--multiagent", action="store_true")
+    ap.add_argument("--device-sim", action="store_true",
+                    help="run the WHOLE simulation on device as one scan "
+                         "(one fetch per run; parallel/device_sim.py)")
     ap.add_argument("--batched-agents", action="store_true",
                     help="evaluate all agents' cycles in one device call")
     ap.add_argument("--config-dir", default=None)
@@ -142,6 +153,8 @@ def main(argv=None):
         config.simulation.start_multiagent = True
     if args.batched_agents:
         config.simulation.batched_device_agents = True
+    if args.device_sim:
+        config.simulation.device_resident_sim = True
     if args.prediction:
         config.prediction.mode = args.prediction
     if args.plot or args.gif:

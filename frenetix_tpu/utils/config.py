@@ -94,6 +94,8 @@ class SimulationConfig:
     batched_device_agents: bool = False  # all agents' cycles in ONE device call
     sharded_device_agents: bool = False  # shard the agent axis over the mesh
                                          # (requires batched_device_agents)
+    device_resident_sim: bool = False    # whole sim as one lax.scan, ONE fetch
+                                         # per run (parallel/device_sim.py)
     check_road_boundary: bool = True     # executed off-road pose = failure
                                          # (reference simulation.py:474-495)
     number_of_agents: int = -1

@@ -63,8 +63,11 @@ def test_device_sim_multiagent_matches_host_batched():
     from frenetix_tpu.sim import Simulation
     from frenetix_tpu.sim.agent import AgentStatus
 
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+
     cfg = _cfg(**{"simulation.start_multiagent": True})
-    res_d = _run_device(make_overtake(), cfg)
+    ds = DeviceSimulation(Simulation(make_overtake(), cfg))
+    res_d = ds.run()
 
     cfg_h = _cfg(**{"simulation.start_multiagent": True,
                     "simulation.batched_device_agents": True})
@@ -80,6 +83,17 @@ def test_device_sim_multiagent_matches_host_batched():
             np.testing.assert_allclose(
                 res_d.trajectories[i - 1, col, :2], h[i].position, atol=1e-9,
                 err_msg=f"agent {aid} step {i}")
+
+    # the SimulationResult adapter (run_scenario --device-sim) must mirror
+    # the host recording convention: same statuses, same history lengths,
+    # same recorded positions
+    adapted = ds.to_simulation_result(res_d)
+    assert adapted.success
+    for aid in res_d.agent_ids:
+        ha, hh = adapted.histories[aid], res_h.histories[aid]
+        assert len(ha) == len(hh), aid
+        np.testing.assert_allclose(ha[-1].position, hh[-1].position, atol=1e-9)
+        np.testing.assert_allclose(ha[3].velocity, hh[3].velocity, atol=1e-9)
 
 
 def test_device_sim_guards():
