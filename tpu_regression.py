@@ -53,6 +53,29 @@ def run_all():
             "final_position": [round(float(v), 2) for v in a.state.position],
         }
         print(f"scenario {name}: {results[name]}", flush=True)
+
+    # device-resident sim (parallel/device_sim): six-agent T-junction as one
+    # scan + one fetch on the real chip — statuses/steps pinned like the
+    # host-loop rows above
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+
+    sc = load_scenario(f"{SCENARIO_DIR}/ZAM_Tjunction-1_23_T-1.xml")
+    cfg = load_config()
+    cfg.dtype = "float32"
+    cfg.debug.activate_logging = False
+    cfg.simulation.start_multiagent = True
+    t0 = time.time()
+    dres = DeviceSimulation(Simulation(sc, cfg)).run()
+    results["device_sim_23_multiagent"] = {
+        "status": ("COMPLETED_SUCCESS"
+                   if all(int(s) == 2 for s in dres.status) else
+                   str([int(s) for s in dres.status])),
+        "steps": int(dres.steps),
+        "wall_s": round(time.time() - t0, 2),
+        "agents": len(dres.agent_ids),
+    }
+    print(f"device_sim: {results['device_sim_23_multiagent']}", flush=True)
+
     results["_meta"] = {
         "device": str(jax.devices()[0]),
         "dtype": "float32",
@@ -71,7 +94,9 @@ def main():
     with open(ARTIFACT) as f:
         expect = json.load(f)
     failures = []
-    for name in SCENARIOS:
+    keys = SCENARIOS + [k for k in ("device_sim_23_multiagent",)
+                        if k in expect and k in results]
+    for name in keys:
         got, want = results[name], expect[name]
         if got["status"] != want["status"]:
             failures.append(f"{name}: status {got['status']} != {want['status']}")
