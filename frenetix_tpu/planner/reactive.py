@@ -294,30 +294,19 @@ class ReactivePlanner:
             if (self.occlusion_module is not None and self.phantom_mask is not None
                     and found):
                 # occlusion safety gate: re-select among candidates whose
-                # phantom risk stays under the thresholds
-                risks = self._risk_fn()(
-                    res.rollout, ctx.preds, self._default_meta(ctx.preds)
-                )
-                safe = np.asarray(
-                    self.occlusion_module.trajectory_safety_assessment(
-                        risks, self.phantom_mask,
-                        rollout=res.rollout, preds=ctx.preds,
-                    )
-                )
-                selectable = np.asarray(res.selectable) & safe
-                if selectable.any():
-                    cost_base = np.asarray(res.cost)
-                    extra = self._external_occlusion_costs(res, risks)
-                    if extra is not None:
-                        cost_base = cost_base + extra
-                    cost_np = np.where(selectable, cost_base, np.inf)
-                    idx = int(np.argmin(cost_np))
+                # phantom risk stays under the thresholds — risk stack, the
+                # shared gate, external soft costs, argmin and the selected
+                # rows all in ONE device fetch (_jitted_occlusion_pack); the
+                # header records the SELECTION cost (incl. external terms)
+                # so host and in-batch paths log comparable numbers
+                pack_o = self._occlusion_pack(res, ctx)
+                if bool(pack_o[0, 0]):
                     mode = "stopping_plan" if quintic_lon else "optimal"
-                    # record the SELECTION cost (incl. external terms) so the
-                    # host and in-batch paths log comparable numbers
-                    optimal = self._materialize(
-                        res, idx, matrix, mode, risks=risks,
-                        cost_override=cost_np[idx] if extra is not None else None,
+                    optimal = self._plan_from_rows(
+                        pack_o[1:], res, int(pack_o[0, 1]), matrix, mode,
+                        cost_override=float(pack_o[0, 2]),
+                        risk_scalars=(float(pack_o[0, 3]),
+                                      float(pack_o[0, 4])),
                     )
                 else:
                     occ_ok = False
@@ -418,52 +407,38 @@ class ReactivePlanner:
         self._occ_ego_state = ego_state
         self._occ_time_step = time_step
 
-    def _ext_cost_fn(self):
-        """Jitted external occlusion-cost program with the configured
-        weights folded in (eager jnp over the TPU tunnel costs seconds)."""
-        if not hasattr(self, "_ext_cost_cached"):
-            import jax
-
-            from frenetix_tpu.occlusion import external_occlusion_costs
-
-            ew = self.config.external_cost_weights
-            w_pm = float(ew.get("occ_pm", 0.0))
-            w_um = float(ew.get("occ_um", 0.0))
-            w_ve = float(ew.get("occ_ve", 0.0))
-
-            def f(ro, risks, pm, ego, r_vis, pts, pts_valid):
-                return external_occlusion_costs(
-                    ro, w_pm=w_pm, w_um=w_um, w_ve=w_ve, risks=risks,
-                    phantom_mask=pm, ego=ego, r_vis=r_vis,
-                    occluder_pts=pts, occluder_valid=pts_valid,
-                )
-
-            self._ext_cost_cached = jax.jit(f)
-        return self._ext_cost_cached
-
-    def _external_occlusion_costs(self, res, risks):
-        """(M,) soft occlusion costs for the current cycle, or None when all
-        external weights are zero (cost.yaml external_cost_weights)."""
-        ew = self.config.external_cost_weights
-        if not any(float(ew.get(k, 0.0)) != 0.0
-                   for k in ("occ_pm", "occ_um", "occ_ve")):
-            return None
+    def _occlusion_pack(self, res, ctx):
+        """Run the fused occlusion-gated re-selection (_jitted_occlusion_pack)
+        and fetch its (14, L) pack — the host work is only gathering the
+        polar-map inputs for the external soft costs."""
         mod = self.occlusion_module
+        ew = self.config.external_cost_weights
+        w_pm = float(ew.get("occ_pm", 0.0))
+        w_um = float(ew.get("occ_um", 0.0))
+        w_ve = float(ew.get("occ_ve", 0.0))
         ego_state = getattr(self, "_occ_ego_state", None)
-        if ego_state is not None and float(ew.get("occ_um", 0.0)) != 0.0:
+        if ego_state is not None and w_um != 0.0:
             r_vis, ego = mod.polar_map(ego_state, self._occ_time_step)
         else:
             r_vis = np.full(720, float(mod.sensor_radius))
             ego = (np.asarray(ego_state.position, dtype=np.float64)
                    if ego_state is not None else np.zeros(2))
-        pts, pts_valid = mod.occluder_points()
-        return np.asarray(self._ext_cost_fn()(
-            res.rollout, risks, self.phantom_mask,
-            self.jnp.asarray(ego, self.np_dtype),
-            self.jnp.asarray(r_vis, self.np_dtype),
-            self.jnp.asarray(pts, self.np_dtype),
-            self.jnp.asarray(pts_valid),
-        ))
+        if w_ve != 0.0 or w_um != 0.0 or w_pm != 0.0:
+            pts, pts_valid = mod.occluder_points()
+        else:
+            pts, pts_valid = np.zeros((1, 2)), np.zeros(1, bool)
+        fn = _jitted_occlusion_pack(
+            self.dt, tuple(self.veh), tuple(mod.thresholds), w_pm, w_um, w_ve)
+        jnp = self.jnp
+        return np.asarray(fn(
+            res.rollout, ctx.preds, self._default_meta(ctx.preds),
+            jnp.asarray(self.phantom_mask), res.selectable, res.cost,
+            res.cost_terms,
+            jnp.asarray(ego, self.np_dtype),
+            jnp.asarray(r_vis, self.np_dtype),
+            jnp.asarray(pts, self.np_dtype),
+            jnp.asarray(pts_valid),
+        ), dtype=self.np_dtype)
 
     def set_reach_grid(self, grid):
         """Lanelet-following reach sets for the responsibility cost
@@ -595,9 +570,12 @@ class ReactivePlanner:
                                     risks=risks, cost_override=cost_override)
 
     def _plan_from_rows(self, rows, res, idx: int, matrix, mode: str,
-                        risks=None, cost_override=None) -> PlannedTrajectory:
+                        risks=None, cost_override=None,
+                        risk_scalars=None) -> PlannedTrajectory:
         """Build the PlannedTrajectory from already-fetched (13, L) rows
-        (12 state rows + [cost, cost_terms...]; see _jitted_select_rows)."""
+        (12 state rows + [cost, cost_terms...]; see _jitted_select_rows).
+        `risk_scalars`: already-fetched (ego_risk, obst_risk) of the selected
+        candidate — avoids recomputing the risk batch for log_risk."""
         k = res.cost_terms.shape[1]
         n1 = res.rollout.x.shape[1]
         (x, y, theta, v, a_, kappa, s, s_dot, s_ddot, d, d_dot, d_ddot) = (
@@ -618,11 +596,14 @@ class ReactivePlanner:
             # selected trajectory's risk via the full harm x probability
             # stack (reference debug.yaml log_risk → planner.py risk
             # logging); reuse the caller's batch when it already computed one
-            if risks is None:
-                risks = self._risk_fn()(res.rollout, self.preds,
-                                        self._default_meta(self.preds))
-            plan.ego_risk = float(risks.ego_risk[idx])
-            plan.obst_risk = float(risks.obst_risk[idx])
+            if risk_scalars is not None:
+                plan.ego_risk, plan.obst_risk = risk_scalars
+            else:
+                if risks is None:
+                    risks = self._risk_fn()(res.rollout, self.preds,
+                                            self._default_meta(self.preds))
+                plan.ego_risk = float(risks.ego_risk[idx])
+                plan.obst_risk = float(risks.obst_risk[idx])
         return plan
 
 
@@ -632,6 +613,76 @@ class ReactivePlanner:
 # every new Agent/Simulation (a fresh function identity is a fresh jit
 # cache entry — measured ~2.5 s per Simulation on CPU).
 # ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_occlusion_pack(dt, veh_key, thr_key, w_pm, w_um, w_ve):
+    """ONE-fetch occlusion-gated re-selection, (14, L): header
+    [found, idx, selection_cost, ego_risk, obst_risk] + the selected
+    candidate's 12 state rows + [cost, cost_terms...].  Runs the whole
+    sequential occlusion branch on device — risk stack, the SHARED
+    phantom_safety_mask gate, optional external soft costs, masked argmin —
+    replacing ~5 separate device fetches per occlusion replan.  Keyed by the
+    planner's static scalars (dt, vehicle, thresholds, external weights) so
+    every Agent/Simulation shares one compiled program."""
+    import jax
+    import jax.numpy as jnp
+
+    from frenetix_tpu.occlusion import (
+        PhantomThresholds, external_occlusion_costs, phantom_safety_mask,
+    )
+    from frenetix_tpu.ops.kinematics import VehicleParams
+    from frenetix_tpu.risk.costs import trajectory_risks
+
+    veh = VehicleParams(*veh_key)
+    thr = PhantomThresholds(*thr_key)
+    use_ext = (w_pm != 0.0) or (w_um != 0.0) or (w_ve != 0.0)
+
+    def f(ro, preds, meta, phantom_mask, selectable, cost, terms,
+          ego, r_vis, pts, pts_valid):
+        risks = trajectory_risks(ro, preds, meta, veh.mass)
+        safe = phantom_safety_mask(risks, phantom_mask, thr,
+                                   rollout=ro, preds=preds, veh=veh, dt=dt)
+        sel = selectable & safe
+        cost2 = cost
+        if use_ext:
+            cost2 = cost2 + external_occlusion_costs(
+                ro, w_pm=w_pm, w_um=w_um, w_ve=w_ve, risks=risks,
+                phantom_mask=phantom_mask, ego=ego, r_vis=r_vis,
+                occluder_pts=pts, occluder_valid=pts_valid,
+            )
+        masked = jnp.where(sel, cost2, jnp.inf)
+        idx = jnp.argmin(masked).astype(jnp.int32)
+        found = jnp.any(sel)
+
+        k = terms.shape[1]
+        n1 = ro.x.shape[1]
+        length = max(n1, 1 + k, 5)
+        dt_ = ro.x.dtype
+
+        def pad(v):
+            return jnp.zeros(length, dt_).at[:n1].set(v)
+
+        header = (
+            jnp.zeros(length, dt_)
+            .at[0].set(found.astype(dt_))
+            .at[1].set(idx.astype(dt_))
+            .at[2].set(cost2[idx])
+            .at[3].set(risks.ego_risk[idx])
+            .at[4].set(risks.obst_risk[idx])
+        )
+        extra = jnp.zeros(length, dt_)
+        extra = extra.at[0].set(cost2[idx]).at[1:1 + k].set(terms[idx])
+        return jnp.stack([
+            header,
+            pad(ro.x[idx]), pad(ro.y[idx]), pad(ro.theta_gl[idx]),
+            pad(ro.v[idx]), pad(ro.a[idx]), pad(ro.kappa_gl[idx]),
+            pad(ro.s[idx]), pad(ro.s_vel[idx]), pad(ro.s_acc[idx]),
+            pad(ro.d[idx]), pad(ro.d_vel[idx]), pad(ro.d_acc[idx]),
+            extra,
+        ])
+
+    return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)
