@@ -455,30 +455,11 @@ class ReactivePlanner:
         if w == 0.0 or self.reach_grid is None or self.preds is None \
                 or self.preds.num_obstacles == 0:
             return res
-        import jax
-
-        from frenetix_tpu.risk.reachable_set import responsibility_reach_grid
-
-        if not hasattr(self, "_resp_fn"):
-            risk_fn = self._risk_fn()
-
-            def resp(ro, preds, meta, grid):
-                risks = risk_fn(ro, preds, meta)
-                return responsibility_reach_grid(ro, grid, risks, self.dt)
-
-            self._resp_fn = jax.jit(resp)
-        term = np.asarray(self._resp_fn(
+        cost2, best = _jitted_responsibility(w, self.dt, self.veh.mass)(
             res.rollout, self.preds, self._default_meta(self.preds),
-            self.reach_grid,
-        ))
-        cost = np.asarray(res.cost) + w * term
-        selectable = np.asarray(res.selectable)
-        masked = np.where(selectable, cost, np.inf)
-        best = int(np.argmin(masked)) if selectable.any() else int(res.best_idx)
-        return res._replace(
-            cost=self.jnp.asarray(cost),
-            best_idx=self.jnp.asarray(best, self.jnp.int32),
+            self.reach_grid, res.cost, res.selectable, res.best_idx,
         )
+        return res._replace(cost=cost2, best_idx=best)
 
     def set_stop_point(self, stop_s, stop_v):
         """Behavior-planner stop point → stopping-trajectory mode
@@ -613,6 +594,30 @@ class ReactivePlanner:
 # every new Agent/Simulation (a fresh function identity is a fresh jit
 # cache entry — measured ~2.5 s per Simulation on CPU).
 # ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_responsibility(w, dt, mass):
+    """Device-resident responsibility re-selection: risk stack → reach-grid
+    term → cost += w·term → re-argmin over selectable, all without a single
+    host fetch (the previous host pass fetched term/cost/selectable per
+    replan).  Keyed by the planner's static scalars."""
+    import jax
+    import jax.numpy as jnp
+
+    from frenetix_tpu.risk.costs import trajectory_risks
+    from frenetix_tpu.risk.reachable_set import responsibility_reach_grid
+
+    def f(ro, preds, meta, grid, cost, selectable, best0):
+        risks = trajectory_risks(ro, preds, meta, mass)
+        term = responsibility_reach_grid(ro, grid, risks, dt)
+        cost2 = cost + w * term
+        masked = jnp.where(selectable, cost2, jnp.inf)
+        best = jnp.where(jnp.any(selectable), jnp.argmin(masked),
+                         best0).astype(jnp.int32)
+        return cost2, best
+
+    return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)
