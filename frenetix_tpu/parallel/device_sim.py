@@ -409,14 +409,19 @@ class DeviceSimulation:
             """Host emergency ladder's stopping fallback (ReactivePlanner.plan
             fallback, planner/reactive.py:346-361): when no candidate is
             selectable, pick among feasible∧valid by (v asc, t asc,
-            |d − d0| asc) — `_select_stopping_index` as one composite argmin
-            key (v spans dominate t spans dominate d spans at these
-            scales)."""
+            |d − d0| asc) — `_select_stopping_index` as one integer-rank
+            lexicographic argmin.  Ranks (count of strictly-smaller values,
+            ties share a rank like the host's unique-value ranking) keep the
+            key EXACT in int32 — a float composite loses the d tie-break to
+            float32 rounding on TPU."""
             ro = res.rollout
             feas = ro.feasible & ro.valid & mask
-            key = (matrix[:, 5] * 1e8 + matrix[:, 1] * 1e4
-                   + jnp.abs(matrix[:, 10] - d0))
-            key = jnp.where(feas, key, jnp.inf)
+            v, t, d = matrix[:, 5], matrix[:, 1], jnp.abs(matrix[:, 10] - d0)
+            rank = lambda col: jnp.sum(
+                col[None, :] < col[:, None], axis=1).astype(jnp.int32)
+            m = matrix.shape[0]
+            key = (rank(v) * m + rank(t)) * m + rank(d)
+            key = jnp.where(feas, key, jnp.iinfo(jnp.int32).max)
             fb_idx = jnp.argmin(key).astype(jnp.int32)
             fb_ok = jnp.any(feas)
             idx = jnp.where(res.found, res.best_idx, fb_idx)
