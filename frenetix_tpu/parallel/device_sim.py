@@ -48,13 +48,43 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["DeviceSimulation", "DeviceSimResult"]
+__all__ = ["DeviceSimulation", "DeviceSimResult", "run_fleet"]
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 # AgentStatus integer values (sim/agent.py:32-40) — kept as plain ints so the
 # scan carry is a simple int32 array
 _RUNNING, _SUCCESS, _TIMELIMIT, _COLLISION, _ERROR = 1, 2, 3, 4, 5
+
+
+class SimTensors(NamedTuple):
+    """Every per-scenario device input of the scan — a pytree, so the whole
+    run function vmaps over a leading SCENARIO axis (`run_fleet`)."""
+
+    ref: object                # RefPathTable, (A, R, ...) leaves
+    corridors: object          # (A, R, 2)
+    lane_segments: object      # (A, S, 2, 2)
+    lane_valid: object         # (A, S)
+    pred_windows: dict         # per-cycle scenario-obstacle windows (C, O, ...)
+    obst_poses: object         # (T+1, O, 3)
+    obst_valid: object         # (T+1, O)
+    obst_half: object          # (O, 2)
+    g_rings: object            # (A, G, E, 2)
+    g_ring_valid: object       # (A, G)
+    g_ring_v: object           # (A, G, 2)
+    g_vo_has: object           # (A,)
+    g_vo_int: object           # (A, 2)
+    goal_s: object             # (A,)
+    has_goal_s: object         # (A,)
+    goal_t_hi: object          # (A,)
+    has_goal_t: object         # (A,)
+    goal_v_mean: object        # (A,)
+    max_steps: object          # () int32 — per-scenario step budget
+    active0: object            # (A,) bool — False rows are fleet padding
+    x_cl0: object              # (A, 6)
+    pose0: object              # (A, 4) center x, y, theta, v
+    acc0: object               # (A,)
 
 
 @dataclass
@@ -288,6 +318,32 @@ class DeviceSimulation:
         self.obst_valid = jnp.asarray(ov)
         self.obst_half = jnp.asarray(oh)
 
+        self.tensors = SimTensors(
+            ref=self.stepper.ref,
+            corridors=self.stepper.corridors,
+            lane_segments=self.stepper.lane_segments,
+            lane_valid=self.stepper.lane_valid,
+            pred_windows=self.pred_windows,
+            obst_poses=self.obst_poses,
+            obst_valid=self.obst_valid,
+            obst_half=self.obst_half,
+            g_rings=jnp.asarray(self.g_rings),
+            g_ring_valid=jnp.asarray(self.g_ring_valid),
+            g_ring_v=jnp.asarray(self.g_ring_v),
+            g_vo_has=jnp.asarray(self.g_vo_has),
+            g_vo_int=jnp.asarray(self.g_vo_int),
+            goal_s=jnp.asarray(self.goal_s),
+            has_goal_s=jnp.asarray(self.has_goal_s),
+            goal_t_hi=jnp.asarray(self.goal_t_hi),
+            has_goal_t=jnp.asarray(self.has_goal_t),
+            goal_v_mean=jnp.asarray(self.goal_v_mean),
+            max_steps=jnp.asarray(self.max_steps, jnp.int32),
+            active0=jnp.ones(a_n, bool),
+            x_cl0=jnp.asarray(x_cl0),
+            pose0=jnp.asarray(pose0),
+            acc0=jnp.asarray(acc0),
+        )
+
         self._run_fn = None
         self._status_enum = AgentStatus
 
@@ -326,27 +382,23 @@ class DeviceSimulation:
     def _goal_check_fn(self):
         """Vectorized Agent.goal_reached: (A,) bool from centers/velocities."""
         jnp = self.jnp
-        rings = self.jnp.asarray(self.g_rings)
-        ring_valid = self.jnp.asarray(self.g_ring_valid)
-        ring_v = self.jnp.asarray(self.g_ring_v)
-        vo_has = self.jnp.asarray(self.g_vo_has)
-        vo_int = self.jnp.asarray(self.g_vo_int)
 
-        def check(center, vel):
+        def check(g: SimTensors, center, vel):
             # crossing-number ring test (io.commonroad._point_in_ring)
-            a = rings                                    # (A, G, E, 2)
-            b = jnp.roll(rings, -1, axis=2)
+            a = g.g_rings                                # (A, G, E, 2)
+            b = jnp.roll(g.g_rings, -1, axis=2)
             p = center[:, None, None, :]                 # (A, 1, 1, 2)
             cond = (a[..., 1] > p[..., 1]) != (b[..., 1] > p[..., 1])
             den = b[..., 1] - a[..., 1]
             den = jnp.where(den == 0.0, 1.0, den)
             x_int = a[..., 0] + (p[..., 1] - a[..., 1]) * (b[..., 0] - a[..., 0]) / den
             crossings = jnp.sum(cond & (p[..., 0] < x_int), axis=-1)  # (A, G)
-            inside = (crossings % 2).astype(bool) & ring_valid
-            vel_ok = ((vel[:, None] >= ring_v[..., 0])
-                      & (vel[:, None] <= ring_v[..., 1]))
+            inside = (crossings % 2).astype(bool) & g.g_ring_valid
+            vel_ok = ((vel[:, None] >= g.g_ring_v[..., 0])
+                      & (vel[:, None] <= g.g_ring_v[..., 1]))
             pos_goal = jnp.any(inside & vel_ok, axis=1)
-            vo_ok = (vo_has & (vel >= vo_int[:, 0]) & (vel <= vo_int[:, 1]))
+            vo_ok = (g.g_vo_has & (vel >= g.g_vo_int[:, 0])
+                     & (vel <= g.g_vo_int[:, 1]))
             return pos_goal | vo_ok
 
         return check
@@ -354,30 +406,30 @@ class DeviceSimulation:
     def _desired_velocity_fn(self):
         """Vectorized Agent.desired_velocity (sim/agent.py:245-267)."""
         jnp = self.jnp
-        goal_s = jnp.asarray(self.goal_s)
-        has_goal = jnp.asarray(self.has_goal_s)
-        goal_t_hi = jnp.asarray(self.goal_t_hi)
-        has_goal_t = jnp.asarray(self.has_goal_t)
-        goal_v_mean = jnp.asarray(self.goal_v_mean)
         dt = self.dt
 
-        def v_des(x_cl, v_cur, t_step):
+        def v_des(g: SimTensors, x_cl, v_cur, t_step):
             s_cur = x_cl[:, 0]
-            dist = goal_s - s_cur
-            rem_t = (goal_t_hi - t_step) * dt
+            dist = g.goal_s - s_cur
+            rem_t = (g.goal_t_hi - t_step) * dt
             rem_d = jnp.maximum(dist, 0.0) / jnp.maximum(v_cur, 1.0)
-            remaining = jnp.where(has_goal_t, rem_t, rem_d)
+            remaining = jnp.where(g.has_goal_t, rem_t, rem_d)
             safe_rem = jnp.where(remaining == 0.0, 1.0, remaining)
             v = jnp.clip(dist / safe_rem,
                          jnp.maximum(v_cur - 5.0, 0.0), v_cur + 5.0)
             v = jnp.where(remaining <= 0.0, jnp.maximum(v_cur, 1.0), v)
-            v = jnp.where(dist <= 2.0, goal_v_mean, v)
-            return jnp.where(has_goal, v, v_cur)
+            v = jnp.where(dist <= 2.0, g.goal_v_mean, v)
+            return jnp.where(g.has_goal_s, v, v_cur)
 
         return v_des
 
     # ------------------------------------------------------------------- run
-    def _build_run(self):
+    def _build_run(self, a_n=None, n_cycles=None):
+        """Build the jitted whole-run function run(tensors) → out dict.
+
+        `a_n` / `n_cycles` default to this scenario's values; `run_fleet`
+        passes the padded fleet maxima and vmaps the returned function over
+        a leading scenario axis of SimTensors."""
         import jax
         import jax.numpy as jnp
 
@@ -388,10 +440,10 @@ class DeviceSimulation:
         )
         from frenetix_tpu.planner.core import CycleContext, evaluate_cycle
 
-        stepper = self.stepper
         veh = self.veh
         dtype = self.np_dtype
-        a_n = len(self.agents)
+        a_n = len(self.agents) if a_n is None else a_n
+        n_cycles = self.n_cycles if n_cycles is None else n_cycles
         k = self.k_replan
         m_total = self.m_total
         h_agent = jnp.asarray([veh.length / 2.0, veh.width / 2.0], dtype)
@@ -475,32 +527,28 @@ class DeviceSimulation:
                 check_vma=False,   # all_gather output is replicated
             )
         masks = jnp.ones((a_n, m_total), bool)
-        pred_windows = self.pred_windows
-        obst_poses, obst_valid, obst_half = (
-            self.obst_poses, self.obst_valid, self.obst_half)
         weights = self.weights
-        max_steps = self.max_steps
         eye = jnp.eye(a_n, dtype=bool)
 
-        def body(carry, c):
+        def body(g, carry, c):
             x_cl, center, theta, v, acc, status = carry
             t0 = c * k
 
             # --- pre_step goal check at the cycle-start state -------------
             running = status == _RUNNING
-            reached = goal_fn(center, v) & running
+            reached = goal_fn(g, center, v) & running
             status = jnp.where(reached, _SUCCESS, status)
             running = status == _RUNNING
 
             # --- replan (one fused vmapped cycle over all agents) ---------
             mats = matrix_fn(x_cl, v)
-            v_des = vdes_fn(x_cl, v, t0.astype(dtype))
+            v_des = vdes_fn(g, x_cl, v, t0.astype(dtype))
             # scenario-obstacle window of this cycle, broadcast to the agent
             # axis (every agent sees the same ground-truth rows — host
             # parity: pd_base is shared, sensor filtering is off here)
             window = PredictionTensors(*(
-                jnp.broadcast_to(pred_windows[k_][c][None],
-                                 (a_n,) + pred_windows[k_].shape[1:])
+                jnp.broadcast_to(g.pred_windows[k_][c][None],
+                                 (a_n,) + g.pred_windows[k_].shape[1:])
                 for k_ in PredictionTensors._fields))
             poses_all = jnp.concatenate(
                 [center, theta[:, None], v[:, None]], axis=1)
@@ -511,12 +559,12 @@ class DeviceSimulation:
             )
             preds = concat_obstacles(window, agent_preds)
             ctx = CycleContext(
-                ref=stepper.ref, veh=veh, weights=weights, preds=preds,
+                ref=g.ref, veh=veh, weights=weights, preds=preds,
                 obstacle_xy=preds.means[:, :, 0],
                 obstacle_valid=preds.valid[:, :, 0],
-                corridor=stepper.corridors,
-                lane_segments=stepper.lane_segments,
-                lane_valid=stepper.lane_valid,
+                corridor=g.corridors,
+                lane_segments=g.lane_segments,
+                lane_valid=g.lane_valid,
                 x0_orientation=theta, desired_velocity=v_des,
                 desired_avg_velocity=v_des,
             )
@@ -539,10 +587,10 @@ class DeviceSimulation:
             for j in range(1, k + 1):
                 t_glob = t0 + j
                 if j > 1:
-                    reached = goal_fn(center, v) & running
+                    reached = goal_fn(g, center, v) & running
                     status = jnp.where(reached, _SUCCESS, status)
                     running = status == _RUNNING
-                step_ok = running & (t_glob <= max_steps)
+                step_ok = running & (t_glob <= g.max_steps)
                 mov = step_ok & ~std
                 rear = jnp.stack([out["x"][:, j], out["y"][:, j]], axis=1)
                 th_j = out["theta"][:, j]
@@ -564,12 +612,12 @@ class DeviceSimulation:
                     axis=1), jnp.where((step_ok & std)[:, None], hold_cl, x_cl))
 
                 # collision ladder at the new poses (_check_collisions)
-                op = obst_poses[t_glob]                   # (O, 3)
-                ov = obst_valid[t_glob]                   # (O,)
+                op = g.obst_poses[t_glob]                 # (O, 3)
+                ov = g.obst_valid[t_glob]                 # (O,)
                 hit_obs = jnp.any(
                     obb_overlap(center[:, None], theta[:, None],
                                 h_agent[None, None], op[None, :, :2],
-                                op[None, :, 2], obst_half[None]) & ov[None],
+                                op[None, :, 2], g.obst_half[None]) & ov[None],
                     axis=1)
                 live = status == _RUNNING
                 pair = obb_overlap(center[:, None], theta[:, None],
@@ -590,15 +638,16 @@ class DeviceSimulation:
             ys = (jnp.stack(traj_steps), jnp.stack(status_steps), sel, found)
             return carry, ys
 
-        def run(x_cl0, pose0, acc0):
-            center0 = pose0[:, :2]
-            theta0, v0 = pose0[:, 2], pose0[:, 3]
-            status0 = jnp.full(a_n, _RUNNING, jnp.int32)
-            carry0 = (x_cl0, center0, theta0, v0, acc0, status0)
+        def run(g: SimTensors):
+            center0 = g.pose0[:, :2]
+            theta0, v0 = g.pose0[:, 2], g.pose0[:, 3]
+            status0 = jnp.where(g.active0, _RUNNING, _ERROR).astype(jnp.int32)
+            carry0 = (g.x_cl0, center0, theta0, v0, g.acc0, status0)
             carry, ys = jax.lax.scan(
-                body, carry0, jnp.arange(self.n_cycles, dtype=jnp.int32))
+                lambda carry, c: body(g, carry, c), carry0,
+                jnp.arange(n_cycles, dtype=jnp.int32))
             traj, status_steps, sel, found = ys
-            t_tot = self.n_cycles * k
+            t_tot = n_cycles * k
             return {
                 "final_status": carry[5],
                 "trajectories": traj.reshape(t_tot, a_n, 5),
@@ -609,25 +658,15 @@ class DeviceSimulation:
 
         return jax.jit(run)
 
-    def run(self) -> DeviceSimResult:
-        import time
-
-        import jax
-
-        t_start = time.perf_counter()
-        if self._run_fn is None:
-            self._run_fn = self._build_run()
-        jnp = self.jnp
-        out = self._run_fn(jnp.asarray(self.x_cl0), jnp.asarray(self.pose0),
-                           jnp.asarray(self.acc0))
-        out = jax.device_get(out)     # THE one fetch
-
-        # host-side epilogue (host loop parity): clip to max_steps; agents
-        # still RUNNING at the end get TIMELIMIT (simulation.py:724-726)
-        status = out["final_status"].copy()
+    def _finalize(self, out) -> DeviceSimResult:
+        """Host epilogue on the fetched dict of ONE scenario (host loop
+        parity): clip to max_steps; agents still RUNNING at the end get
+        TIMELIMIT (simulation.py:724-726)."""
+        a_n = len(self.agents)
+        status = np.asarray(out["final_status"][:a_n]).copy()
         status[status == _RUNNING] = _TIMELIMIT
-        traj = out["trajectories"][: self.max_steps]
-        sps = out["status_per_step"][: self.max_steps]
+        traj = np.asarray(out["trajectories"])[: self.max_steps, :a_n]
+        sps = np.asarray(out["status_per_step"])[: self.max_steps, :a_n]
         # executed steps: the host loop breaks once no agent is RUNNING
         # after a step (sps[i] is the status after executed step i+1)
         alive = (sps == _RUNNING).any(axis=1)
@@ -638,9 +677,107 @@ class DeviceSimulation:
             steps=steps,
             trajectories=traj,
             status_per_step=sps,
-            selections=out["selections"],
-            found=out["found"],
-            wall_time=time.perf_counter() - t_start,
+            selections=np.asarray(out["selections"])[:, :a_n],
+            found=np.asarray(out["found"])[:, :a_n],
+        )
+
+    def run(self) -> DeviceSimResult:
+        import time
+
+        import jax
+
+        t_start = time.perf_counter()
+        if self._run_fn is None:
+            self._run_fn = self._build_run()
+        out = self._run_fn(self.tensors)
+        out = jax.device_get(out)     # THE one fetch
+        res = self._finalize(out)
+        res.wall_time = time.perf_counter() - t_start
+        return res
+
+    def _padded_tensors(self, a_max, c_max, r_max, s_max, o_max, t1_max,
+                        g_max, e_max) -> SimTensors:
+        """This scenario's SimTensors padded to the fleet maxima.
+
+        Padding is inert by construction: extra agents carry active0=False
+        (status ERROR from step 0, excluded from predictions/collisions) and
+        replicate agent 0's state/tables so their dead computation is
+        numerically sane; extra obstacle/goal rows carry valid=False; extra
+        cycles repeat the last prediction window (agents are frozen by their
+        per-scenario max_steps long before)."""
+        from frenetix_tpu.parallel.mesh import _pad_table
+
+        g = self.tensors
+        np_ = np
+
+        def pad_a(x, axis=0):
+            """Pad the agent axis by replicating index 0."""
+            x = np_.asarray(x)
+            k = a_max - x.shape[axis]
+            if k <= 0:
+                return x
+            rep = np_.repeat(np_.take(x, [0], axis=axis), k, axis=axis)
+            return np_.concatenate([x, rep], axis=axis)
+
+        def pad_zero(x, size, axis):
+            x = np_.asarray(x)
+            k = size - x.shape[axis]
+            if k <= 0:
+                return x
+            shape = list(x.shape)
+            shape[axis] = k
+            return np_.concatenate(
+                [x, np_.zeros(shape, x.dtype)], axis=axis)
+
+        def pad_repeat(x, size, axis):
+            x = np_.asarray(x)
+            k = size - x.shape[axis]
+            if k <= 0:
+                return x
+            rep = np_.repeat(np_.take(x, [x.shape[axis] - 1], axis=axis),
+                             k, axis=axis)
+            return np_.concatenate([x, rep], axis=axis)
+
+        ref = type(g.ref)(**{
+            name: pad_a(np_.stack([
+                _pad_table(row, r_max, is_pathlength=(name == "s"))
+                for row in np_.asarray(getattr(g.ref, name))
+            ]))
+            for name in type(g.ref)._fields
+        })
+        pred_windows = {
+            k_: pad_repeat(v, c_max, axis=0)
+            for k_, v in g.pred_windows.items()
+        }
+        return SimTensors(
+            ref=ref,
+            corridors=pad_a(np_.stack([
+                _pad_table(row, r_max) for row in np_.asarray(g.corridors)
+            ])),
+            lane_segments=pad_a(pad_zero(g.lane_segments, s_max, 1)),
+            lane_valid=pad_a(pad_zero(g.lane_valid, s_max, 1)),
+            pred_windows=pred_windows,
+            obst_poses=pad_zero(pad_zero(g.obst_poses, t1_max, 0), o_max, 1),
+            obst_valid=pad_zero(pad_zero(g.obst_valid, t1_max, 0), o_max, 1),
+            obst_half=pad_zero(g.obst_half, o_max, 0),
+            g_rings=pad_a(pad_zero(pad_zero(g.g_rings, e_max, 2), g_max, 1)),
+            g_ring_valid=pad_a(pad_zero(g.g_ring_valid, g_max, 1)),
+            g_ring_v=pad_a(pad_zero(g.g_ring_v, g_max, 1)),
+            g_vo_has=pad_a(g.g_vo_has),
+            g_vo_int=pad_a(g.g_vo_int),
+            goal_s=pad_a(g.goal_s),
+            has_goal_s=pad_a(g.has_goal_s),
+            goal_t_hi=pad_a(g.goal_t_hi),
+            has_goal_t=pad_a(g.has_goal_t),
+            goal_v_mean=pad_a(g.goal_v_mean),
+            max_steps=np_.asarray(g.max_steps),
+            active0=np_.concatenate([
+                np_.ones(len(self.agents), bool),
+                np_.zeros(a_max - len(self.agents), bool),
+            ]),
+            x_cl0=pad_a(g.x_cl0),
+            pose0=pad_a(g.pose0),
+            acc0=pad_a(g.acc0),
         )
 
     def to_simulation_result(self, dres: DeviceSimResult):
@@ -695,3 +832,60 @@ class DeviceSimulation:
             planning_times=[],
             histories=histories,
         )
+
+
+def run_fleet(sims: list) -> list:
+    """Run S device simulations as ONE vmapped scan with ONE fetch — the
+    scenario axis (SURVEY §2.3 P3) as a device batch dimension instead of
+    host worker processes.
+
+    All members must share the planning/prediction statics (dt, horizon,
+    replanning frequency, sampling level, max_obstacles, dtype — i.e. the
+    same config family); heterogeneous sizes (agent count, reference length,
+    cycle count, obstacles, goal geometry) are padded to fleet maxima with
+    inert rows (`DeviceSimulation._padded_tensors`).  Returns one
+    DeviceSimResult per simulation, identical to running each alone (the
+    fleet parity test pins this).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    base = sims[0]
+    for s in sims:
+        if s.mesh is not None:
+            raise ValueError("run_fleet composes with vmap only (no mesh)")
+        if (s.dt, s.n_steps, s.k_replan, s.m_total, s.np_dtype) != (
+                base.dt, base.n_steps, base.k_replan, base.m_total,
+                base.np_dtype):
+            raise ValueError(
+                "fleet members must share planning statics (dt, horizon, "
+                "replanning frequency, sampling level, dtype)")
+
+    a_max = max(len(s.agents) for s in sims)
+    c_max = max(s.n_cycles for s in sims)
+    r_max = max(np.asarray(s.tensors.ref.s).shape[1] for s in sims)
+    s_max = max(np.asarray(s.tensors.lane_segments).shape[1] for s in sims)
+    o_max = max(np.asarray(s.tensors.obst_half).shape[0] for s in sims)
+    t1_max = max(np.asarray(s.tensors.obst_poses).shape[0] for s in sims)
+    g_max = max(np.asarray(s.tensors.g_rings).shape[1] for s in sims)
+    e_max = max(np.asarray(s.tensors.g_rings).shape[2] for s in sims)
+
+    padded = [s._padded_tensors(a_max, c_max, r_max, s_max, o_max, t1_max,
+                                g_max, e_max) for s in sims]
+    stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                           *padded)
+    run = base._build_run(a_n=a_max, n_cycles=c_max)
+    fleet_fn = jax.jit(jax.vmap(run))
+    out = jax.device_get(fleet_fn(stacked))      # THE one fetch for S sims
+
+    wall = time.perf_counter() - t0
+    results = []
+    for i, s in enumerate(sims):
+        res = s._finalize({k_: v[i] for k_, v in out.items()})
+        res.wall_time = wall
+        res.extras["fleet_size"] = len(sims)
+        results.append(res)
+    return results

@@ -178,3 +178,37 @@ def test_device_sim_tjunction_six_agents():
                 res_d.trajectories[i - 1, col, :2], h[i].position, atol=1e-9,
                 err_msg=f"agent {aid} step {i}")
     assert saw_low_vel, "scenario no longer exercises the low-vel branch"
+
+
+def test_device_fleet_matches_solo():
+    """run_fleet: S scenarios as one vmapped scan + one fetch must reproduce
+    each solo device run exactly (statuses, steps, trajectories) despite the
+    padding to fleet maxima (different agent counts, path lengths, horizons,
+    goal geometry)."""
+    from frenetix_tpu.io.scenario_factory import (
+        make_curve, make_highway, make_overtake,
+    )
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
+    from frenetix_tpu.sim import Simulation
+
+    def mk():
+        return [
+            DeviceSimulation(Simulation(make_highway(), _cfg())),
+            DeviceSimulation(Simulation(
+                make_overtake(), _cfg(**{"simulation.start_multiagent": True}))),
+            DeviceSimulation(Simulation(make_curve(), _cfg())),
+        ]
+
+    fleet = run_fleet(mk())
+    solo = [s.run() for s in mk()]
+    for r, s in zip(fleet, solo):
+        np.testing.assert_array_equal(r.status, s.status)
+        assert r.steps == s.steps
+        np.testing.assert_allclose(r.trajectories, s.trajectories, atol=1e-9)
+        assert r.extras["fleet_size"] == 3
+
+    # mismatched planning statics must fail loudly
+    bad = DeviceSimulation(Simulation(
+        make_highway(), _cfg(**{"planning.replanning_frequency": 2})))
+    with pytest.raises(ValueError):
+        run_fleet([DeviceSimulation(Simulation(make_highway(), _cfg())), bad])
