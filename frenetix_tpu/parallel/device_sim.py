@@ -29,8 +29,11 @@ construction where possible):
 - predictions: ground_truth / constant_velocity only (windows are
   precomputed per cycle by the host's own `_predictions_for_step` — exact
   input parity); walenet needs per-step host rasterization.
-- no behavior planner / occlusion module / responsibility term / sensor
-  filtering (host sequential or batched modes cover those).
+- the radius + rear-cone sensor filter runs on device (host parity);
+  `calc_occlusions` visible-area polygons are host-only (construction
+  raises).
+- no behavior planner / occlusion module / responsibility term (host
+  sequential or batched modes cover those).
 - no progressive densification: the cycle evaluates the `sampling_min`
   level only.  The emergency ladder IS implemented on device (standstill at
   v ≤ 0.1, the `emergency_mode="stopping"` ordered fallback); `min_risk`
@@ -67,6 +70,8 @@ class SimTensors(NamedTuple):
     lane_segments: object      # (A, S, 2, 2)
     lane_valid: object         # (A, S)
     pred_windows: dict         # per-cycle scenario-obstacle windows (C, O, ...)
+    cur_obst: object           # (C, O, 3) row-aligned CURRENT obstacle poses
+    cur_obst_valid: object     # (C, O) — rows present at that cycle's step
     obst_poses: object         # (T+1, O, 3)
     obst_valid: object         # (T+1, O)
     obst_half: object          # (O, 2)
@@ -305,12 +310,35 @@ class DeviceSimulation:
         # ---- scenario-obstacle tensors ------------------------------------
         # prediction windows per cycle, via the host's own builder (input
         # parity with the host replan)
-        pds = [sim._predictions_for_step(c * self.k_replan)[0]
-               for c in range(self.n_cycles)]
+        pds, cur_obst, cur_valid = [], [], []
+        for c in range(self.n_cycles):
+            t_c = c * self.k_replan
+            pd, ids = sim._predictions_for_step(t_c)
+            pds.append(pd)
+            # row-aligned CURRENT obstacle poses for the device sensor
+            # filter (the host filter reads st.position at the replan step)
+            o_slots = pd["valid"].shape[0]
+            cur = np.zeros((o_slots, 3), dtype)
+            cv = np.zeros(o_slots, bool)
+            for row, oid in enumerate(ids[:o_slots]):
+                st = sim.scenario.obstacles[oid].state_at_time(t_c)
+                if st is None:
+                    continue
+                cur[row, :2] = st.position
+                cur[row, 2] = st.orientation
+                cv[row] = True
+            cur_obst.append(cur)
+            cur_valid.append(cv)
         self.pred_windows = {
             k: jnp.asarray(np.stack([pd[k] for pd in pds]))
             for k in pds[0]
         }
+        self.cur_obst = jnp.asarray(np.stack(cur_obst))
+        self.cur_obst_valid = jnp.asarray(np.stack(cur_valid))
+        if config.prediction.use_sensor_model and config.prediction.calc_occlusions:
+            raise ValueError(
+                "DeviceSimulation supports the radius+cone sensor filter "
+                "only; calc_occlusions (visible-area polygons) is host-only")
         op, ov, oh = _obstacle_step_poses(
             sim.scenario, sim.agent_obstacle_ids,
             self.max_steps + self.k_replan, dtype)
@@ -324,6 +352,8 @@ class DeviceSimulation:
             lane_segments=self.stepper.lane_segments,
             lane_valid=self.stepper.lane_valid,
             pred_windows=self.pred_windows,
+            cur_obst=self.cur_obst,
+            cur_obst_valid=self.cur_obst_valid,
             obst_poses=self.obst_poses,
             obst_valid=self.obst_valid,
             obst_half=self.obst_half,
@@ -363,7 +393,12 @@ class DeviceSimulation:
             s0, ss0, sss0, d0, dd0, ddd0 = (x_cl[i] for i in range(6))
             v_lo = jnp.maximum(0.001, v_cur - veh.a_max * horizon)
             v_hi = jnp.minimum(v_cur + (veh.a_max / 6.0) * horizon, veh.v_max)
-            vs = v_lo + (v_hi - v_lo) * jnp.linspace(0.0, 1.0, n_v).astype(x_cl.dtype)
+            # EXACTLY np.linspace's algorithm (arange·step + start, endpoint
+            # pinned) — a mathematically equivalent form rounds differently
+            # in the last ulp and flips argmin near-ties vs the host matrix
+            step = (v_hi - v_lo) / (n_v - 1)
+            vs = v_lo + jnp.arange(n_v, dtype=x_cl.dtype) * step
+            vs = vs.at[-1].set(v_hi)
             vs = jnp.concatenate([vs, ss0[None]])
             base_d = d_grid + (d0 if d_ego else 0.0)
             ds = jnp.concatenate([base_d, d0[None]])
@@ -529,6 +564,10 @@ class DeviceSimulation:
         masks = jnp.ones((a_n, m_total), bool)
         weights = self.weights
         eye = jnp.eye(a_n, dtype=bool)
+        use_sensor = bool(pcfg.use_sensor_model)
+        sensor_radius = float(pcfg.sensor_radius)
+        cone_half = float(pcfg.cone_angle) * np.pi / 180.0 / 2.0
+        cone_safety = float(pcfg.cone_safety_dist)
 
         def body(g, carry, c):
             x_cl, center, theta, v, acc, status = carry
@@ -550,6 +589,24 @@ class DeviceSimulation:
                 jnp.broadcast_to(g.pred_windows[k_][c][None],
                                  (a_n,) + g.pred_windows[k_].shape[1:])
                 for k_ in PredictionTensors._fields))
+            if use_sensor:
+                # per-agent radius + rear-cone sensor filter on the
+                # scenario-obstacle rows (sensor_model.obstacles_in_radius +
+                # filter_cone_angle, applied by the host BEFORE peers are
+                # appended — _filter_for_agent, sim/simulation.py)
+                rel = g.cur_obst[c][None, :, :2] - center[:, None, :]  # (A,O,2)
+                in_radius = (jnp.linalg.norm(rel, axis=-1)
+                             < sensor_radius) & g.cur_obst_valid[c][None]
+                c0 = jnp.cos(-theta)[:, None]
+                s0 = jnp.sin(-theta)[:, None]
+                loc_x = c0 * rel[..., 0] - s0 * rel[..., 1] - veh.length / 2.0
+                loc_y = s0 * rel[..., 0] + c0 * rel[..., 1]
+                dist = jnp.sqrt(loc_x ** 2 + loc_y ** 2)
+                ang = jnp.arctan2(loc_y, loc_x)
+                dropped = ((loc_x < 0) & (dist > cone_safety)
+                           & (jnp.abs(jnp.abs(ang) - jnp.pi) < cone_half))
+                window = window._replace(
+                    valid=window.valid & (in_radius & ~dropped)[:, :, None])
             poses_all = jnp.concatenate(
                 [center, theta[:, None], v[:, None]], axis=1)
             agent_preds = agent_pose_predictions(
@@ -750,6 +807,8 @@ class DeviceSimulation:
             for k_, v in g.pred_windows.items()
         }
         return SimTensors(
+            cur_obst=pad_repeat(g.cur_obst, c_max, 0),
+            cur_obst_valid=pad_repeat(g.cur_obst_valid, c_max, 0),
             ref=ref,
             corridors=pad_a(np_.stack([
                 _pad_table(row, r_max) for row in np_.asarray(g.corridors)

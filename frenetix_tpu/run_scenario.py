@@ -103,6 +103,9 @@ def main(argv=None):
     ap.add_argument("--device-sim", action="store_true",
                     help="run the WHOLE simulation on device as one scan "
                          "(one fetch per run; parallel/device_sim.py)")
+    ap.add_argument("--device-fleet", action="store_true",
+                    help="run ALL scenarios as ONE vmapped device scan with "
+                         "a single fetch (parallel.device_sim.run_fleet)")
     ap.add_argument("--batched-agents", action="store_true",
                     help="evaluate all agents' cycles in one device call")
     ap.add_argument("--config-dir", default=None)
@@ -166,6 +169,8 @@ def main(argv=None):
     msg_logger = make_msg_logger(args.logs,
                                  level=config.simulation.msg_log_mode)
 
+    if args.device_fleet:
+        return _run_device_fleet(args, config, msg_logger)
     if args.workers > 1:
         return _run_pipeline(args, config, msg_logger)
     score_path = os.path.join(args.logs, "score_overview.csv")
@@ -198,6 +203,53 @@ def main(argv=None):
                     csv.writer(ff, delimiter=";").writerow(
                         [name, repr(e), traceback.format_exc()]
                     )
+    return 0 if ok else 1
+
+
+def _run_device_fleet(args, config, msg_logger):
+    """All scenarios as ONE vmapped device scan + one fetch
+    (parallel.device_sim.run_fleet) — the device-batched analog of the
+    `--workers` process pipeline."""
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
+    from frenetix_tpu.sim import Simulation
+
+    score_path = os.path.join(args.logs, "score_overview.csv")
+    fail_path = os.path.join(args.logs, "log_failures.csv")
+    new_file = not os.path.exists(score_path)
+    sims, names = [], []
+    ok = True
+    for path in args.scenarios:
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            sims.append(DeviceSimulation(
+                Simulation(load_scenario(path), config, msg_logger)))
+            names.append(name)
+        except Exception as e:         # containment: drop from the fleet
+            ok = False
+            msg_logger.error(f"{name} FAILED to build: {e}")
+            with open(fail_path, "a", newline="") as ff:
+                csv.writer(ff, delimiter=";").writerow(
+                    [name, repr(e), traceback.format_exc()])
+    if not sims:
+        return 1
+    results = run_fleet(sims)
+    with open(score_path, "a", newline="") as f:
+        w = csv.writer(f, delimiter=";")
+        if new_file:
+            w.writerow(["scenario", "agent", "timestep", "status", "message",
+                        "wall_s"])
+        for name, ds, dres in zip(names, sims, results):
+            res = ds.to_simulation_result(dres)
+            for aid, status in res.agent_status.items():
+                w.writerow([name, aid, res.steps, status.name,
+                            res.agent_messages[aid], round(dres.wall_time, 2)])
+                msg_logger.info(
+                    f"{name} agent {aid}: {status.name} steps={res.steps} "
+                    f"(fleet of {dres.extras['fleet_size']}, "
+                    f"{dres.wall_time:.1f}s total)")
+                if status.name != "COMPLETED_SUCCESS":
+                    ok = False
     return 0 if ok else 1
 
 

@@ -212,3 +212,35 @@ def test_device_fleet_matches_solo():
         make_highway(), _cfg(**{"planning.replanning_frequency": 2})))
     with pytest.raises(ValueError):
         run_fleet([DeviceSimulation(Simulation(make_highway(), _cfg())), bad])
+
+
+def test_device_fleet_five_reference_scenarios_match_goldens():
+    """The five reference T-junction scenarios as ONE device fleet call:
+    step counts, statuses and final positions must match the golden
+    host-loop pins (the per-step parity is covered scenario-by-scenario in
+    the tests above; the device sensor filter closes the last gap)."""
+    import json
+    import os
+
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
+    from frenetix_tpu.sim import Simulation
+
+    sdir = "/root/reference/example_scenarios"
+    if not os.path.isdir(sdir):
+        pytest.skip("reference scenarios not present")
+    with open(os.path.join(os.path.dirname(__file__),
+                           "golden_scenarios.json")) as f:
+        golden = json.load(f)
+
+    names = ["23", "24", "27", "36", "42"]
+    sims = [DeviceSimulation(Simulation(
+        load_scenario(f"{sdir}/ZAM_Tjunction-1_{n}_T-1.xml"), _cfg()))
+        for n in names]
+    results = run_fleet(sims)
+    for n, r in zip(names, results):
+        assert int(r.status[0]) == 2, (n, r.status)           # SUCCESS
+        assert r.steps == golden[n]["steps"], n
+        np.testing.assert_allclose(
+            r.trajectories[r.steps - 1, 0, :2], golden[n]["final_position"],
+            atol=0.05, err_msg=n)
