@@ -311,7 +311,7 @@ def main():
             times.append(r.wall_time)
         agents = len(r.agent_ids)
         wall = float(np.median(times))
-        return {
+        out = {
             "agents": agents,
             "sim_steps": int(r.steps),
             "statuses": [int(s) for s in r.status],
@@ -320,6 +320,33 @@ def main():
             "agent_steps_per_sec": round(agents * r.steps / wall, 1),
             "compile_s": round(first.wall_time - wall, 2),
         }
+
+        # fleet: S scenario copies as one vmapped scan (run_scenario
+        # --device-fleet); scenario-suite evaluation throughput
+        from frenetix_tpu.parallel.device_sim import run_fleet
+
+        def build(i):
+            c = load_config()
+            c.dtype = "float32"
+            c.simulation.start_multiagent = True
+            return DeviceSimulation(Simulation(
+                make_overtake(lead_gap=40.0 + 2.0 * i), c))
+
+        s_n = 8
+        fleet_sims = [build(i) for i in range(s_n)]
+        run_fleet(fleet_sims)                          # compile
+        t0 = time.perf_counter()
+        fleet = run_fleet(fleet_sims)
+        fleet_wall = time.perf_counter() - t0
+        total_steps = sum(r.steps * len(r.agent_ids) for r in fleet)
+        out["fleet"] = {
+            "scenarios": s_n,
+            "all_success": all(int(s) == 2 for r in fleet for s in r.status),
+            "wall_s": round(fleet_wall, 3),
+            "scenarios_per_sec": round(s_n / fleet_wall, 2),
+            "agent_steps_per_sec": round(total_steps / fleet_wall, 1),
+        }
+        return out
 
     result = {
         "metric": "valid_candidate_trajectory_evals_per_sec_per_chip",

@@ -936,8 +936,16 @@ def run_fleet(sims: list) -> list:
                                 g_max, e_max) for s in sims]
     stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
                            *padded)
-    run = base._build_run(a_n=a_max, n_cycles=c_max)
-    fleet_fn = jax.jit(jax.vmap(run))
+    # cache the compiled fleet program on the base member (a fresh
+    # jit(vmap(...)) closure per call would re-trace every time)
+    cache = getattr(base, "_fleet_cache", None)
+    if cache is None:
+        cache = base._fleet_cache = {}
+    fleet_fn = cache.get((a_max, c_max))
+    if fleet_fn is None:
+        fleet_fn = jax.jit(jax.vmap(base._build_run(a_n=a_max,
+                                                    n_cycles=c_max)))
+        cache[(a_max, c_max)] = fleet_fn
     out = jax.device_get(fleet_fn(stacked))      # THE one fetch for S sims
 
     wall = time.perf_counter() - t0

@@ -250,6 +250,12 @@ def _run_device_fleet(args, config, msg_logger):
                     f"{dres.wall_time:.1f}s total)")
                 if status.name != "COMPLETED_SUCCESS":
                     ok = False
+            if args.evaluate:
+                from frenetix_tpu.evaluation import evaluate_simulation
+
+                evaluate_simulation(ds.sim.scenario, res, config, None,
+                                    msg_logger=msg_logger,
+                                    check_solutions=False)
     return 0 if ok else 1
 
 
