@@ -26,9 +26,13 @@ and per-cycle selections against the batched host path.
 Restrictions of this headless mode (all deliberate, all checked at
 construction where possible):
 
-- predictions: ground_truth / constant_velocity only (windows are
-  precomputed per cycle by the host's own `_predictions_for_step` — exact
-  input parity); walenet needs per-step host rasterization.
+- predictions (ground_truth / constant_velocity / walenet) are precomputed
+  per replan cycle by the host's own `_predictions_for_step` — exact input
+  parity.  This works for ALL modes because sim predictions cover scenario
+  obstacles only, whose recorded trajectories are known up front (walenet
+  inference over them is deterministic at init); peer agents enter as
+  constant-velocity rows built on device from executed poses, same as the
+  host's `_augment_with_agents`.
 - the radius + rear-cone sensor filter runs on device (host parity);
   `calc_occlusions` visible-area polygons are host-only (construction
   raises).
@@ -46,6 +50,16 @@ construction where possible):
   already corridor-checked inside the cycle.
 - agent-agent collision is symmetric: BOTH vehicles of a colliding pair get
   COLLISION (the host loop's in-order sweep marks only the first).
+
+Parity caveat: outcomes can differ from the host on genuine knife-edge
+configurations — e.g. scenario 36 with the opt-in
+`prediction.uncertainty_margin_sigma`, where the emergency ladder rides the
+feasibility boundary (a quartic decelerating to ~0 whose minimum velocity
+flips sign on ±1e-15 input noise) for many consecutive cycles; the two
+compiled programs accumulate last-ulp differences and resolve the edge
+differently.  On non-degenerate configurations (all five reference
+scenarios, default settings; walenet default-mode collision reproduction)
+parity is step-exact.
 """
 from __future__ import annotations
 
@@ -229,10 +243,10 @@ class DeviceSimulation:
                 f"{mesh.size}-device mesh")
         self.mesh = mesh
         self.axis_name = axis_name
-        if config.prediction.mode not in ("ground_truth", "constant_velocity"):
+        if config.prediction.mode not in ("ground_truth", "constant_velocity",
+                                          "walenet"):
             raise ValueError(
-                "DeviceSimulation supports ground_truth/constant_velocity "
-                f"predictions only (got {config.prediction.mode!r})")
+                f"unknown prediction mode {config.prediction.mode!r}")
         if config.behavior.use_behavior_planner:
             raise ValueError("DeviceSimulation does not run the behavior "
                              "planner (host modes do)")
@@ -580,6 +594,7 @@ class DeviceSimulation:
             running = status == _RUNNING
 
             # --- replan (one fused vmapped cycle over all agents) ---------
+            x_cl_replan = x_cl
             mats = matrix_fn(x_cl, v)
             v_des = vdes_fn(g, x_cl, v, t0.astype(dtype))
             # scenario-obstacle window of this cycle, broadcast to the agent
@@ -692,7 +707,10 @@ class DeviceSimulation:
                 status_steps.append(status)
 
             carry = (x_cl, center, theta, v, acc, status)
-            ys = (jnp.stack(traj_steps), jnp.stack(status_steps), sel, found)
+            # x_cl0_cycle: the curvilinear state each agent REPLANNED from
+            # this cycle (exposed for debugging/regression)
+            ys = (jnp.stack(traj_steps), jnp.stack(status_steps), sel, found,
+                  x_cl_replan)
             return carry, ys
 
         def run(g: SimTensors):
@@ -703,7 +721,7 @@ class DeviceSimulation:
             carry, ys = jax.lax.scan(
                 lambda carry, c: body(g, carry, c), carry0,
                 jnp.arange(n_cycles, dtype=jnp.int32))
-            traj, status_steps, sel, found = ys
+            traj, status_steps, sel, found, x_cl_cycles = ys
             t_tot = n_cycles * k
             return {
                 "final_status": carry[5],
@@ -711,6 +729,7 @@ class DeviceSimulation:
                 "status_per_step": status_steps.reshape(t_tot, a_n),
                 "selections": sel,
                 "found": found,
+                "x_cl_cycles": x_cl_cycles,
             }
 
         return jax.jit(run)
@@ -736,6 +755,7 @@ class DeviceSimulation:
             status_per_step=sps,
             selections=np.asarray(out["selections"])[:, :a_n],
             found=np.asarray(out["found"])[:, :a_n],
+            extras={"x_cl_cycles": np.asarray(out["x_cl_cycles"])[:, :a_n]},
         )
 
     def run(self) -> DeviceSimResult:

@@ -103,7 +103,7 @@ def test_device_sim_guards():
     from frenetix_tpu.sim import Simulation
 
     for key, val in [
-        ("prediction.mode", "walenet"),
+        ("prediction.mode", "bogus"),
         ("behavior.use_behavior_planner", True),
         ("planning.emergency_mode", "min_risk"),
     ]:
@@ -244,3 +244,34 @@ def test_device_fleet_five_reference_scenarios_match_goldens():
         np.testing.assert_allclose(
             r.trajectories[r.steps - 1, 0, :2], golden[n]["final_position"],
             atol=0.05, err_msg=n)
+
+
+def test_device_sim_walenet_reproduces_host_collision():
+    """Neural (Wale-Net) predictions in the device sim: the windows are
+    precomputed through the host's own builder (scenario obstacles have
+    known recorded trajectories, so inference is deterministic at init).
+    Scenario 36's documented walenet collision (ROUND2.md §7) must reproduce
+    bit-exactly: same COLLISION status, same step, same trajectory."""
+    import os
+
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    path = "/root/reference/example_scenarios/ZAM_Tjunction-1_36_T-1.xml"
+    if not os.path.isfile(path):
+        pytest.skip("reference scenarios not present")
+
+    cfg = _cfg(**{"prediction.mode": "walenet"})
+    res_d = DeviceSimulation(Simulation(load_scenario(path), cfg)).run()
+    res_h = Simulation(load_scenario(path),
+                       _cfg(**{"prediction.mode": "walenet"})).run()
+
+    assert res_h.agent_status[60000] == AgentStatus.COLLISION
+    assert int(res_d.status[0]) == int(AgentStatus.COLLISION)
+    assert res_d.steps == res_h.steps
+    h = res_h.histories[60000]
+    for i in range(1, len(h)):
+        np.testing.assert_allclose(res_d.trajectories[i - 1, 0, :2],
+                                   h[i].position, atol=1e-9)
