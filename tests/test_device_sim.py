@@ -275,3 +275,29 @@ def test_device_sim_walenet_reproduces_host_collision():
     for i in range(1, len(h)):
         np.testing.assert_allclose(res_d.trajectories[i - 1, 0, :2],
                                    h[i].position, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_device_sim_fuzz_never_crashes(seed):
+    """Randomized factory scenarios through the device scan: outcomes may be
+    TIMELIMIT/ERROR, but the run must complete and return sane shapes (the
+    containment contract, SURVEY §5.3)."""
+    from frenetix_tpu.io import scenario_factory as fac
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+
+    rng = np.random.default_rng(seed)
+    if seed % 2 == 0:
+        sc = fac.make_highway(ego_v=float(rng.uniform(5, 20)),
+                              lead_v=float(rng.uniform(3, 15)),
+                              lead_gap=float(rng.uniform(20, 120)),
+                              n_steps=80)
+    else:
+        sc = fac.make_overtake(ego_v=float(rng.uniform(8, 16)),
+                               lead_v=float(rng.uniform(2, 7)), n_steps=120)
+    cfg = _cfg(**{"simulation.start_multiagent": bool(seed % 2)})
+    res = DeviceSimulation(Simulation(sc, cfg)).run()
+    a_n = len(res.agent_ids)
+    assert res.trajectories.shape[1:] == (a_n, 5)
+    assert np.isfinite(res.trajectories[: res.steps]).all()
+    assert set(int(s) for s in res.status) <= {2, 3, 4, 5}
