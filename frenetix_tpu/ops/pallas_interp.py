@@ -53,13 +53,15 @@ def _interp_kernel(idx_ref, lam_ref, table_ref, out_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def interp_tables_pallas(table_window, idx_local, lam, *, block: int = 1024):
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def interp_tables_pallas(table_window, idx_local, lam, *, block: int = 1024,
+                         interpret: bool = False):
     """Linear interpolation of all table columns at the given local indices.
 
     table_window: (W, C); idx_local: (P,) int32 in [0, W-2]; lam: (P,).
     Returns (P, C).  P is padded to a multiple of `block` internally.
-    """
+    `interpret=True` runs the kernel through the Pallas interpreter (CPU
+    differential testing — tests/test_geometry.py)."""
     p = idx_local.shape[0]
     c = table_window.shape[1]
     p_pad = ((p + block - 1) // block) * block
@@ -80,5 +82,6 @@ def interp_tables_pallas(table_window, idx_local, lam, *, block: int = 1024):
         ],
         out_specs=pl.BlockSpec((block, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(idx_local.astype(jnp.int32), lam, table_window)
     return out[:p]

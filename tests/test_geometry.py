@@ -82,3 +82,21 @@ def test_wrap_valid_orientation():
 
     expected = [ri.make_valid_orientation(v) for v in vals]
     np.testing.assert_allclose(got, expected, atol=1e-12)
+
+
+def test_pallas_interp_kernel_matches_reference():
+    """The Pallas interpolation kernel (ops/pallas_interp.py), run through
+    the Pallas interpreter on CPU, must match plain linear interpolation of
+    the table columns exactly."""
+    from frenetix_tpu.ops.pallas_interp import interp_tables_pallas
+
+    rng = np.random.default_rng(7)
+    w, c, p = 96, 5, 300
+    table = rng.normal(size=(w, c)).astype(np.float32)
+    idx = rng.integers(0, w - 1, size=p).astype(np.int32)
+    lam = rng.uniform(0, 1, size=p).astype(np.float32)
+
+    out = np.asarray(interp_tables_pallas(table, idx, lam, block=128,
+                                          interpret=True))
+    expect = (1.0 - lam)[:, None] * table[idx] + lam[:, None] * table[idx + 1]
+    np.testing.assert_allclose(out, expect, atol=1e-6)
