@@ -913,7 +913,7 @@ class DeviceSimulation:
         )
 
 
-def run_fleet(sims: list) -> list:
+def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
     """Run S device simulations as ONE vmapped scan with ONE fetch — the
     scenario axis (SURVEY §2.3 P3) as a device batch dimension instead of
     host worker processes.
@@ -925,6 +925,9 @@ def run_fleet(sims: list) -> list:
     inert rows (`DeviceSimulation._padded_tensors`).  Returns one
     DeviceSimResult per simulation, identical to running each alone (the
     fleet parity test pins this).
+
+    `mesh`: optional jax.sharding.Mesh — scenarios shard over it with no
+    collectives at all (independent sims; fleet size must divide the mesh).
     """
     import time
 
@@ -935,13 +938,18 @@ def run_fleet(sims: list) -> list:
     base = sims[0]
     for s in sims:
         if s.mesh is not None:
-            raise ValueError("run_fleet composes with vmap only (no mesh)")
+            raise ValueError("run_fleet composes with vmap only (per-member "
+                             "meshes are not supported; pass mesh= to "
+                             "run_fleet to shard the scenario axis)")
         if (s.dt, s.n_steps, s.k_replan, s.m_total, s.np_dtype) != (
                 base.dt, base.n_steps, base.k_replan, base.m_total,
                 base.np_dtype):
             raise ValueError(
                 "fleet members must share planning statics (dt, horizon, "
                 "replanning frequency, sampling level, dtype)")
+    if mesh is not None and len(sims) % mesh.size != 0:
+        raise ValueError(f"fleet size {len(sims)} must divide evenly over "
+                         f"the {mesh.size}-device mesh")
 
     a_max = max(len(s.agents) for s in sims)
     c_max = max(s.n_cycles for s in sims)
@@ -961,11 +969,21 @@ def run_fleet(sims: list) -> list:
     cache = getattr(base, "_fleet_cache", None)
     if cache is None:
         cache = base._fleet_cache = {}
-    fleet_fn = cache.get((a_max, c_max))
+    key = (a_max, c_max, None if mesh is None else id(mesh))
+    fleet_fn = cache.get(key)
     if fleet_fn is None:
-        fleet_fn = jax.jit(jax.vmap(base._build_run(a_n=a_max,
-                                                    n_cycles=c_max)))
-        cache[(a_max, c_max)] = fleet_fn
+        vrun = jax.vmap(base._build_run(a_n=a_max, n_cycles=c_max))
+        if mesh is not None:
+            # scenarios are independent — shard the scenario axis over the
+            # mesh with no collectives at all (P3 over devices, the ICI-free
+            # embarrassingly-parallel case)
+            from jax.sharding import PartitionSpec as P
+
+            sh_tree = jax.tree.map(lambda _: P(axis_name), stacked)
+            vrun = jax.shard_map(vrun, mesh=mesh, in_specs=(sh_tree,),
+                                 out_specs=P(axis_name), check_vma=False)
+        fleet_fn = jax.jit(vrun)
+        cache[key] = fleet_fn
     out = jax.device_get(fleet_fn(stacked))      # THE one fetch for S sims
 
     wall = time.perf_counter() - t0

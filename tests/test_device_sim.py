@@ -301,3 +301,36 @@ def test_device_sim_fuzz_never_crashes(seed):
     assert res.trajectories.shape[1:] == (a_n, 5)
     assert np.isfinite(res.trajectories[: res.steps]).all()
     assert set(int(s) for s in res.status) <= {2, 3, 4, 5}
+
+
+def test_device_fleet_sharded_over_mesh():
+    """run_fleet(mesh=...): scenarios shard over the device mesh with no
+    collectives (independent sims); results must match the vmap fleet."""
+    import jax
+
+    from frenetix_tpu.io.scenario_factory import make_highway, make_overtake
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
+    from frenetix_tpu.parallel.mesh import make_agent_mesh
+    from frenetix_tpu.sim import Simulation
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+
+    def sims():
+        return [
+            DeviceSimulation(Simulation(make_highway(), _cfg())),
+            DeviceSimulation(Simulation(
+                make_overtake(), _cfg(**{"simulation.start_multiagent": True}))),
+        ]
+
+    f_v = run_fleet(sims())
+    mesh = make_agent_mesh(jax.devices()[:2], axis_name="scenarios")
+    f_s = run_fleet(sims(), mesh=mesh)
+    for a, b in zip(f_v, f_s):
+        np.testing.assert_array_equal(a.status, b.status)
+        assert a.steps == b.steps
+        np.testing.assert_allclose(a.trajectories, b.trajectories, atol=1e-9)
+
+    with pytest.raises(ValueError):
+        run_fleet(sims(), mesh=make_agent_mesh(jax.devices()[:3],
+                                               axis_name="scenarios"))
