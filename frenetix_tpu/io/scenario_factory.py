@@ -21,7 +21,7 @@ __all__ = [
     "make_yield_sign", "make_lane_merge", "make_behavior_overtake",
     "make_crosswalk", "make_intersection_crossing", "make_turn_left",
     "make_turn_right", "make_double_lane_change", "make_double_crossing",
-    "make_road_exit",
+    "make_road_exit", "make_convoy",
 ]
 
 
@@ -745,3 +745,21 @@ def make_crosswalk(length=130.0, cross_at=60.0, lane_width=3.6, ego_v=9.0,
         goals=[goal],
     )
     return Scenario("SYN_Crosswalk-1", dt, lanelets, {200: ped}, {60000: pp})
+
+
+def make_convoy(n_vehicles=7, length=650.0, lane_width=3.6, ego_v=10.0,
+                vehicle_v=10.0, gap=30.0, goal_frac=0.38, dt=0.1,
+                n_steps=250):
+    """Single-lane platoon: `n_vehicles` constant-speed cars ahead of the
+    ego.  In multiagent mode every vehicle becomes a planning agent
+    (A = n_vehicles + 1) — the scale workload for the batched/device
+    simulation paths.  The road is long enough that no recorded trajectory
+    clamps at its end (a clamped leader becomes a parked wall) and the ego
+    goal is reachable within the horizon."""
+    n = int(length)
+    center = np.stack([np.linspace(0, length, n), np.zeros(n)], axis=1)
+    speeds = [vehicle_v] * n_vehicles
+    offsets = [gap * (i + 1) for i in range(n_vehicles)]
+    obstacles = _traffic(center, speeds, dt, n_steps, offsets)
+    return _assemble("SYN_Convoy-1", [center], lane_width, obstacles, ego_v,
+                     goal_frac, dt, n_steps)

@@ -334,3 +334,31 @@ def test_device_fleet_sharded_over_mesh():
     with pytest.raises(ValueError):
         run_fleet(sims(), mesh=make_agent_mesh(jax.devices()[:3],
                                                axis_name="scenarios"))
+
+
+def test_device_sim_convoy_eight_agents():
+    """Eight-agent single-lane platoon (make_convoy): all agents reach their
+    goals through the device scan, matching the batched host path step count
+    and trajectories."""
+    from frenetix_tpu.io.scenario_factory import make_convoy
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    cfg = _cfg(**{"simulation.start_multiagent": True})
+    res_d = DeviceSimulation(Simulation(make_convoy(), cfg)).run()
+
+    cfg_h = _cfg(**{"simulation.start_multiagent": True,
+                    "simulation.batched_device_agents": True})
+    res_h = Simulation(make_convoy(), cfg_h).run()
+
+    assert len(res_d.agent_ids) == 8
+    assert res_d.steps == res_h.steps
+    for col, aid in enumerate(res_d.agent_ids):
+        assert res_h.agent_status[aid] == AgentStatus.COMPLETED_SUCCESS
+        assert int(res_d.status[col]) == int(AgentStatus.COMPLETED_SUCCESS)
+        h = res_h.histories[aid]
+        for i in range(1, len(h)):
+            np.testing.assert_allclose(
+                res_d.trajectories[i - 1, col, :2], h[i].position, atol=1e-9,
+                err_msg=f"agent {aid} step {i}")
