@@ -116,13 +116,44 @@ def main():
             f"apparent efficiency {100*eff:.0f}%"
         )
 
+    # --- fleet weak scaling: whole SIMULATIONS sharded over the mesh -------
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
+    from frenetix_tpu.parallel.mesh import make_agent_mesh
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.utils.config import load_config
+
+    def build_sim(i):
+        cfg = load_config()
+        cfg.dtype = "float32"
+        return DeviceSimulation(Simulation(
+            make_highway(length=100.0, lead_gap=45.0 + 2.0 * i, n_steps=80),
+            cfg))
+
+    print("\nfleet (whole sims, zero-collective scenario sharding):")
+    for n_dev in [1, 2, 4, 8]:
+        if n_dev > len(jax.devices()):
+            break
+        s = 2 * n_dev
+        sims = [build_sim(i) for i in range(s)]
+        mesh = make_agent_mesh(jax.devices()[:n_dev], axis_name="scenarios")
+        run_fleet(sims, mesh=mesh)                        # compile
+        t0 = time.perf_counter()
+        res = run_fleet(sims, mesh=mesh)
+        wall = time.perf_counter() - t0
+        total_steps = sum(r.steps for r in res)
+        print(f"devices={n_dev}: scenarios={s}, {s/wall:.2f} sims/s, "
+              f"{total_steps/wall:.1f} sim-steps/s, "
+              f"statuses={sorted(set(int(x) for r in res for x in r.status))}")
+
     print(
         "\nNOTE: virtual CPU devices share one physical CPU, so weak-scaling "
         "efficiency here reflects host saturation, not mesh behavior. What this "
         "run validates: the FULL-cycle shard_map program (boundary + corridor + "
         "cost stack) compiles and executes at every mesh size with a fixed-size "
-        "per-step collective (one all_gather of agent poses). Real scaling "
-        "numbers require a multi-chip slice."
+        "per-step collective (one all_gather of agent poses), and the fleet "
+        "program (whole simulations, no collectives) at every mesh size. Real "
+        "scaling numbers require a multi-chip slice."
     )
 
 
