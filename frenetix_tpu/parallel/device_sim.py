@@ -259,6 +259,11 @@ class DeviceSimulation:
         if config.planning.emergency_mode != "stopping":
             raise ValueError("DeviceSimulation implements the 'stopping' "
                              "emergency mode only")
+        if config.planning.sampling_max - config.planning.sampling_min > 1:
+            raise ValueError(
+                "DeviceSimulation evaluates the sampling_min level only; "
+                "progressive densification (sampling_max > sampling_min + 1) "
+                "would silently diverge from the host loop")
 
         self.sim = sim
         self.config = config
