@@ -12,3 +12,8 @@ from frenetix_tpu.parallel.distributed import (  # noqa: F401
     initialize as distributed_initialize,
     shard_scenarios,
 )
+from frenetix_tpu.parallel.device_sim import (  # noqa: F401
+    DeviceSimResult,
+    DeviceSimulation,
+    run_fleet,
+)
