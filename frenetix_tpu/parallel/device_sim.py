@@ -38,11 +38,14 @@ construction where possible):
   raises).
 - no behavior planner / occlusion module / responsibility term (host
   sequential or batched modes cover those).
-- no progressive densification: the cycle evaluates the `sampling_min`
-  level only.  The emergency ladder IS implemented on device (standstill at
-  v ≤ 0.1, the `emergency_mode="stopping"` ordered fallback); `min_risk`
-  emergency mode is not (construction raises).  An agent failing the whole
-  ladder freezes with status ERROR.
+- progressive densification matches the host: every configured level
+  (`sampling_min` .. `sampling_max`−1) evaluates each replan and the first
+  level that finds a candidate wins per agent (the host stops early; the
+  values are identical).  The emergency ladder IS implemented on device
+  (standstill at v ≤ 0.1, the `emergency_mode="stopping"` ordered fallback
+  on the LAST level, host parity); `min_risk` emergency mode is not
+  (construction raises).  An agent failing the whole ladder freezes with
+  status ERROR.
 - low-velocity kinematics match the host: both cycle programs run each
   replan and a per-agent `where` picks by `v < low_vel_mode_threshold`
   (nearly free in the launch-bound regime).
@@ -259,11 +262,6 @@ class DeviceSimulation:
         if config.planning.emergency_mode != "stopping":
             raise ValueError("DeviceSimulation implements the 'stopping' "
                              "emergency mode only")
-        if config.planning.sampling_max - config.planning.sampling_min > 1:
-            raise ValueError(
-                "DeviceSimulation evaluates the sampling_min level only; "
-                "progressive densification (sampling_max > sampling_min + 1) "
-                "would silently diverge from the host loop")
 
         self.sim = sim
         self.config = config
@@ -287,24 +285,27 @@ class DeviceSimulation:
         self.weights = jnp.asarray(np.array(
             [config.cost_weights.get(k, 0.0) for k in COST_TERM_ORDER], dtype))
 
-        # ---- static sampling grids (ReactivePlanner._sampling_ranges) -----
+        # ---- static sampling grids per densification level ----------------
+        # (ReactivePlanner._sampling_ranges; the host loop evaluates levels
+        # sampling_min .. sampling_max-1 until one finds a candidate)
         from frenetix_tpu.ops import sampling as smp
 
         p = config.planning
         self.horizon = p.planning_horizon
-        level = p.sampling_min
-        t1 = smp.time_samples(p.t_min, self.horizon, self.dt, level)
-        t1 = np.unique(np.concatenate([t1, [self.n_steps * self.dt]]))
-        self.t_grid = jnp.asarray(t1.astype(dtype))
-        self.n_v = len(smp.linspace_samples(0.0, 1.0, level))
-        if p.d_ego_pos:
-            # grid is recentred on the current d each cycle (host: x0±d_min/max)
-            self.d_grid_np = smp.linspace_samples(p.d_min, p.d_max, level)
-        else:
-            self.d_grid_np = smp.linspace_samples(p.d_min, p.d_max, level)
         self.d_ego_pos = bool(p.d_ego_pos)
-        self.d_grid = jnp.asarray(self.d_grid_np.astype(dtype))
-        self.m_total = (len(t1) * (self.n_v + 1) * (len(self.d_grid_np) + 1))
+        self.levels = []          # [(t_grid, n_v, d_grid, m_total)]
+        for level in range(p.sampling_min, max(p.sampling_max,
+                                               p.sampling_min + 1)):
+            t1 = smp.time_samples(p.t_min, self.horizon, self.dt, level)
+            t1 = np.unique(np.concatenate([t1, [self.n_steps * self.dt]]))
+            n_v = len(smp.linspace_samples(0.0, 1.0, level))
+            d_np = smp.linspace_samples(p.d_min, p.d_max, level)
+            self.levels.append((
+                jnp.asarray(t1.astype(dtype)), n_v,
+                jnp.asarray(d_np.astype(dtype)),
+                len(t1) * (n_v + 1) * (len(d_np) + 1),
+            ))
+        self.m_total = self.levels[0][3]
 
         # ---- initial per-agent state -------------------------------------
         a_n = len(self.agents)
@@ -397,15 +398,15 @@ class DeviceSimulation:
         self._status_enum = AgentStatus
 
     # ------------------------------------------------------------ device fns
-    def _build_matrix_fn(self):
+    def _build_matrix_fn(self, level_idx: int = 0):
         """Per-agent on-device sampling matrix (ReactivePlanner.
         _sampling_ranges + ops.sampling.build_sampling_matrix): static t/d
-        grids, velocity grid from the current state, current ṡ and d
-        appended (the host unions them in; duplicates are harmless
-        identical candidates)."""
+        grids of the given densification level, velocity grid from the
+        current state, current ṡ and d appended (the host unions them in;
+        duplicates are harmless identical candidates)."""
         jnp = self.jnp
         veh, horizon = self.veh, self.horizon
-        t_grid, d_grid, n_v = self.t_grid, self.d_grid, self.n_v
+        t_grid, n_v, d_grid, _ = self.levels[level_idx]
         d_ego = self.d_ego_pos
 
         def one(x_cl, v_cur):
@@ -499,12 +500,12 @@ class DeviceSimulation:
         a_n = len(self.agents) if a_n is None else a_n
         n_cycles = self.n_cycles if n_cycles is None else n_cycles
         k = self.k_replan
-        m_total = self.m_total
         h_agent = jnp.asarray([veh.length / 2.0, veh.width / 2.0], dtype)
         wb = veh.wb_rear_axle
         pcfg = self.config.prediction
 
-        matrix_fn = jax.vmap(self._build_matrix_fn())
+        matrix_fns = [jax.vmap(self._build_matrix_fn(i))
+                      for i in range(len(self.levels))]
         goal_fn = self._goal_check_fn()
         vdes_fn = self._desired_velocity_fn()
         dt, n_steps = self.dt, self.n_steps
@@ -532,7 +533,9 @@ class DeviceSimulation:
             fb_ok = jnp.any(feas)
             idx = jnp.where(res.found, res.best_idx, fb_idx)
             out = {k_: getattr(ro, attr)[idx] for attr, k_ in _SEL_FIELDS}
-            out.update(found=res.found, fb_ok=fb_ok, best=idx)
+            out.update(found=res.found, fb_ok=fb_ok, best=idx,
+                       sel=jnp.stack([matrix[idx, 1], matrix[idx, 5],
+                                      matrix[idx, 10]]))
             return out
 
         def one_select(matrix, mask, ctx, d0, v_cur):
@@ -580,7 +583,7 @@ class DeviceSimulation:
                 out_specs=P(),
                 check_vma=False,   # all_gather output is replicated
             )
-        masks = jnp.ones((a_n, m_total), bool)
+        masks_l = [jnp.ones((a_n, lvl[3]), bool) for lvl in self.levels]
         weights = self.weights
         eye = jnp.eye(a_n, dtype=bool)
         use_sensor = bool(pcfg.use_sensor_model)
@@ -600,7 +603,6 @@ class DeviceSimulation:
 
             # --- replan (one fused vmapped cycle over all agents) ---------
             x_cl_replan = x_cl
-            mats = matrix_fn(x_cl, v)
             v_des = vdes_fn(g, x_cl, v, t0.astype(dtype))
             # scenario-obstacle window of this cycle, broadcast to the agent
             # axis (every agent sees the same ground-truth rows — host
@@ -645,7 +647,22 @@ class DeviceSimulation:
                 x0_orientation=theta, desired_velocity=v_des,
                 desired_avg_velocity=v_des,
             )
-            out = cycle_fn(mats, masks, ctx, x_cl[:, 3], v)
+            # progressive densification (reactive_planner_cpp.py:329-377):
+            # every configured level evaluates; the first level that finds a
+            # candidate wins per agent, and when none does the LAST level's
+            # stopping fallback applies (the host falls back on last_res)
+            out = cycle_fn(matrix_fns[0](x_cl, v), masks_l[0], ctx,
+                           x_cl[:, 3], v)
+            for li in range(1, len(matrix_fns)):
+                prev_found = out["found"]
+                out_l = cycle_fn(matrix_fns[li](x_cl, v), masks_l[li], ctx,
+                                 x_cl[:, 3], v)
+
+                def pick(a, b, f=prev_found):
+                    return jnp.where(f.reshape(f.shape + (1,) * (a.ndim - 1)),
+                                     a, b)
+
+                out = jax.tree.map(pick, out, out_l)
             found = out["found"]
             # host emergency ladder (plan() fallback): standstill at v ≤ 0.1
             # takes precedence, then the stopping fallback, then failure
@@ -653,11 +670,7 @@ class DeviceSimulation:
             fail = running & ~found & ~std & ~out["fb_ok"]
             status = jnp.where(fail, _ERROR, status)
             running = status == _RUNNING
-            sel = jnp.stack([
-                jnp.take_along_axis(mats[:, :, 1], out["best"][:, None], 1)[:, 0],
-                jnp.take_along_axis(mats[:, :, 5], out["best"][:, None], 1)[:, 0],
-                jnp.take_along_axis(mats[:, :, 10], out["best"][:, None], 1)[:, 0],
-            ], axis=1)
+            sel = out["sel"]
 
             # --- execute k sub-steps with the status ladder ---------------
             traj_steps, status_steps = [], []
@@ -946,9 +959,10 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
             raise ValueError("run_fleet composes with vmap only (per-member "
                              "meshes are not supported; pass mesh= to "
                              "run_fleet to shard the scenario axis)")
-        if (s.dt, s.n_steps, s.k_replan, s.m_total, s.np_dtype) != (
-                base.dt, base.n_steps, base.k_replan, base.m_total,
-                base.np_dtype):
+        if (s.dt, s.n_steps, s.k_replan, tuple(l[3] for l in s.levels),
+                s.np_dtype) != (
+                base.dt, base.n_steps, base.k_replan,
+                tuple(l[3] for l in base.levels), base.np_dtype):
             raise ValueError(
                 "fleet members must share planning statics (dt, horizon, "
                 "replanning frequency, sampling level, dtype)")
