@@ -58,6 +58,10 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
 
         ds = DeviceSimulation(sim)
         res = ds.to_simulation_result(ds.run())
+        if log_dir is not None and config.visualization.save_plots:
+            # the host loop renders frames in-step; replay them from the
+            # fetched trajectories instead
+            _replay_device_frames(scenario, sim, res, config, log_dir)
     else:
         res = sim.run()
     if log_dir is not None and config.visualization.save_plots:
@@ -204,6 +208,40 @@ def main(argv=None):
                         [name, repr(e), traceback.format_exc()]
                     )
     return 0 if ok else 1
+
+
+def _replay_device_frames(scenario, sim, res, config, log_dir):
+    """Per-step frames (and GIF) for a device-resident run, rendered
+    post-hoc from the fetched histories — the host loop draws these live
+    inside Simulation.run."""
+    from frenetix_tpu.utils.visualization import (
+        make_gif, plot_scenario_at_timestep,
+    )
+
+    vis = config.visualization
+    for t in range(1, res.steps + 1):
+        if t % vis.plot_interval:
+            continue
+        for a in sim.agents:
+            h = res.histories.get(a.id, [])
+            j = min(t, len(h) - 1)
+            if j >= 0:
+                a.state = h[j]
+                a.record.states = list(h[: j + 1])
+        plot_scenario_at_timestep(
+            scenario, sim.agents, t,
+            save_path=f"{log_dir}/frames/frame_{t:04d}.png",
+            window=vis.window, veh_length=config.vehicle.length,
+            veh_width=config.vehicle.width, show_ref=vis.draw_reference_path,
+            show_labels=vis.show_labels,
+            draw_planning_problem=vis.draw_planning_problem,
+            draw_icons=vis.draw_icons,
+        )
+    if vis.save_gif:
+        try:
+            make_gif(f"{log_dir}/frames", f"{log_dir}/run.gif")
+        except Exception:
+            pass
 
 
 def _run_device_fleet(args, config, msg_logger):
