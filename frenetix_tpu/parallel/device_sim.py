@@ -305,7 +305,6 @@ class DeviceSimulation:
                 jnp.asarray(d_np.astype(dtype)),
                 len(t1) * (n_v + 1) * (len(d_np) + 1),
             ))
-        self.m_total = self.levels[0][3]
 
         # ---- initial per-agent state -------------------------------------
         a_n = len(self.agents)
