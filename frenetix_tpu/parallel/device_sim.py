@@ -36,8 +36,14 @@ construction where possible):
 - the radius + rear-cone sensor filter runs on device (host parity);
   `calc_occlusions` visible-area polygons are host-only (construction
   raises).
-- no behavior planner / occlusion module / responsibility term (host
-  sequential or batched modes cover those).
+- no behavior planner / occlusion module (host sequential or batched modes
+  cover those).
+- the responsibility (reach-set) term runs on device for SINGLE-agent runs:
+  per-cycle grids are precomputed from the recorded obstacle trajectories
+  with the host's own builder and the term + re-selection happen inside the
+  scan (planner/reactive.py:448-462 semantics).  Multi-agent responsibility
+  needs live peer reach grids and stays on the batched host path
+  (construction raises).
 - progressive densification matches the host: every configured level
   (`sampling_min` .. `sampling_max`−1) evaluates each replan and the first
   level that finds a candidate wins per agent (the host stops early; the
@@ -107,6 +113,7 @@ class SimTensors(NamedTuple):
     x_cl0: object              # (A, 6)
     pose0: object              # (A, 4) center x, y, theta, v
     acc0: object               # (A,)
+    reach_grids: object = None  # ReachSetGrid with (C, O, ...) leaves, or None
 
 
 @dataclass
@@ -256,9 +263,21 @@ class DeviceSimulation:
         if config.occlusion.use_occlusion_module:
             raise ValueError("DeviceSimulation does not run the occlusion "
                              "module (host modes do)")
-        if float(config.cost_weights.get("responsibility", 0.0)) != 0.0:
-            raise ValueError("DeviceSimulation does not evaluate the "
-                             "responsibility term (host modes do)")
+        self.resp_weight = float(config.cost_weights.get("responsibility", 0.0))
+        if self.resp_weight != 0.0:
+            # reach grids over SCENARIO obstacles are precomputable per cycle
+            # (recorded trajectories → known replan-time poses, like the
+            # prediction windows); PEER-AGENT grids depend on live sim state
+            # and cannot be precomputed — multi-agent responsibility stays on
+            # the batched host path (sim/simulation.py reach-grid stacking)
+            if len(sim.agents) > 1:
+                raise ValueError(
+                    "DeviceSimulation evaluates the responsibility term for "
+                    "single-agent runs only (peer-agent reach grids are "
+                    "sim-state dependent; use batched_device_agents)")
+            if mesh is not None:
+                raise ValueError("responsibility + mesh sharding is not "
+                                 "supported in DeviceSimulation")
         if config.planning.emergency_mode != "stopping":
             raise ValueError("DeviceSimulation implements the 'stopping' "
                              "emergency mode only")
@@ -354,6 +373,48 @@ class DeviceSimulation:
         }
         self.cur_obst = jnp.asarray(np.stack(cur_obst))
         self.cur_obst_valid = jnp.asarray(np.stack(cur_valid))
+
+        # ---- per-cycle reach-set grids (responsibility term) ---------------
+        # the same builder + inputs as the host's update_planner
+        # (sim/planner_interfaces.py:116-124): grid origin/orientation/
+        # velocity from the prediction window's index-0 row at each cycle.
+        # Rows are padded to the device obstacle axis (scenario + agent
+        # rows); the agent self-row is invalid so it never contributes.
+        self.reach_grids = None
+        if self.resp_weight != 0.0:
+            from frenetix_tpu.risk.reachable_set import (
+                ReachSetGrid, build_reach_set_grids)
+
+            glist = []
+            for c in range(self.n_cycles):
+                pd = pds[c]
+                glist.append(build_reach_set_grids(
+                    sim.scenario,
+                    np.asarray(pd["means"][:, 0]),
+                    np.asarray(pd["orientations"][:, 0]),
+                    np.asarray(pd["velocities"][:, 0]),
+                    np.asarray(pd["lengths"]),
+                    np.asarray(pd["widths"]),
+                    np.asarray(pd["valid"][:, 0]),
+                ))
+            occ = np.stack([np.asarray(g.occupancy) for g in glist])
+            org = np.stack([np.asarray(g.origin) for g in glist])
+            val = np.stack([np.asarray(g.valid) for g in glist])
+            cel = np.stack([np.asarray(g.cell) for g in glist])
+            # pad the agent rows appended by concat_obstacles (always
+            # invalid — a grid row that can never claim reach membership)
+            pad = ((0, 0), (0, a_n))
+            occ = np.pad(occ, pad + ((0, 0),) * 3)
+            org = np.pad(org, pad + ((0, 0),))
+            val = np.pad(val, pad)
+            cel = np.pad(cel, pad, constant_values=1.0)
+            self.reach_grids = ReachSetGrid(
+                origin=jnp.asarray(org.astype(dtype)),
+                occupancy=jnp.asarray(occ),
+                valid=jnp.asarray(val),
+                cell=jnp.asarray(cel.astype(dtype)),
+                dt_rs=glist[0].dt_rs,
+            )
         if config.prediction.use_sensor_model and config.prediction.calc_occlusions:
             raise ValueError(
                 "DeviceSimulation supports the radius+cone sensor filter "
@@ -391,6 +452,7 @@ class DeviceSimulation:
             x_cl0=jnp.asarray(x_cl0),
             pose0=jnp.asarray(pose0),
             acc0=jnp.asarray(acc0),
+            reach_grids=self.reach_grids,
         )
 
         self._run_fn = None
@@ -537,7 +599,32 @@ class DeviceSimulation:
                                       matrix[idx, 10]]))
             return out
 
-        def one_select(matrix, mask, ctx, d0, v_cur):
+        resp_w = self.resp_weight
+
+        def _apply_resp(res, ctx, grid):
+            """ReactivePlanner._apply_responsibility on device: risk stack →
+            reach-grid term → cost += w·term → re-argmin over selectable
+            (planner/reactive.py:448-462; same math as mesh._one_agent_select).
+            The grid's validity is ANDed with the agent's (sensor-filtered)
+            window-start obstacle validity — the host builds its grid from the
+            already-filtered predictions (sim/planner_interfaces.py:123)."""
+            from frenetix_tpu.parallel.mesh import _default_obstacle_meta
+            from frenetix_tpu.risk.costs import trajectory_risks
+            from frenetix_tpu.risk.reachable_set import (
+                responsibility_reach_grid)
+
+            g2 = grid._replace(valid=grid.valid & ctx.preds.valid[:, 0])
+            risks = trajectory_risks(res.rollout, ctx.preds,
+                                     _default_obstacle_meta(ctx.preds),
+                                     veh.mass)
+            term = responsibility_reach_grid(res.rollout, g2, risks, dt)
+            cost2 = res.cost + resp_w * term
+            masked = jnp.where(res.selectable, cost2, jnp.inf)
+            best = jnp.where(res.found, jnp.argmin(masked),
+                             res.best_idx).astype(jnp.int32)
+            return res._replace(cost=cost2, best_idx=best)
+
+        def one_select(matrix, mask, ctx, d0, v_cur, grid=None):
             """One agent's cycle in BOTH kinematics modes, picking by the
             host's low-velocity rule (v < low_vel_mode_threshold →
             lateral-over-arclength rollout).  low_vel_mode is a static flag
@@ -549,13 +636,26 @@ class DeviceSimulation:
                                     low_vel_mode=False, table_window=768)
             res_lo = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
                                     low_vel_mode=True, table_window=768)
+            if resp_w != 0.0:
+                res_hi = _apply_resp(res_hi, ctx, grid)
+                res_lo = _apply_resp(res_lo, ctx, grid)
             out_hi = _select_from(res_hi, matrix, mask, d0)
             out_lo = _select_from(res_lo, matrix, mask, d0)
             lv = v_cur < low_thr
             return jax.tree.map(lambda a, b: jnp.where(lv, b, a),
                                 out_hi, out_lo)
 
-        vbody = jax.vmap(one_select, in_axes=(0, 0, CTX_IN_AXES, 0, 0))
+        if resp_w != 0.0:
+            # the per-cycle grid is shared across the (single) agent row:
+            # broadcast, don't map (responsibility is single-agent only)
+            from frenetix_tpu.risk.reachable_set import ReachSetGrid
+
+            grid_axes = ReachSetGrid(origin=None, occupancy=None, valid=None,
+                                     cell=None, dt_rs=None)
+            vbody = jax.vmap(one_select,
+                             in_axes=(0, 0, CTX_IN_AXES, 0, 0, grid_axes))
+        else:
+            vbody = jax.vmap(one_select, in_axes=(0, 0, CTX_IN_AXES, 0, 0))
         if self.mesh is None:
             cycle_fn = vbody
         else:
@@ -650,12 +750,18 @@ class DeviceSimulation:
             # every configured level evaluates; the first level that finds a
             # candidate wins per agent, and when none does the LAST level's
             # stopping fallback applies (the host falls back on last_res)
+            extra = ()
+            if resp_w != 0.0:
+                rg = g.reach_grids
+                extra = (rg._replace(
+                    origin=rg.origin[c], occupancy=rg.occupancy[c],
+                    valid=rg.valid[c], cell=rg.cell[c]),)
             out = cycle_fn(matrix_fns[0](x_cl, v), masks_l[0], ctx,
-                           x_cl[:, 3], v)
+                           x_cl[:, 3], v, *extra)
             for li in range(1, len(matrix_fns)):
                 prev_found = out["found"]
                 out_l = cycle_fn(matrix_fns[li](x_cl, v), masks_l[li], ctx,
-                                 x_cl[:, 3], v)
+                                 x_cl[:, 3], v, *extra)
 
                 def pick(a, b, f=prev_found):
                     return jnp.where(f.reshape(f.shape + (1,) * (a.ndim - 1)),
@@ -958,6 +1064,10 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
             raise ValueError("run_fleet composes with vmap only (per-member "
                              "meshes are not supported; pass mesh= to "
                              "run_fleet to shard the scenario axis)")
+        if s.resp_weight != 0.0:
+            raise ValueError("run_fleet does not support the responsibility "
+                             "term (reach-grid padding across fleet members "
+                             "is not implemented; run those solo)")
         if (s.dt, s.n_steps, s.k_replan, tuple(l[3] for l in s.levels),
                 s.np_dtype) != (
                 base.dt, base.n_steps, base.k_replan,

@@ -392,3 +392,67 @@ def test_device_sim_progressive_densification():
     # the emergency cycle exercised the multi-level merge (nothing found at
     # either level on cycle 0 — the factory ego starts off-corridor)
     assert not res_d.found[0, 0]
+
+
+def test_device_sim_responsibility_matches_host():
+    """Responsibility weight ≠ 0 (single agent): per-cycle reach-set grids
+    precomputed at init + the on-device term/re-selection must reproduce the
+    sequential host loop (ReactivePlanner._apply_responsibility) step by
+    step on the T-junction scenario."""
+    from frenetix_tpu.io.commonroad import load_scenario
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    xml = "/root/reference/example_scenarios/ZAM_Tjunction-1_23_T-1.xml"
+    cfg = _cfg()
+    cfg.cost_weights["responsibility"] = 0.2
+
+    sim_h = Simulation(load_scenario(xml), cfg)
+    res_h = sim_h.run()
+    assert res_h.success
+    aid = sim_h.agents[0].id
+    assert sim_h.agents[0].planner.reach_grid is not None
+
+    ds = DeviceSimulation(Simulation(load_scenario(xml), cfg))
+    assert ds.reach_grids is not None
+    # grids were actually populated (an all-empty occupancy would make the
+    # parity below vacuous for the term)
+    assert np.asarray(ds.reach_grids.occupancy).any()
+    res_d = ds.run()
+
+    assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
+    assert res_d.steps == res_h.steps
+    h = res_h.histories[aid]
+    for i in range(1, len(h)):
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, :2], h[i].position, atol=1e-9,
+            err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
+
+
+def test_device_sim_responsibility_guards():
+    """Multi-agent / mesh / fleet + responsibility must fail loudly."""
+    import jax
+
+    from frenetix_tpu.io.scenario_factory import make_highway, make_overtake
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
+    from frenetix_tpu.sim import Simulation
+
+    cfg = _cfg(**{"simulation.start_multiagent": True})
+    cfg.cost_weights["responsibility"] = 0.2
+    with pytest.raises(ValueError, match="single-agent"):
+        DeviceSimulation(Simulation(make_overtake(), cfg))
+
+    cfg1 = _cfg()
+    cfg1.cost_weights["responsibility"] = 0.2
+    if len(jax.devices()) >= 2:
+        from frenetix_tpu.parallel.mesh import make_agent_mesh
+
+        with pytest.raises(ValueError, match="mesh"):
+            DeviceSimulation(Simulation(make_highway(), cfg1),
+                             mesh=make_agent_mesh(jax.devices()[:1]))
+    ds = DeviceSimulation(Simulation(make_highway(), cfg1))
+    with pytest.raises(ValueError, match="responsibility"):
+        run_fleet([ds, ds])
