@@ -60,6 +60,7 @@ def test_tpu_regression_artifact():
     assert os.path.isfile(art), "run `python tpu_regression.py --record` on TPU"
     with open(art) as f:
         data = json.load(f)
-    for name in ["23", "24", "27", "36", "42"]:
+    for name in ["23", "24", "27", "36", "42", "device_sim_23_multiagent",
+                 "device_sim_23_responsibility"]:
         assert data[name]["status"] == "COMPLETED_SUCCESS", (name, data[name])
     assert "TPU" in data["_meta"]["device"]

@@ -76,6 +76,26 @@ def run_all():
     }
     print(f"device_sim: {results['device_sim_23_multiagent']}", flush=True)
 
+    # device-resident sim with the responsibility (reach-set) term: the
+    # single-agent T-junction with per-cycle precomputed grids + on-device
+    # re-selection (planner/reactive.py:448-462 semantics in the scan)
+    sc = load_scenario(f"{SCENARIO_DIR}/ZAM_Tjunction-1_23_T-1.xml")
+    cfg = load_config()
+    cfg.dtype = "float32"
+    cfg.debug.activate_logging = False
+    cfg.cost_weights["responsibility"] = 0.2
+    t0 = time.time()
+    dres = DeviceSimulation(Simulation(sc, cfg)).run()
+    results["device_sim_23_responsibility"] = {
+        "status": ("COMPLETED_SUCCESS"
+                   if all(int(s) == 2 for s in dres.status) else
+                   str([int(s) for s in dres.status])),
+        "steps": int(dres.steps),
+        "wall_s": round(time.time() - t0, 2),
+    }
+    print(f"device_sim resp: {results['device_sim_23_responsibility']}",
+          flush=True)
+
     results["_meta"] = {
         "device": str(jax.devices()[0]),
         "dtype": "float32",
@@ -94,7 +114,8 @@ def main():
     with open(ARTIFACT) as f:
         expect = json.load(f)
     failures = []
-    keys = SCENARIOS + [k for k in ("device_sim_23_multiagent",)
+    keys = SCENARIOS + [k for k in ("device_sim_23_multiagent",
+                                    "device_sim_23_responsibility")
                         if k in expect and k in results]
     for name in keys:
         got, want = results[name], expect[name]
