@@ -282,6 +282,30 @@ def compute_cost_terms(
     return jnp.stack([terms[k] for k in COST_TERM_ORDER], axis=1)
 
 
-def weighted_total(cost_terms, weights):
-    """total_m = Σ_k w_k · c_{mk} (cost_function.py:78-91)."""
-    return cost_terms @ weights
+def weighted_total(cost_terms, weights, compensated=False):
+    """total_m = Σ_k w_k · c_{mk} (cost_function.py:78-91).
+
+    `compensated=True` switches the dot product to a fixed-order
+    Neumaier-compensated sum: the K per-term products are accumulated in
+    COST_TERM_ORDER with a running error term, so the total is correctly
+    rounded independent of how the compiler would otherwise reassociate or
+    tile the contraction.  Two candidates with mathematically equal weighted
+    totals then compare bitwise-equal and argmin's first-index tie-break
+    resolves them deterministically — the knife-edge class where
+    compile-variant reassociation noise flips near-tie selections (the
+    scenario-36 caveat in parallel/device_sim.py) goes away at this stage.
+    XLA does not reassociate floating point, so the compensation survives
+    compilation.
+    """
+    if not compensated:
+        return cost_terms @ weights
+    prods = cost_terms * weights          # one rounding per product
+    s = prods[..., 0]
+    c = jnp.zeros_like(s)
+    for k in range(1, prods.shape[-1]):   # static unroll (K = 13)
+        x = prods[..., k]
+        t = s + x
+        # Neumaier: recover the rounding error of s + x exactly
+        c = c + jnp.where(jnp.abs(s) >= jnp.abs(x), (s - t) + x, (x - t) + s)
+        s = t
+    return s + c

@@ -114,6 +114,7 @@ class BatchedAgentStepper:
             risk_threshold=float(config.occlusion.risk_threshold),
             thresholds=PhantomThresholds.from_config(config.occlusion),
             occ_pm_weight=float(ew.get("occ_pm", 0.0)),
+            compensated_sum=bool(config.planning.compensated_cost_sum),
         )
 
         # the program is shape-polymorphic via jit retracing; build once

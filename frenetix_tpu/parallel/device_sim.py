@@ -572,6 +572,7 @@ class DeviceSimulation:
         dt, n_steps = self.dt, self.n_steps
 
         low_thr = self.config.planning.low_vel_mode_threshold
+        comp_sum = bool(self.config.planning.compensated_cost_sum)
 
         def _select_from(res, matrix, mask, d0):
             """Host emergency ladder's stopping fallback (ReactivePlanner.plan
@@ -633,9 +634,11 @@ class DeviceSimulation:
             free, and it removes the one kinematics divergence from the
             host loop."""
             res_hi = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
-                                    low_vel_mode=False, table_window=768)
+                                    low_vel_mode=False, table_window=768,
+                                    compensated_sum=comp_sum)
             res_lo = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
-                                    low_vel_mode=True, table_window=768)
+                                    low_vel_mode=True, table_window=768,
+                                    compensated_sum=comp_sum)
             if resp_w != 0.0:
                 res_hi = _apply_resp(res_hi, ctx, grid)
                 res_lo = _apply_resp(res_lo, ctx, grid)

@@ -189,7 +189,7 @@ GRID_IN_AXES = ReachSetGrid(origin=0, occupancy=0, valid=0, cell=0, dt_rs=None)
 def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
                       n_steps, low_vel_mode, table_window, resp_weight=0.0,
                       harm_threshold=0.1, risk_threshold=1.0, thresholds=None,
-                      occ_pm_weight=0.0):
+                      occ_pm_weight=0.0, compensated_sum=False):
     """One agent's FULL cycle + on-device selection gather.
 
     With `resp_weight` ≠ 0 and a per-agent ReachSetGrid, the lanelet
@@ -209,6 +209,7 @@ def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
     res = evaluate_cycle(
         matrix, mask, ctx, dt=dt, n_steps=n_steps, low_vel_mode=low_vel_mode,
         check_boundary=True, table_window=table_window,
+        compensated_sum=compensated_sum,
     )
     use_resp = resp_weight != 0.0 and grid is not None
     use_gate = phantom_mask is not None
@@ -273,7 +274,7 @@ def _extra_axes(resp_weight, occlusion):
 
 def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
                   occlusion=False, harm_threshold=0.1, risk_threshold=1.0,
-                  thresholds=None, occ_pm_weight=0.0):
+                  thresholds=None, occ_pm_weight=0.0, compensated_sum=False):
     use_grid = resp_weight != 0.0
 
     def body(matrix, mask, ctx, *extras):
@@ -284,7 +285,7 @@ def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
             low_vel_mode=low_vel_mode, table_window=table_window,
             resp_weight=resp_weight, harm_threshold=harm_threshold,
             risk_threshold=risk_threshold, thresholds=thresholds,
-            occ_pm_weight=occ_pm_weight,
+            occ_pm_weight=occ_pm_weight, compensated_sum=compensated_sum,
         )
 
     return jax.vmap(
@@ -294,7 +295,8 @@ def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
 
 def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768,
                        resp_weight=0.0, occlusion=False, harm_threshold=0.1,
-                       risk_threshold=1.0, thresholds=None, occ_pm_weight=0.0):
+                       risk_threshold=1.0, thresholds=None, occ_pm_weight=0.0,
+                       compensated_sum=False):
     """Single-device (vmap) full multi-agent cycle.
 
     Returns fn(matrices (A,M,13), masks (A,M), stacked_ctx, *extras) → dict of
@@ -306,7 +308,8 @@ def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768,
     """
     return jax.jit(_vmapped_body(dt, n_steps, low_vel_mode, table_window,
                                  resp_weight, occlusion, harm_threshold,
-                                 risk_threshold, thresholds, occ_pm_weight))
+                                 risk_threshold, thresholds, occ_pm_weight,
+                                 compensated_sum))
 
 
 def _poses_from(out):
@@ -331,6 +334,7 @@ def sharded_full_cycle(
     risk_threshold: float = 1.0,
     thresholds=None,
     occ_pm_weight: float = 0.0,
+    compensated_sum: bool = False,
 ):
     """Mesh-sharded full multi-agent cycle with ICI pose exchange.
 
@@ -348,7 +352,7 @@ def sharded_full_cycle(
     """
     vbody = _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight,
                           occlusion, harm_threshold, risk_threshold, thresholds,
-                          occ_pm_weight)
+                          occ_pm_weight, compensated_sum)
     sh, rep = P(axis_name), P()
 
     def sharded_body(matrices, masks, ctx, *extras):

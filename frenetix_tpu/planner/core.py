@@ -79,7 +79,7 @@ def _boundary_harm(v, coeff_const, coeff_speed):
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "n_steps", "low_vel_mode", "quintic_lon", "check_boundary",
-                     "table_window"),
+                     "table_window", "compensated_sum"),
 )
 def evaluate_cycle(
     matrix: jnp.ndarray,
@@ -92,6 +92,7 @@ def evaluate_cycle(
     quintic_lon: bool = False,
     check_boundary: bool = True,
     table_window: int = 768,
+    compensated_sum: bool = False,
     harm_coeffs=(-7.5, 0.0815),  # log_reg complete_sym_reg defaults (harm_parameters.json)
 ) -> CycleResult:
     """Evaluate and select over one padded sampling matrix.
@@ -122,7 +123,8 @@ def evaluate_cycle(
         lane_segments=ctx.lane_segments if ctx.lane_segments.shape[0] else None,
         lane_valid=ctx.lane_valid,
     )
-    cost = costs_mod.weighted_total(cost_terms, ctx.weights)
+    cost = costs_mod.weighted_total(cost_terms, ctx.weights,
+                                    compensated=compensated_sum)
 
     collides = coll.prediction_collisions(ro, ctx.preds, ctx.veh)
     if check_boundary:
@@ -138,6 +140,10 @@ def evaluate_cycle(
 
     selectable = ro.feasible & ro.valid & ~collides & ~off_road & valid_mask
     masked_cost = jnp.where(selectable, cost, _BIG)
+    # jnp.argmin returns the FIRST minimal index — exact ties resolve to the
+    # lowest candidate index deterministically (matches np.argmin and the
+    # reference's stable sort order); with compensated_sum, mathematically
+    # equal totals ARE exact ties (see ops.costs.weighted_total)
     best_idx = jnp.argmin(masked_cost).astype(jnp.int32)
     found = jnp.any(selectable)
 

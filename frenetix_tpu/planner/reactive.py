@@ -276,6 +276,7 @@ class ReactivePlanner:
                 self.jnp.asarray(matrix), self.jnp.asarray(mask), ctx,
                 dt=self.dt, n_steps=self.n_steps, low_vel_mode=low_vel,
                 quintic_lon=quintic_lon,
+                compensated_sum=p.compensated_cost_sum,
             )
             res = self._apply_responsibility(res)
             last_res, last_matrix, last_mask = res, matrix, mask

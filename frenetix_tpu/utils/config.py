@@ -64,6 +64,11 @@ class PlanningConfig:
     d_ego_pos: bool = False
     sampling_min: int = 2
     sampling_max: int = 3
+    # Neumaier-compensated weighted-cost summation: makes near-tie argmin
+    # selection robust to compile-variant reassociation noise (see
+    # ops.costs.weighted_total).  Off by default — bitwise parity with the
+    # reference's plain dot product.
+    compensated_cost_sum: bool = False
 
     @property
     def n_steps(self) -> int:
