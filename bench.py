@@ -106,7 +106,7 @@ def build_workload(dtype=np.float32, density=5, bucket=1024):
 
 
 def _best_of_compiles(make_fn, args, n=3, probe_reps=10):
-    """Compile n program VARIANTS and keep the fastest.
+    """Compile n program VARIANTS; keep the fastest and report the spread.
 
     The compile toolchain nondeterministically produces slower configurations
     for the same program (measured 77-130 µs for equivalent cycles).
@@ -115,10 +115,15 @@ def _best_of_compiles(make_fn, args, n=3, probe_reps=10):
     distinct but semantically equivalent program per variant k (e.g. k fused
     zero-adds); each then compiles independently and the probe keeps the best
     configuration.
+
+    Returns (best_fn, variant_probe_seconds) — the per-variant probe times
+    let the caller report expected-case (median-variant) latency alongside
+    the best-case headline (VERDICT r2 item 9).
     """
     import jax
 
     best_fn, best_t = None, float("inf")
+    variant_times = []
     for k in range(n):
         f = make_fn(k)
         out = f(*args)
@@ -127,10 +132,11 @@ def _best_of_compiles(make_fn, args, n=3, probe_reps=10):
         for _ in range(probe_reps):
             out = f(*args)
         jax.block_until_ready(out)
-        dt_probe = time.perf_counter() - t0
+        dt_probe = (time.perf_counter() - t0) / probe_reps
+        variant_times.append(dt_probe)
         if dt_probe < best_t:
             best_fn, best_t = f, dt_probe
-    return best_fn
+    return best_fn, variant_times
 
 
 def main():
@@ -190,13 +196,16 @@ def main():
                         res.cost[res.best_idx] + bump, res.histogram)
             return jax.jit(cycle)
 
-        fn = _best_of_compiles(make_cycle, (matrix, mask, ctx), n=compiles)
-        # FLOPs from the compiled executable (for the MFU estimate)
-        flops = None
+        fn, variant_times = _best_of_compiles(
+            make_cycle, (matrix, mask, ctx), n=compiles)
+        # FLOPs + HBM traffic from the compiled executable's own cost model
+        flops, bytes_acc = None, None
         try:
             cost = make_cycle(0).lower(matrix, mask, ctx).compile().cost_analysis()
             if cost and "flops" in cost:
                 flops = float(cost["flops"])
+            if cost and "bytes accessed" in cost:
+                bytes_acc = float(cost["bytes accessed"])
         except Exception:
             pass
 
@@ -211,6 +220,8 @@ def main():
         cycle_s = float(np.median(batch_times))
         return dict(
             m_padded=m_padded, n_valid=n_valid, cycle_s=cycle_s, flops=flops,
+            bytes_accessed=bytes_acc, n_steps=n_steps,
+            variant_times=variant_times,
         )
 
     def measure_batched_agents(a, reps=20, outer=5, compiles=2):
@@ -235,7 +246,15 @@ def main():
 
             return jax.jit(f)
 
-        fn = _best_of_compiles(make_batch, (matrices, masks, ctx), n=compiles)
+        fn, variant_times = _best_of_compiles(
+            make_batch, (matrices, masks, ctx), n=compiles)
+        flops, bytes_acc = None, None
+        try:
+            cost = make_batch(0).lower(matrices, masks, ctx).compile().cost_analysis()
+            flops = float(cost.get("flops", 0.0)) or None
+            bytes_acc = float(cost.get("bytes accessed", 0.0)) or None
+        except Exception:
+            pass
         times = []
         for _ in range(outer):
             t0 = time.perf_counter()
@@ -248,12 +267,105 @@ def main():
             "agents": a,
             "p50_batch_latency_ms": round(1000.0 * s, 3),
             "agent_replans_per_sec": round(a / s, 1),
+            "compile_variant_spread_ms": [round(1000 * t, 3)
+                                          for t in variant_times],
+            "_seconds": s, "_flops": flops, "_bytes": bytes_acc,
+            "_cands": int(matrices.shape[0] * matrices.shape[1]),
         }
+
+    def measure_numpy_backend(n_cands=192):
+        """Measured CPU baseline denominator (VERDICT r2 item 6): the
+        executable spec (planner/numpy_backend.py — reactive_planner.py:
+        274-577 semantics) on the exact bench workload, per-candidate wall
+        time extrapolated from a subset.  Pure NumPy float64 on host."""
+        from frenetix_tpu.geometry.refpath import prepare_reference_path
+        from frenetix_tpu.planner.numpy_backend import (
+            check_feasibility_single, cost_terms_single,
+        )
+        from frenetix_tpu.ops.kinematics import VehicleParams
+        from frenetix_tpu.ops.sampling import (
+            build_sampling_matrix, linspace_samples, time_samples,
+        )
+
+        dtype = np.float64
+        n_steps, dt = 30, 0.1
+        t = np.linspace(0, np.pi / 3, 600)
+        center = np.stack([150 * np.sin(t), 150 * (1 - np.cos(t))], axis=1)
+        ref = prepare_reference_path(center, extension=30.0, dtype=dtype)
+        veh = VehicleParams()
+        x0_lon, x0_lat = (40.0, 10.0, 0.0), (0.3, 0.0, 0.0)
+        t1 = np.unique(np.concatenate(
+            [time_samples(1.1, 3.0, dt, 2), [n_steps * dt]]))
+        ss1 = np.union1d(linspace_samples(5.0, 15.0, 5), [x0_lon[1]])
+        d1 = np.union1d(linspace_samples(-3.0, 3.0, 5), [x0_lat[0]])
+        matrix = build_sampling_matrix(
+            t1_vals=t1, ss1_vals=ss1, d1_vals=d1, x0_lon=x0_lon,
+            x0_lat=x0_lat, dtype=dtype)
+        o, t_pred = 4, n_steps
+        means = np.zeros((o, t_pred, 2), dtype)
+        for k in range(o):
+            s_obs = 55.0 + 12.0 * k + 8.0 * dt * np.arange(t_pred)
+            means[k, :, 0] = np.interp(s_obs, ref.s, ref.xy[:, 0])
+            means[k, :, 1] = np.interp(s_obs, ref.s, ref.xy[:, 1])
+        inv = np.linalg.inv(np.tile(np.eye(2) * 0.5, (o, t_pred, 1, 1)))
+
+        idx = np.linspace(0, len(matrix) - 1, n_cands).astype(int)
+        t0 = time.perf_counter()
+        for i in idx:
+            res = check_feasibility_single(
+                matrix[i], ref, veh, dt=dt, n_steps=n_steps,
+                low_vel_mode=False, x0_orientation=0.27)
+            cost_terms_single(res, dt=dt, desired_velocity=12.0,
+                              pred_means=means, pred_inv_covs=inv,
+                              pred_len=t_pred, obstacle_xy=means[:, 0])
+        wall = time.perf_counter() - t0
+        return round(n_cands / wall, 1)
 
     # headline config (dense sweep, ~35k candidates) + a candidates sweep
     # (VERDICT r1 item 8: report valid-candidate throughput AND the sweep)
     headline = measure(density=5, bucket=1024, compiles=3)
     sweep = []
+    V5E_BF16_PEAK = 197e12      # TPU v5e MXU peak, bf16 FLOP/s
+    V5E_HBM_BPS = 819e9         # TPU v5e HBM bandwidth, B/s
+
+    def roofline(flops, bytes_acc, seconds, m_padded, n_steps,
+                 table_window=768, n_cols=7):
+        """Roofline placement from the compiled program's own cost model.
+
+        The HLO flop count prices the two-hot table interpolation as a real
+        (P, W) @ (W, 4C) matmul; on device XLA lowers that one-hot
+        contraction to a VMEM gather (PERF.md), so those flops are not
+        executed.  `true_flops` subtracts the analytic matmul count
+        (2·P·W·4C) — the defensible executed-FLOP lower bound.  Bandwidth
+        uses XLA's 'bytes accessed' (the optimized program's memory
+        traffic).  The binding resource fraction is the roofline placement;
+        for this gather/elementwise-dominated cycle it is bandwidth."""
+        if not flops or not seconds:
+            return None
+        p = m_padded * (n_steps + 1)
+        interp_flops = 2.0 * p * table_window * 4 * n_cols
+        true_flops = max(flops - interp_flops, 0.0)
+        out = {
+            "hlo_flops_nominal": flops,
+            "interp_matmul_flops_not_executed": interp_flops,
+            "true_flops_lower_bound": true_flops,
+            "achieved_tflops": round(true_flops / seconds / 1e12, 3),
+            "mfu_vs_v5e_bf16_peak": round(
+                true_flops / seconds / V5E_BF16_PEAK, 5),
+        }
+        if bytes_acc:
+            out["hbm_bytes_accessed"] = bytes_acc
+            out["achieved_gb_per_s"] = round(bytes_acc / seconds / 1e9, 1)
+            out["hbm_bw_fraction_of_819gbs"] = round(
+                bytes_acc / seconds / V5E_HBM_BPS, 4)
+            out["binding_resource"] = (
+                "hbm_bandwidth"
+                if bytes_acc / V5E_HBM_BPS > true_flops / V5E_BF16_PEAK
+                else "compute")
+            out["roofline_fraction"] = round(max(
+                bytes_acc / seconds / V5E_HBM_BPS,
+                true_flops / seconds / V5E_BF16_PEAK), 4)
+        return out
     # density 6 (≈200k candidates) exceeds the 16G HBM of one v5e chip at
     # N=30 with the fused rollout live — the sweep tops out at ~35k; the
     # densest point reuses the headline measurement (same config, measured
@@ -280,15 +392,9 @@ def main():
     valid_evals_per_sec = headline["n_valid"] * replans_per_sec
     padded_evals_per_sec = headline["m_padded"] * replans_per_sec
 
-    # MFU estimate: compiler-reported FLOPs per cycle / measured time, against
-    # TPU v5e peak (197 TFLOP/s bf16 — default-precision matmuls run bf16).
-    # The HLO flops count is NOMINAL (pre-optimization; one-hot interp matmuls
-    # may be folded to gathers on the device) — when it implies >100% peak it
-    # is an overcount, reported as null with the raw number kept in detail.
-    mfu = None
-    if headline["flops"]:
-        est = headline["flops"] / headline["cycle_s"] / 197e12
-        mfu = round(est, 4) if est <= 1.0 else None
+    headline_roofline = roofline(
+        headline["flops"], headline["bytes_accessed"], headline["cycle_s"],
+        headline["m_padded"], headline["n_steps"])
 
     def measure_device_sim():
         """End-to-end device-resident simulation (parallel/device_sim): the
@@ -332,21 +438,42 @@ def main():
             return DeviceSimulation(Simulation(
                 make_overtake(lead_gap=40.0 + 2.0 * i), c))
 
-        s_n = 8
-        fleet_sims = [build(i) for i in range(s_n)]
-        run_fleet(fleet_sims)                          # compile
-        t0 = time.perf_counter()
-        fleet = run_fleet(fleet_sims)
-        fleet_wall = time.perf_counter() - t0
-        total_steps = sum(r.steps * len(r.agent_ids) for r in fleet)
-        out["fleet"] = {
-            "scenarios": s_n,
-            "all_success": all(int(s) == 2 for r in fleet for s in r.status),
-            "wall_s": round(fleet_wall, 3),
-            "scenarios_per_sec": round(s_n / fleet_wall, 2),
-            "agent_steps_per_sec": round(total_steps / fleet_wall, 1),
-        }
+        # fleet-axis saturation curve (VERDICT r2 item 7): scenarios/s and
+        # agent-steps/s as the vmapped scenario axis grows
+        out["fleet"] = []
+        for s_n in (8, 32, 64):
+            fleet_sims = [build(i) for i in range(s_n)]
+            t0 = time.perf_counter()
+            run_fleet(fleet_sims)                      # compile + first run
+            compile_wall = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fleet = run_fleet(fleet_sims)
+            fleet_wall = time.perf_counter() - t0
+            total_steps = sum(r.steps * len(r.agent_ids) for r in fleet)
+            out["fleet"].append({
+                "scenarios": s_n,
+                "all_success": all(int(s) == 2
+                                   for r in fleet for s in r.status),
+                "wall_s": round(fleet_wall, 3),
+                "compile_plus_first_run_s": round(compile_wall, 2),
+                "scenarios_per_sec": round(s_n / fleet_wall, 2),
+                "agent_steps_per_sec": round(total_steps / fleet_wall, 1),
+            })
         return out
+
+    # multi-agent fused-batch saturation sweep (VERDICT r2 item 1b): grow the
+    # fused agent axis until the latency slope turns positive — the
+    # compute-bound operating point is the honest throughput headline
+    agents_sweep = [measure_batched_agents(a) for a in (1, 4, 16, 64, 256)]
+    top = agents_sweep[-1]
+    saturated_roofline = None
+    if top["_flops"]:
+        saturated_roofline = roofline(
+            top["_flops"], top["_bytes"], top["_seconds"],
+            top["_cands"], 30)
+    for row in agents_sweep:
+        for key in ("_seconds", "_flops", "_bytes", "_cands"):
+            row.pop(key, None)
 
     result = {
         "metric": "valid_candidate_trajectory_evals_per_sec_per_chip",
@@ -359,12 +486,23 @@ def main():
             "padded_cand_evals_per_sec": round(padded_evals_per_sec, 1),
             "replans_per_sec": round(replans_per_sec, 2),
             "p50_cycle_latency_ms": round(1000.0 * headline["cycle_s"], 3),
+            # expected-case alongside best-case (VERDICT r2 item 9)
+            "compile_variant_spread_ms": [
+                round(1000 * t, 3) for t in headline["variant_times"]],
+            "median_variant_latency_ms": round(
+                1000 * float(np.median(headline["variant_times"])), 3),
             "flops_per_cycle": headline["flops"],
-            "mfu_vs_v5e_bf16_peak": mfu,
+            "roofline": headline_roofline,
+            "mfu_vs_v5e_bf16_peak": (headline_roofline or {}).get(
+                "mfu_vs_v5e_bf16_peak"),
             "sweep": sweep,
-            # production multi-agent path: fused full cycles per device call
-            "multi_agent_batched": [measure_batched_agents(a)
-                                    for a in (1, 4, 16)],
+            # production multi-agent path: fused full cycles per device call,
+            # grown to saturation; roofline at the largest batch
+            "multi_agent_batched": agents_sweep,
+            "saturated_batch_roofline": saturated_roofline,
+            # measured CPU denominator for vs_baseline context (the 100k
+            # figure stays the official baseline; this is the measured leg)
+            "numpy_backend_cand_evals_per_sec": measure_numpy_backend(),
             # whole-sim-on-device scan (parallel/device_sim): end-to-end
             # executed agent-steps/s with ONE fetch per run
             "device_resident_sim": measure_device_sim(),

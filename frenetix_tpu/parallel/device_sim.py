@@ -36,21 +36,28 @@ construction where possible):
 - the radius + rear-cone sensor filter runs on device (host parity);
   `calc_occlusions` visible-area polygons are host-only (construction
   raises).
-- no behavior planner / occlusion module (host sequential or batched modes
-  cover those).
-- the responsibility (reach-set) term runs on device for SINGLE-agent runs:
-  per-cycle grids are precomputed from the recorded obstacle trajectories
-  with the host's own builder and the term + re-selection happen inside the
-  scan (planner/reactive.py:448-462 semantics).  Multi-agent responsibility
-  needs live peer reach grids and stays on the batched host path
-  (construction raises).
+- the occlusion module runs ON DEVICE: the spawn locator (silhouette-edge
+  points behind recorded obstacles + turn spawns from static route
+  curvature) evaluates from the live ego pose inside the scan, phantom CV
+  rows concat into the cycle's prediction tensors with the host's free-slot
+  cap, and the shared `phantom_safety_mask` gate + occ_pm soft cost apply
+  before selection (occ_um/occ_ve need per-step polar maps — host-only,
+  construction raises).
+- no behavior planner (host sequential or batched modes cover it).
+- the responsibility (reach-set) term runs FULLY on device, multi-agent
+  included: each agent's reach grids are built inside the scan by
+  `risk.reachable_set.build_reach_set_grids_device` (bit-pinned against the
+  host builder) from the cycle's prediction tensors — live peer-agent rows
+  and sensor filtering included — then the term + re-selection apply
+  (planner/reactive.py:448-462 semantics).  Works with the mesh and the
+  fleet (lanelet tensors pad across members).
 - progressive densification matches the host: every configured level
   (`sampling_min` .. `sampling_max`−1) evaluates each replan and the first
   level that finds a candidate wins per agent (the host stops early; the
   values are identical).  The emergency ladder IS implemented on device
-  (standstill at v ≤ 0.1, the `emergency_mode="stopping"` ordered fallback
-  on the LAST level, host parity); `min_risk` emergency mode is not
-  (construction raises).  An agent failing the whole ladder freezes with
+  (standstill at v ≤ 0.1, then the configured `emergency_mode` fallback on
+  the LAST level — "stopping" ordered fallback or "min_risk" risk-stack
+  argmin — host parity).  An agent failing the whole ladder freezes with
   status ERROR.
 - low-velocity kinematics match the host: both cycle programs run each
   replan and a per-agent `where` picks by `v < low_vel_mode_threshold`
@@ -113,7 +120,17 @@ class SimTensors(NamedTuple):
     x_cl0: object              # (A, 6)
     pose0: object              # (A, 4) center x, y, theta, v
     acc0: object               # (A,)
-    reach_grids: object = None  # ReachSetGrid with (C, O, ...) leaves, or None
+    lane: object = None        # LaneletTensors (responsibility on) or None
+    # occlusion-module tensors (None unless use_occlusion_module)
+    occ_obst: object = None        # (C, Oc, 3) recorded obstacle poses
+    occ_obst_valid: object = None  # (C, Oc)
+    occ_is_dyn: object = None      # (Oc,)
+    occ_half: object = None       # (Oc,) max(l, w)/2
+    occ_cat_ok: object = None      # (Oc,) spawn category enabled
+    turn_xy: object = None         # (A, R2, 2) route vertices
+    turn_spawn: object = None      # (A, R2, 2) precomputed turn spawn points
+    turn_heading: object = None    # (A, R2)
+    turn_hot: object = None        # (A, R2) |kappa| > threshold
 
 
 @dataclass
@@ -208,6 +225,89 @@ def _velocity_goal_tensors(agents, dtype):
     return goal_s, has_goal_s, goal_t_hi, has_goal_t, goal_v_mean
 
 
+def _occlusion_spawn_tensors(sim, agents, n_cycles, k_replan, dtype):
+    """Static/per-cycle inputs of the device occlusion spawn locator.
+
+    Host spec: OcclusionModule.find_spawn_points iterates ALL scenario
+    obstacles at the replan step (recorded states — agent-converted obstacles
+    included, with their recorded trajectories, exactly like the host), so
+    the per-cycle poses are precomputable; only the ego position is live.
+    Turn spawn candidates (_turn_spawn_points) are fully static per agent
+    (route geometry) except the ego-distance selection."""
+    occ_cfg = sim.config.occlusion
+    obs = list(sim.scenario.obstacles.values())
+    oc_n = len(obs) or 1
+    poses = np.zeros((n_cycles, oc_n, 3), dtype)
+    valid = np.zeros((n_cycles, oc_n), bool)
+    for c in range(n_cycles):
+        t_c = c * k_replan
+        for j, ob in enumerate(obs):
+            st = ob.state_at_time(t_c)
+            if st is None:
+                continue
+            poses[c, j, :2] = st.position
+            poses[c, j, 2] = st.orientation
+            valid[c, j] = True
+    is_dyn = np.array([getattr(ob, "role", "dynamic") == "dynamic"
+                       for ob in obs] or [False])
+    half = np.array([max(ob.length, ob.width) / 2.0 for ob in obs] or [1.0],
+                    dtype)
+    # spawn_locator category flags fold into a per-row enable
+    cat_ok = np.where(is_dyn, bool(occ_cfg.spawn_point_behind_dynamic_obstacle),
+                      bool(occ_cfg.spawn_point_behind_static_obstacle))
+
+    # per-agent turn-spawn candidates (static route geometry; the host
+    # selects the nearest high-curvature point ahead at plan time)
+    r2_max = 1
+    rows = []
+    for a in agents:
+        xy = None
+        if a.occlusion is not None and occ_cfg.spawn_points_behind_turn:
+            xy = a.occlusion.route_xy
+        if xy is None or len(xy) < 5:
+            rows.append(None)
+            continue
+        xy = np.asarray(xy, dtype=float)
+        seg = np.linalg.norm(np.diff(xy, axis=0), axis=1)
+        s = np.concatenate([[0.0], np.cumsum(seg)])
+        dx, dy = np.gradient(xy[:, 0], s), np.gradient(xy[:, 1], s)
+        ddx, ddy = np.gradient(dx, s), np.gradient(dy, s)
+        kappa = (dx * ddy - dy * ddx) / np.maximum(
+            (dx * dx + dy * dy) ** 1.5, 1e-12)
+        hot = np.abs(kappa) > 0.03          # kappa_threshold
+        spawn = np.zeros_like(xy)
+        heading = np.zeros(len(xy))
+        for i in np.where(hot)[0]:
+            normal = np.array([-dy[i], dx[i]])
+            normal /= max(np.linalg.norm(normal), 1e-9)
+            inside = normal * np.sign(kappa[i])
+            spawn[i] = xy[i] + 3.6 * inside
+            heading[i] = float(np.arctan2(-inside[1], -inside[0]))
+        rows.append((xy, spawn, heading, hot))
+        r2_max = max(r2_max, len(xy))
+    a_n = len(agents)
+    turn_xy = np.zeros((a_n, r2_max, 2), dtype)
+    turn_spawn = np.zeros((a_n, r2_max, 2), dtype)
+    turn_heading = np.zeros((a_n, r2_max), dtype)
+    turn_hot = np.zeros((a_n, r2_max), bool)
+    for i, row in enumerate(rows):
+        if row is None:
+            continue
+        xy, spawn, heading, hot = row
+        n = len(xy)
+        turn_xy[i, :n] = xy
+        # inert padding: repeat the last vertex with hot=False
+        turn_xy[i, n:] = xy[-1]
+        turn_spawn[i, :n] = spawn
+        turn_heading[i, :n] = heading
+        turn_hot[i, :n] = hot
+    return dict(
+        occ_obst=poses, occ_obst_valid=valid, occ_is_dyn=is_dyn,
+        occ_half=half, occ_cat_ok=cat_ok, turn_xy=turn_xy,
+        turn_spawn=turn_spawn, turn_heading=turn_heading, turn_hot=turn_hot,
+    )
+
+
 def _obstacle_step_poses(scenario, agent_obstacle_ids, n_steps_total, dtype):
     """(T+1, O, 3) pose + (T+1, O) valid + (O, 2) half-dims of every
     scenario obstacle (the collision-check side, _check_collisions)."""
@@ -260,27 +360,38 @@ class DeviceSimulation:
         if config.behavior.use_behavior_planner:
             raise ValueError("DeviceSimulation does not run the behavior "
                              "planner (host modes do)")
-        if config.occlusion.use_occlusion_module:
-            raise ValueError("DeviceSimulation does not run the occlusion "
-                             "module (host modes do)")
+        self.use_occlusion = bool(config.occlusion.use_occlusion_module)
+        ew = config.external_cost_weights
+        if self.use_occlusion and (float(ew.get("occ_um", 0.0)) != 0.0
+                                   or float(ew.get("occ_ve", 0.0)) != 0.0):
+            raise ValueError(
+                "external_cost_weights occ_um/occ_ve need per-step polar "
+                "visibility maps (host-only); occ_pm runs on device")
+        self.occ_pm_weight = (float(ew.get("occ_pm", 0.0))
+                              if self.use_occlusion else 0.0)
+        occ_cfg = config.occlusion
+        if self.use_occlusion:
+            from frenetix_tpu.occlusion import PhantomThresholds
+
+            self._occ_statics = (
+                True, self.occ_pm_weight, occ_cfg.phantom_type,
+                int(occ_cfg.max_phantoms),
+                int(occ_cfg.max_dynamic_spawn_points),
+                int(occ_cfg.max_static_spawn_points),
+                bool(occ_cfg.spawn_points_behind_turn),
+                bool(occ_cfg.spawn_point_behind_dynamic_obstacle),
+                bool(occ_cfg.spawn_point_behind_static_obstacle),
+                float(occ_cfg.variance_factor),
+                float(occ_cfg.size_factor_length),
+                float(occ_cfg.size_factor_width),
+                tuple(PhantomThresholds.from_config(occ_cfg)),
+            )
+        else:
+            self._occ_statics = (False,)
         self.resp_weight = float(config.cost_weights.get("responsibility", 0.0))
-        if self.resp_weight != 0.0:
-            # reach grids over SCENARIO obstacles are precomputable per cycle
-            # (recorded trajectories → known replan-time poses, like the
-            # prediction windows); PEER-AGENT grids depend on live sim state
-            # and cannot be precomputed — multi-agent responsibility stays on
-            # the batched host path (sim/simulation.py reach-grid stacking)
-            if len(sim.agents) > 1:
-                raise ValueError(
-                    "DeviceSimulation evaluates the responsibility term for "
-                    "single-agent runs only (peer-agent reach grids are "
-                    "sim-state dependent; use batched_device_agents)")
-            if mesh is not None:
-                raise ValueError("responsibility + mesh sharding is not "
-                                 "supported in DeviceSimulation")
-        if config.planning.emergency_mode != "stopping":
-            raise ValueError("DeviceSimulation implements the 'stopping' "
-                             "emergency mode only")
+        if config.planning.emergency_mode not in ("stopping", "min_risk"):
+            raise ValueError(
+                f"unknown emergency_mode {config.planning.emergency_mode!r}")
 
         self.sim = sim
         self.config = config
@@ -374,47 +485,20 @@ class DeviceSimulation:
         self.cur_obst = jnp.asarray(np.stack(cur_obst))
         self.cur_obst_valid = jnp.asarray(np.stack(cur_valid))
 
-        # ---- per-cycle reach-set grids (responsibility term) ---------------
-        # the same builder + inputs as the host's update_planner
-        # (sim/planner_interfaces.py:116-124): grid origin/orientation/
-        # velocity from the prediction window's index-0 row at each cycle.
-        # Rows are padded to the device obstacle axis (scenario + agent
-        # rows); the agent self-row is invalid so it never contributes.
-        self.reach_grids = None
+        # ---- lanelet tensors (responsibility term) -------------------------
+        # reach-set grids are built ON DEVICE inside the scan, per agent per
+        # cycle, from the cycle's prediction tensors' index-0 rows — the same
+        # builder inputs as the host's update_planner
+        # (sim/planner_interfaces.py:116-124), but with LIVE peer-agent rows
+        # (multi-agent responsibility needs sim-state-dependent peer grids,
+        # which is exactly why the builder must live where the state lives).
+        # build_reach_set_grids_device is bit-pinned against the host
+        # builder (tests/test_risk.py).
+        self.lane_tensors = None
         if self.resp_weight != 0.0:
-            from frenetix_tpu.risk.reachable_set import (
-                ReachSetGrid, build_reach_set_grids)
+            from frenetix_tpu.risk.reachable_set import lanelet_tensors
 
-            glist = []
-            for c in range(self.n_cycles):
-                pd = pds[c]
-                glist.append(build_reach_set_grids(
-                    sim.scenario,
-                    np.asarray(pd["means"][:, 0]),
-                    np.asarray(pd["orientations"][:, 0]),
-                    np.asarray(pd["velocities"][:, 0]),
-                    np.asarray(pd["lengths"]),
-                    np.asarray(pd["widths"]),
-                    np.asarray(pd["valid"][:, 0]),
-                ))
-            occ = np.stack([np.asarray(g.occupancy) for g in glist])
-            org = np.stack([np.asarray(g.origin) for g in glist])
-            val = np.stack([np.asarray(g.valid) for g in glist])
-            cel = np.stack([np.asarray(g.cell) for g in glist])
-            # pad the agent rows appended by concat_obstacles (always
-            # invalid — a grid row that can never claim reach membership)
-            pad = ((0, 0), (0, a_n))
-            occ = np.pad(occ, pad + ((0, 0),) * 3)
-            org = np.pad(org, pad + ((0, 0),))
-            val = np.pad(val, pad)
-            cel = np.pad(cel, pad, constant_values=1.0)
-            self.reach_grids = ReachSetGrid(
-                origin=jnp.asarray(org.astype(dtype)),
-                occupancy=jnp.asarray(occ),
-                valid=jnp.asarray(val),
-                cell=jnp.asarray(cel.astype(dtype)),
-                dt_rs=glist[0].dt_rs,
-            )
+            self.lane_tensors = lanelet_tensors(sim.scenario, dtype=dtype)
         if config.prediction.use_sensor_model and config.prediction.calc_occlusions:
             raise ValueError(
                 "DeviceSimulation supports the radius+cone sensor filter "
@@ -426,7 +510,17 @@ class DeviceSimulation:
         self.obst_valid = jnp.asarray(ov)
         self.obst_half = jnp.asarray(oh)
 
+        occ_tensors = {}
+        if self.use_occlusion:
+            occ_tensors = {
+                k: jnp.asarray(v)
+                for k, v in _occlusion_spawn_tensors(
+                    sim, self.agents, self.n_cycles, self.k_replan, dtype
+                ).items()
+            }
+
         self.tensors = SimTensors(
+            **occ_tensors,
             ref=self.stepper.ref,
             corridors=self.stepper.corridors,
             lane_segments=self.stepper.lane_segments,
@@ -452,7 +546,7 @@ class DeviceSimulation:
             x_cl0=jnp.asarray(x_cl0),
             pose0=jnp.asarray(pose0),
             acc0=jnp.asarray(acc0),
-            reach_grids=self.reach_grids,
+            lane=self.lane_tensors,
         )
 
         self._run_fn = None
@@ -492,6 +586,133 @@ class DeviceSimulation:
             mat = mat.at[:, 2].set(s0).at[:, 3].set(ss0).at[:, 4].set(sss0)
             mat = mat.at[:, 7].set(d0).at[:, 8].set(dd0).at[:, 9].set(ddd0)
             return mat
+
+        return one
+
+    def _phantom_fn(self, horizon):
+        """Device spawn locator + phantom prediction rows.
+
+        Host spec: OcclusionModule.find_spawn_points (silhouette-edge spawn
+        points behind obstacles within sensor range, per-category caps,
+        nearest-first overall cap) + _turn_spawn_points (nearest
+        high-curvature route point) + phantom_prediction_rows (CV rows with
+        inflated variance) + augment_predictions' free-slot cap.  The host
+        sorts with Python's stable sort: ties resolve by insertion order
+        (dynamic block, then static, then turn; obstacles in scenario dict
+        order, side +1 before −1) — reproduced here as lexicographic ranks.
+
+        Returns fn(g, c, ego (2,), n_free (), turn_xy (R2, 2),
+        turn_spawn (R2, 2), turn_heading (R2,), turn_hot (R2,)) →
+        (PredictionTensors with (P, horizon, ...) leaves, admitted (P,)
+        bool); the turn tensors are the calling agent's rows."""
+        jnp = self.jnp
+        occ_cfg = self.config.occlusion
+        from frenetix_tpu.occlusion.occlusion_module import PHANTOM_TYPES
+
+        params = PHANTOM_TYPES[occ_cfg.phantom_type]
+        p_max = int(occ_cfg.max_phantoms)
+        max_dyn = int(occ_cfg.max_dynamic_spawn_points)
+        max_stat = int(occ_cfg.max_static_spawn_points)
+        sensor_radius = float(self.config.prediction.sensor_radius)
+        var_factor = float(occ_cfg.variance_factor)
+        length = params["length"] * float(occ_cfg.size_factor_length)
+        width = params["width"] * float(occ_cfg.size_factor_width)
+        vel = float(params["velocity"])
+        use_turn = bool(occ_cfg.spawn_points_behind_turn)
+        dt = self.dt
+
+        def one(g: SimTensors, c, ego, n_free, turn_xy, turn_spawn,
+                turn_heading, turn_hot):
+            dtype = ego.dtype
+            pos = g.occ_obst[c][:, :2]                        # (Oc, 2)
+            d_vec = pos - ego[None]
+            dist_o = jnp.hypot(d_vec[:, 0], d_vec[:, 1])
+            ok_o = (g.occ_obst_valid[c] & g.occ_cat_ok
+                    & (dist_o >= 2.0) & (dist_o <= sensor_radius))
+            safe_d = jnp.maximum(dist_o, 1e-9)
+            ray = d_vec / safe_d[:, None]
+            perp = jnp.stack([-ray[:, 1], ray[:, 0]], axis=1)  # (Oc, 2)
+            sides = jnp.asarray([1.0, -1.0], dtype)            # host order
+            sp_pos = (pos[:, None]
+                      + sides[None, :, None] * perp[:, None]
+                      * (g.occ_half + 0.5)[:, None, None]
+                      + ray[:, None] * 1.0)                    # (Oc, 2, 2)
+            sp_head = jnp.arctan2(-sides[None, :] * perp[:, 1:2],
+                                  -sides[None, :] * perp[:, 0:1])  # (Oc, 2)
+            oc = pos.shape[0]
+            cand_pos = sp_pos.reshape(2 * oc, 2)
+            cand_head = sp_head.reshape(2 * oc)
+            cand_dist = jnp.repeat(dist_o, 2)
+            cand_ok = jnp.repeat(ok_o, 2)
+            cand_dyn = jnp.repeat(g.occ_is_dyn, 2)
+
+            # turn candidate (at most one, appended last like the host)
+            dist_t = jnp.hypot(turn_xy[:, 0] - ego[0],
+                               turn_xy[:, 1] - ego[1])         # (R2,)
+            cand_t = ((dist_t > 5.0) & (dist_t < sensor_radius)
+                      & turn_hot)
+            has_t = jnp.any(cand_t) if use_turn else jnp.asarray(False)
+            i_t = jnp.argmin(jnp.where(cand_t, dist_t, jnp.inf))
+
+            n = 2 * oc + 1
+            pos_all = jnp.concatenate([cand_pos, turn_spawn[i_t][None]])
+            head_all = jnp.concatenate([cand_head, turn_heading[i_t][None]])
+            dist_all = jnp.concatenate([cand_dist, dist_t[i_t][None]])
+            ok_all = jnp.concatenate([cand_ok, has_t[None]])
+            grp = jnp.concatenate([
+                jnp.where(cand_dyn, 0, 1), jnp.asarray([2])]).astype(jnp.int32)
+            ins = jnp.arange(n)
+
+            def lex_less(mask_j):
+                """(N, N) bool: candidate j (axis 1) precedes candidate i
+                (axis 0) under (dist, grp, ins), restricted to mask_j."""
+                dj, di = dist_all[None, :], dist_all[:, None]
+                gj, gi = grp[None, :], grp[:, None]
+                ij, ii = ins[None, :], ins[:, None]
+                less = (dj < di) | ((dj == di) & (
+                    (gj < gi) | ((gj == gi) & (ij < ii))))
+                return less & mask_j[None, :]
+
+            is_dyn_c = grp == 0
+            is_stat_c = grp == 1
+            rank_dyn = jnp.sum(lex_less(ok_all & is_dyn_c), axis=1)
+            rank_stat = jnp.sum(lex_less(ok_all & is_stat_c), axis=1)
+            kept = ok_all & (
+                (is_dyn_c & (rank_dyn < max_dyn))
+                | (is_stat_c & (rank_stat < max_stat))
+                | (grp == 2))
+            rank_all = jnp.sum(lex_less(kept), axis=1)
+            n_adm = jnp.minimum(p_max, jnp.maximum(n_free, 0))
+            admitted = kept & (rank_all < n_adm)
+
+            # gather the first P admitted candidates in rank order
+            p_idx = jnp.arange(p_max)
+            match = admitted[None, :] & (rank_all[None, :] == p_idx[:, None])
+            row_i = jnp.argmax(match, axis=1)                  # (P,)
+            row_ok = jnp.any(match, axis=1)
+            row_pos = pos_all[row_i]                           # (P, 2)
+            row_head = head_all[row_i]
+
+            # phantom_prediction_rows: CV toward heading, inflated variance
+            steps = jnp.arange(1, horizon + 1, dtype=dtype)
+            hvec = jnp.stack([jnp.cos(row_head), jnp.sin(row_head)], axis=1)
+            means = row_pos[:, None] + (vel * dt * steps)[None, :, None] * hvec[:, None]
+            var = (0.3 + 0.2 * steps * dt) * var_factor        # (T,)
+            eye = jnp.eye(2, dtype=dtype)
+            covs = jnp.broadcast_to(eye, (p_max, horizon, 2, 2)) * var[None, :, None, None]
+            inv = jnp.broadcast_to(eye, (p_max, horizon, 2, 2)) * (1.0 / var)[None, :, None, None]
+            from frenetix_tpu.ops.costs import PredictionTensors
+
+            ph = PredictionTensors(
+                means=means, inv_covs=inv, covs=covs,
+                orientations=jnp.broadcast_to(row_head[:, None],
+                                              (p_max, horizon)),
+                velocities=jnp.full((p_max, horizon), vel, dtype),
+                lengths=jnp.full((p_max,), length, dtype),
+                widths=jnp.full((p_max,), width, dtype),
+                valid=jnp.broadcast_to(row_ok[:, None], (p_max, horizon)),
+            )
+            return ph, row_ok
 
         return one
 
@@ -574,24 +795,36 @@ class DeviceSimulation:
         low_thr = self.config.planning.low_vel_mode_threshold
         comp_sum = bool(self.config.planning.compensated_cost_sum)
 
-        def _select_from(res, matrix, mask, d0):
-            """Host emergency ladder's stopping fallback (ReactivePlanner.plan
-            fallback, planner/reactive.py:346-361): when no candidate is
-            selectable, pick among feasible∧valid by (v asc, t asc,
-            |d − d0| asc) — `_select_stopping_index` as one integer-rank
-            lexicographic argmin.  Ranks (count of strictly-smaller values,
-            ties share a rank like the host's unique-value ranking) keep the
-            key EXACT in int32 — a float composite loses the d tie-break to
-            float32 rounding on TPU."""
+        emergency = str(self.config.planning.emergency_mode)
+
+        def _select_from(res, matrix, mask, d0, risks=None):
+            """Host emergency ladder fallback (ReactivePlanner.plan fallback,
+            planner/reactive.py:341-357) when no candidate is selectable.
+
+            emergency_mode='stopping': pick among feasible∧valid by (v asc,
+            t asc, |d − d0| asc) — `_select_stopping_index` as one
+            integer-rank lexicographic argmin.  Ranks (count of
+            strictly-smaller values, ties share a rank like the host's
+            unique-value ranking) keep the key EXACT in int32 — a float
+            composite loses the d tie-break to float32 rounding on TPU.
+
+            emergency_mode='min_risk': argmin of ego_risk + obst_risk over
+            feasible∧valid (reactive_planner_cpp.py:409-413 →
+            risk_costs.calc_risk; host: ReactivePlanner._risk_totals)."""
             ro = res.rollout
             feas = ro.feasible & ro.valid & mask
-            v, t, d = matrix[:, 5], matrix[:, 1], jnp.abs(matrix[:, 10] - d0)
-            rank = lambda col: jnp.sum(
-                col[None, :] < col[:, None], axis=1).astype(jnp.int32)
-            m = matrix.shape[0]
-            key = (rank(v) * m + rank(t)) * m + rank(d)
-            key = jnp.where(feas, key, jnp.iinfo(jnp.int32).max)
-            fb_idx = jnp.argmin(key).astype(jnp.int32)
+            if emergency == "min_risk":
+                total = risks.ego_risk + risks.obst_risk
+                key = jnp.where(feas, total, jnp.inf)
+                fb_idx = jnp.argmin(key).astype(jnp.int32)
+            else:
+                v, t, d = matrix[:, 5], matrix[:, 1], jnp.abs(matrix[:, 10] - d0)
+                rank = lambda col: jnp.sum(
+                    col[None, :] < col[:, None], axis=1).astype(jnp.int32)
+                m = matrix.shape[0]
+                key = (rank(v) * m + rank(t)) * m + rank(d)
+                key = jnp.where(feas, key, jnp.iinfo(jnp.int32).max)
+                fb_idx = jnp.argmin(key).astype(jnp.int32)
             fb_ok = jnp.any(feas)
             idx = jnp.where(res.found, res.best_idx, fb_idx)
             out = {k_: getattr(ro, attr)[idx] for attr, k_ in _SEL_FIELDS}
@@ -601,31 +834,63 @@ class DeviceSimulation:
             return out
 
         resp_w = self.resp_weight
+        need_risks = (resp_w != 0.0 or emergency == "min_risk"
+                      or self.use_occlusion)
 
-        def _apply_resp(res, ctx, grid):
-            """ReactivePlanner._apply_responsibility on device: risk stack →
-            reach-grid term → cost += w·term → re-argmin over selectable
-            (planner/reactive.py:448-462; same math as mesh._one_agent_select).
-            The grid's validity is ANDed with the agent's (sensor-filtered)
-            window-start obstacle validity — the host builds its grid from the
-            already-filtered predictions (sim/planner_interfaces.py:123)."""
+        def _risks_of(res, ctx):
+            """Risk stack of one cycle (ReactivePlanner._risk_totals inputs:
+            the agent's prediction tensors + footprint-inferred crash meta)."""
             from frenetix_tpu.parallel.mesh import _default_obstacle_meta
             from frenetix_tpu.risk.costs import trajectory_risks
-            from frenetix_tpu.risk.reachable_set import (
-                responsibility_reach_grid)
 
-            g2 = grid._replace(valid=grid.valid & ctx.preds.valid[:, 0])
-            risks = trajectory_risks(res.rollout, ctx.preds,
-                                     _default_obstacle_meta(ctx.preds),
-                                     veh.mass)
-            term = responsibility_reach_grid(res.rollout, g2, risks, dt)
-            cost2 = res.cost + resp_w * term
-            masked = jnp.where(res.selectable, cost2, jnp.inf)
-            best = jnp.where(res.found, jnp.argmin(masked),
+            return trajectory_risks(res.rollout, ctx.preds,
+                                    _default_obstacle_meta(ctx.preds),
+                                    veh.mass)
+
+        use_occ = self.use_occlusion
+        occ_pm_w = self.occ_pm_weight
+        phantom_fn = None
+        if use_occ:
+            from frenetix_tpu.occlusion import PhantomThresholds
+
+            thresholds = PhantomThresholds.from_config(self.config.occlusion)
+            phantom_fn = self._phantom_fn(
+                int(self.pred_windows["means"].shape[2]))
+
+        def _post(res, ctx, risks, grid, pm):
+            """Post-cycle selection adjustments, the exact in-batch order of
+            mesh._one_agent_select: responsibility term (reach grids built ON
+            DEVICE from this cycle's prediction tensors — live peer-agent
+            rows included, host builder inputs sim/planner_interfaces.py:
+            116-124) → occlusion phantom gate + occ_pm soft cost → one
+            re-argmin over the adjusted selectable set."""
+            cost, selectable = res.cost, res.selectable
+            if resp_w != 0.0:
+                from frenetix_tpu.risk.reachable_set import (
+                    responsibility_reach_grid)
+
+                term = responsibility_reach_grid(res.rollout, grid, risks, dt)
+                cost = cost + resp_w * term
+            if use_occ:
+                from frenetix_tpu.occlusion import (
+                    external_occlusion_costs, phantom_safety_mask)
+
+                safe = phantom_safety_mask(risks, pm, thresholds,
+                                           rollout=res.rollout,
+                                           preds=ctx.preds, veh=veh, dt=dt)
+                selectable = selectable & safe
+                if occ_pm_w:
+                    cost = cost + external_occlusion_costs(
+                        res.rollout, w_pm=occ_pm_w, risks=risks,
+                        phantom_mask=pm)
+            masked = jnp.where(selectable, cost, jnp.inf)
+            found = jnp.any(selectable)
+            best = jnp.where(found, jnp.argmin(masked),
                              res.best_idx).astype(jnp.int32)
-            return res._replace(cost=cost2, best_idx=best)
+            return res._replace(cost=cost, best_idx=best, found=found,
+                                selectable=selectable)
 
-        def one_select(matrix, mask, ctx, d0, v_cur, grid=None):
+        def one_select(matrix, mask, ctx, d0, v_cur, *extras):
             """One agent's cycle in BOTH kinematics modes, picking by the
             host's low-velocity rule (v < low_vel_mode_threshold →
             lateral-over-arclength rollout).  low_vel_mode is a static flag
@@ -633,32 +898,44 @@ class DeviceSimulation:
             selects — in the launch-bound regime the second cycle is nearly
             free, and it removes the one kinematics divergence from the
             host loop."""
+            lane = extras[0] if resp_w != 0.0 else None
+            pm = extras[-1] if use_occ else None
             res_hi = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
                                     low_vel_mode=False, table_window=768,
                                     compensated_sum=comp_sum)
             res_lo = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
                                     low_vel_mode=True, table_window=768,
                                     compensated_sum=comp_sum)
-            if resp_w != 0.0:
-                res_hi = _apply_resp(res_hi, ctx, grid)
-                res_lo = _apply_resp(res_lo, ctx, grid)
-            out_hi = _select_from(res_hi, matrix, mask, d0)
-            out_lo = _select_from(res_lo, matrix, mask, d0)
+            risks_hi = _risks_of(res_hi, ctx) if need_risks else None
+            risks_lo = _risks_of(res_lo, ctx) if need_risks else None
+            if resp_w != 0.0 or use_occ:
+                grid = None
+                if resp_w != 0.0:
+                    # the grid depends on the prediction tensors only — built
+                    # ONCE per agent per cycle, shared by both kinematics
+                    # programs
+                    from frenetix_tpu.risk.reachable_set import (
+                        build_reach_set_grids_device)
+
+                    grid = build_reach_set_grids_device(
+                        ctx.preds.means[:, 0], ctx.preds.orientations[:, 0],
+                        ctx.preds.velocities[:, 0], ctx.preds.lengths,
+                        ctx.preds.widths, ctx.preds.valid[:, 0], lane)
+                res_hi = _post(res_hi, ctx, risks_hi, grid, pm)
+                res_lo = _post(res_lo, ctx, risks_lo, grid, pm)
+            out_hi = _select_from(res_hi, matrix, mask, d0, risks_hi)
+            out_lo = _select_from(res_lo, matrix, mask, d0, risks_lo)
             lv = v_cur < low_thr
             return jax.tree.map(lambda a, b: jnp.where(lv, b, a),
                                 out_hi, out_lo)
 
-        if resp_w != 0.0:
-            # the per-cycle grid is shared across the (single) agent row:
-            # broadcast, don't map (responsibility is single-agent only)
-            from frenetix_tpu.risk.reachable_set import ReachSetGrid
-
-            grid_axes = ReachSetGrid(origin=None, occupancy=None, valid=None,
-                                     cell=None, dt_rs=None)
-            vbody = jax.vmap(one_select,
-                             in_axes=(0, 0, CTX_IN_AXES, 0, 0, grid_axes))
-        else:
-            vbody = jax.vmap(one_select, in_axes=(0, 0, CTX_IN_AXES, 0, 0))
+        use_lane = resp_w != 0.0
+        # extras, fixed order: lanelet tensors (scenario-level → broadcast
+        # over agents), then the (A, O) phantom-row mask (per agent)
+        extra_axes = (*((None,) if use_lane else ()),
+                      *((0,) if use_occ else ()))
+        vbody = jax.vmap(one_select,
+                         in_axes=(0, 0, CTX_IN_AXES, 0, 0, *extra_axes))
         if self.mesh is None:
             cycle_fn = vbody
         else:
@@ -672,16 +949,18 @@ class DeviceSimulation:
 
             axis = self.axis_name
             sh = P(axis)
+            extra_specs = (*((P(),) if use_lane else ()),
+                           *((sh,) if use_occ else ()))
 
-            def sharded(mats, msks, ctx, d0, v_cur):
-                out = vbody(mats, msks, ctx, d0, v_cur)
+            def sharded(mats, msks, ctx, d0, v_cur, *extras):
+                out = vbody(mats, msks, ctx, d0, v_cur, *extras)
                 return jax.tree.map(
                     lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
                     out)
 
             cycle_fn = jax.shard_map(
                 sharded, mesh=self.mesh,
-                in_specs=(sh, sh, _ctx_pspecs(axis), sh, sh),
+                in_specs=(sh, sh, _ctx_pspecs(axis), sh, sh, *extra_specs),
                 out_specs=P(),
                 check_vma=False,   # all_gather output is replicated
             )
@@ -739,6 +1018,24 @@ class DeviceSimulation:
                 cov_pos=pcfg.cov_pos, active=running,
             )
             preds = concat_obstacles(window, agent_preds)
+            pm_extra = ()
+            if use_occ:
+                # occlusion phantom injection (host: _agent_predictions →
+                # augment_predictions): spawn locator on device from the
+                # recorded obstacle poses + live ego, free-slot cap computed
+                # exactly as the host's post-augment free count
+                n_present = jnp.sum(jnp.any(window.valid, axis=2), axis=1)
+                n_peers = jnp.sum(running) - running.astype(jnp.int32)
+                n_free = window.valid.shape[1] - n_present - n_peers
+                ph, ph_mask = jax.vmap(
+                    phantom_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
+                    g, c, center, n_free, g.turn_xy, g.turn_spawn,
+                    g.turn_heading, g.turn_hot)
+                preds = concat_obstacles(preds, ph)
+                pm_full = jnp.concatenate([
+                    jnp.zeros((a_n, window.valid.shape[1] + a_n), bool),
+                    ph_mask], axis=1)
+                pm_extra = (pm_full,)
             ctx = CycleContext(
                 ref=g.ref, veh=veh, weights=weights, preds=preds,
                 obstacle_xy=preds.means[:, :, 0],
@@ -753,12 +1050,7 @@ class DeviceSimulation:
             # every configured level evaluates; the first level that finds a
             # candidate wins per agent, and when none does the LAST level's
             # stopping fallback applies (the host falls back on last_res)
-            extra = ()
-            if resp_w != 0.0:
-                rg = g.reach_grids
-                extra = (rg._replace(
-                    origin=rg.origin[c], occupancy=rg.occupancy[c],
-                    valid=rg.valid[c], cell=rg.cell[c]),)
+            extra = (*((g.lane,) if resp_w != 0.0 else ()), *pm_extra)
             out = cycle_fn(matrix_fns[0](x_cl, v), masks_l[0], ctx,
                            x_cl[:, 3], v, *extra)
             for li in range(1, len(matrix_fns)):
@@ -899,7 +1191,8 @@ class DeviceSimulation:
         return res
 
     def _padded_tensors(self, a_max, c_max, r_max, s_max, o_max, t1_max,
-                        g_max, e_max) -> SimTensors:
+                        g_max, e_max, l_max=None, le_max=None, oc_max=None,
+                        r2_max=None) -> SimTensors:
         """This scenario's SimTensors padded to the fleet maxima.
 
         Padding is inert by construction: extra agents carry active0=False
@@ -952,7 +1245,38 @@ class DeviceSimulation:
             k_: pad_repeat(v, c_max, axis=0)
             for k_, v in g.pred_windows.items()
         }
+        occ_fields = {}
+        if g.occ_obst is not None:
+            occ_fields = dict(
+                occ_obst=pad_zero(pad_repeat(g.occ_obst, c_max, 0), oc_max, 1),
+                occ_obst_valid=pad_zero(
+                    pad_repeat(g.occ_obst_valid, c_max, 0), oc_max, 1),
+                occ_is_dyn=pad_zero(g.occ_is_dyn, oc_max, 0),
+                occ_half=pad_zero(g.occ_half, oc_max, 0),
+                occ_cat_ok=pad_zero(g.occ_cat_ok, oc_max, 0),
+                # padded route vertices carry turn_hot=False, so their
+                # positions never become candidates
+                turn_xy=pad_a(pad_zero(g.turn_xy, r2_max, 1)),
+                turn_spawn=pad_a(pad_zero(g.turn_spawn, r2_max, 1)),
+                turn_heading=pad_a(pad_zero(g.turn_heading, r2_max, 1)),
+                turn_hot=pad_a(pad_zero(g.turn_hot, r2_max, 1)),
+            )
+        lane = g.lane
+        if lane is not None:
+            # pad the vertex axis by REPEATING the last vertex (degenerate
+            # edges add no even-odd crossings); padded lanelet rows carry
+            # ring_valid=False and all-False closure rows/cols, so they can
+            # neither start nor join a closure
+            rings = pad_repeat(lane.rings, le_max, axis=1)
+            rings = pad_zero(rings, l_max, axis=0)
+            closure = pad_zero(pad_zero(lane.closure, l_max, 0), l_max, 1)
+            lane = type(lane)(
+                rings=rings,
+                ring_valid=pad_zero(lane.ring_valid, l_max, 0),
+                closure=closure,
+            )
         return SimTensors(
+            **occ_fields,
             cur_obst=pad_repeat(g.cur_obst, c_max, 0),
             cur_obst_valid=pad_repeat(g.cur_obst_valid, c_max, 0),
             ref=ref,
@@ -983,6 +1307,7 @@ class DeviceSimulation:
             x_cl0=pad_a(g.x_cl0),
             pose0=pad_a(g.pose0),
             acc0=pad_a(g.acc0),
+            lane=lane,
         )
 
     def to_simulation_result(self, dres: DeviceSimResult):
@@ -1067,17 +1392,20 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
             raise ValueError("run_fleet composes with vmap only (per-member "
                              "meshes are not supported; pass mesh= to "
                              "run_fleet to shard the scenario axis)")
-        if s.resp_weight != 0.0:
-            raise ValueError("run_fleet does not support the responsibility "
-                             "term (reach-grid padding across fleet members "
-                             "is not implemented; run those solo)")
         if (s.dt, s.n_steps, s.k_replan, tuple(l[3] for l in s.levels),
-                s.np_dtype) != (
+                s.np_dtype, s.config.planning.emergency_mode,
+                s.config.planning.compensated_cost_sum, s.resp_weight,
+                s._occ_statics) != (
                 base.dt, base.n_steps, base.k_replan,
-                tuple(l[3] for l in base.levels), base.np_dtype):
+                tuple(l[3] for l in base.levels), base.np_dtype,
+                base.config.planning.emergency_mode,
+                base.config.planning.compensated_cost_sum, base.resp_weight,
+                base._occ_statics):
             raise ValueError(
                 "fleet members must share planning statics (dt, horizon, "
-                "replanning frequency, sampling level, dtype)")
+                "replanning frequency, sampling level, dtype, emergency "
+                "mode, compensated-sum flag, responsibility weight, "
+                "occlusion settings)")
     if mesh is not None and len(sims) % mesh.size != 0:
         raise ValueError(f"fleet size {len(sims)} must divide evenly over "
                          f"the {mesh.size}-device mesh")
@@ -1090,9 +1418,17 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
     t1_max = max(np.asarray(s.tensors.obst_poses).shape[0] for s in sims)
     g_max = max(np.asarray(s.tensors.g_rings).shape[1] for s in sims)
     e_max = max(np.asarray(s.tensors.g_rings).shape[2] for s in sims)
+    l_max = le_max = oc_max = r2_max = None
+    if base.resp_weight != 0.0:
+        l_max = max(np.asarray(s.tensors.lane.rings).shape[0] for s in sims)
+        le_max = max(np.asarray(s.tensors.lane.rings).shape[1] for s in sims)
+    if base.use_occlusion:
+        oc_max = max(np.asarray(s.tensors.occ_half).shape[0] for s in sims)
+        r2_max = max(np.asarray(s.tensors.turn_hot).shape[1] for s in sims)
 
     padded = [s._padded_tensors(a_max, c_max, r_max, s_max, o_max, t1_max,
-                                g_max, e_max) for s in sims]
+                                g_max, e_max, l_max, le_max, oc_max, r2_max)
+              for s in sims]
     stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
                            *padded)
     # cache the compiled fleet program on the base member (a fresh

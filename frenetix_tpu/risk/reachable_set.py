@@ -39,6 +39,9 @@ __all__ = [
     "build_reach_set_grids",
     "points_in_reach_grids",
     "responsibility_reach_grid",
+    "LaneletTensors",
+    "lanelet_tensors",
+    "build_reach_set_grids_device",
 ]
 
 
@@ -322,6 +325,179 @@ def responsibility_reach_grid(ro, grid: ReachSetGrid, risks, dt: float):
     ever_inside = jnp.any(inside, axis=2)                         # (M, O)
     resp = jnp.where(ever_inside, 0.0, 1.0) * risks.obst_present[None, :]
     return -jnp.sum(resp * risks.obst_risk_per_obst, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# device-side grid builder (live peer-agent reach sets inside lax.scan)
+# ---------------------------------------------------------------------------
+
+
+class LaneletTensors(NamedTuple):
+    """Static per-scenario lanelet geometry, device-shippable — the inputs the
+    reach-grid builder needs to run ON DEVICE (so peer-agent grids can be
+    built from live poses inside the simulation scan).
+
+    rings are padded to a common vertex count by repeating the last vertex
+    (degenerate edges add no even-odd crossings; the roll-closure edge stays
+    last→first).  `closure[l]` is the boolean row of lanelets reachable from
+    start lanelet l (parallels + successor recursion, `reachable_lanelet_ids`
+    with a single start) — the closure of a multi-lanelet position is the OR
+    of its start rows (BFS from a union of sources ≡ union of BFSs at equal
+    depth)."""
+
+    rings: jnp.ndarray       # (L, E, 2)
+    ring_valid: jnp.ndarray  # (L,)
+    closure: jnp.ndarray     # (L, L) bool — closure[start, member]
+
+
+def lanelet_tensors(scenario, depth: int = 3, dtype=np.float64) -> LaneletTensors:
+    """Host precompute of `LaneletTensors` (cached per scenario+depth)."""
+    key = ("_lanelet_tensors_cache", depth, np.dtype(dtype).str)
+    cached = getattr(scenario, "_lanelet_tensors_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    ids = list(scenario.lanelets) if scenario is not None else []
+    l_n = len(ids) or 1
+    e_max = max((len(scenario.lanelets[i].polygon) for i in ids), default=3) or 3
+    rings = np.zeros((l_n, e_max, 2), dtype)
+    ring_valid = np.zeros(l_n, bool)
+    closure = np.zeros((l_n, l_n), bool)
+    index = {lid: k for k, lid in enumerate(ids)}
+    for k, lid in enumerate(ids):
+        ring = np.asarray(scenario.lanelets[lid].polygon, dtype)
+        rings[k, : len(ring)] = ring
+        rings[k, len(ring):] = ring[-1]
+        ring_valid[k] = True
+        for member in reachable_lanelet_ids(scenario, [lid], depth):
+            closure[k, index[member]] = True
+    out = LaneletTensors(
+        rings=jnp.asarray(rings),
+        ring_valid=jnp.asarray(ring_valid),
+        closure=jnp.asarray(closure),
+    )
+    if scenario is not None:
+        try:
+            scenario._lanelet_tensors_cache = (key, out)
+        except Exception:
+            pass
+    return out
+
+
+def _one_reach_grid_device(pos, th, v, length, width, valid, lane: LaneletTensors,
+                           *, dt_rs, t_max, a_max, grid_n, cell, t_steps):
+    """One obstacle's rasterized reach grid, pure jnp — the device twin of
+    the host loop body in `build_reach_set_grids` (bit-matching formulas and
+    evaluation order at equal dtype; the differential test pins exact
+    equality on float64).  Returns (origin (2,), occupancy (T, G, G),
+    cell ())."""
+    import jax
+
+    dtype = pos.dtype
+    reach = (jnp.maximum(v, 0.0) * t_max + 0.5 * a_max * t_max ** 2
+             + length + 2.0)
+    cell_o = jnp.maximum(jnp.asarray(cell, dtype), 2.0 * reach / grid_n)
+    # invalid rows keep the default cell size (the host builder skips them)
+    cell_o = jnp.where(valid, cell_o, jnp.asarray(cell, dtype))
+
+    axis = jnp.arange(grid_n, dtype=dtype) - grid_n / 2 + 0.5
+    gx, gy = jnp.meshgrid(axis, axis, indexing="ij")
+    unit = jnp.stack([gx.ravel(), gy.ravel()], axis=1)           # (P, 2)
+    cells_world = unit * cell_o + pos[None]
+
+    # ---- start lanelets: io.commonroad._point_in_ring semantics ----------
+    a = lane.rings                                               # (L, E, 2)
+    b = jnp.roll(lane.rings, -1, axis=1)
+    cond0 = (a[..., 1] > pos[1]) != (b[..., 1] > pos[1])
+    x0 = a[..., 0] + (pos[1] - a[..., 1]) * (b[..., 0] - a[..., 0]) / (
+        b[..., 1] - a[..., 1])
+    start = ((jnp.sum(cond0 & (pos[0] < x0), axis=1) % 2).astype(bool)
+             & lane.ring_valid)
+    any_start = jnp.any(start)
+    closure_lanes = jnp.any(lane.closure & start[:, None], axis=0)  # (L,)
+
+    # ---- cell membership in the closure union: _points_in_rings grouping --
+    px = cells_world[:, 0][:, None, None]                        # (P, 1, 1)
+    py = cells_world[:, 1][:, None, None]
+    cond = (a[None, ..., 1] > py) != (b[None, ..., 1] > py)      # (P, L, E)
+    x_int = a[None, ..., 0] + (py - a[None, ..., 1]) * (
+        (b[..., 0] - a[..., 0]) / (b[..., 1] - a[..., 1]))[None]
+    hits = jnp.sum(cond & (px < x_int), axis=-1)                 # (P, L)
+    in_ring = (hits % 2).astype(bool) & closure_lanes[None]
+    in_lane = jnp.where(any_start, jnp.any(in_ring, axis=1), True)  # (P,)
+
+    # ---- SPOT hexagon, all steps at once (spot_hexagon_params +
+    #      hexagon_contains, vectorized over j) --------------------------
+    vv = jnp.maximum(v, 0.01)
+    t = jnp.arange(t_steps, dtype=dtype) * dt_rs
+    c_arr = vv * t
+    t_bmax = jnp.sqrt(jnp.asarray(2.0 / 3.0, dtype)) * vv / a_max
+    bx_max = vv * t_bmax - a_max ** 2 * t_bmax ** 3 / (2 * vv)
+    bx = vv * t - a_max ** 2 * t ** 3 / (2 * vv)
+    bx = jnp.where(t > t_bmax, bx_max, bx)
+    r = 0.5 * a_max * t ** 2
+    rear_run = jax.lax.cummax(c_arr - r)
+
+    def prev(arr):
+        return jnp.concatenate([jnp.zeros(1, dtype), arr[:-1]])
+
+    r_prev, b_prev, rear_prev = prev(r), prev(bx), prev(rear_run)
+
+    cth, sth = jnp.cos(-th), jnp.sin(-th)
+    d = cells_world - pos[None]
+    x = cth * d[:, 0] - sth * d[:, 1]                            # (P,)
+    y = jnp.abs(sth * d[:, 0] + cth * d[:, 1])
+
+    l2, w2 = length / 2.0, width / 2.0
+    x_lo = (rear_prev - l2)[:, None]                             # (T, 1)
+    x_hi = (c_arr + r + l2)[:, None]
+    denom = jnp.maximum(b_prev - rear_prev, 1e-9)[:, None]
+    ramp = r_prev[:, None] + (r - r_prev)[:, None] * jnp.clip(
+        (x[None, :] - rear_prev[:, None]) / denom, 0.0, 1.0)
+    half_w = jnp.where(x[None, :] >= b_prev[:, None], r[:, None], ramp) + w2
+    in_hex = ((x[None, :] >= x_lo) & (x[None, :] <= x_hi)
+              & (y[None, :] <= half_w))                          # (T, P)
+
+    occ = (in_hex & in_lane[None] & valid).reshape(t_steps, grid_n, grid_n)
+    return pos, occ, cell_o
+
+
+def build_reach_set_grids_device(
+    positions, orientations, velocities, lengths, widths, valid,
+    lane: LaneletTensors,
+    *,
+    dt_rs: float = 0.2,
+    t_max: float = 2.0,
+    a_max: float = 8.0,
+    grid_n: int = 64,
+    cell: float = 1.5,
+) -> ReachSetGrid:
+    """`build_reach_set_grids` ON DEVICE — pure jnp, jit/vmap/scan-safe.
+
+    This is what makes multi-agent responsibility possible inside the
+    device-resident simulation: peer-agent reach grids depend on LIVE sim
+    state, so they must be built where that state lives.  Differentially
+    pinned against the host builder (tests/test_risk.py): identical
+    occupancy/cell/valid on float64.
+
+    Inputs are (O, ...) stacked obstacle states (prediction window index-0
+    rows, like the host builder's call sites); `lane` comes from
+    `lanelet_tensors(scenario)` (static, precomputed once per scenario).
+    """
+    import functools
+
+    import jax
+
+    t_steps = len(np.arange(0.0, t_max + dt_rs / 2, dt_rs))
+    one = functools.partial(
+        _one_reach_grid_device, dt_rs=dt_rs, t_max=t_max, a_max=a_max,
+        grid_n=grid_n, cell=cell, t_steps=t_steps,
+    )
+    origin, occ, cells = jax.vmap(
+        lambda p, th, v, ln, w, va: one(p, th, v, ln, w, va, lane)
+    )(positions, orientations, velocities, lengths, widths, valid)
+    return ReachSetGrid(
+        origin=origin, occupancy=occ, valid=valid, cell=cells, dt_rs=dt_rs,
+    )
 
 
 # ---------------------------------------------------------------------------

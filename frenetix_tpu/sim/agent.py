@@ -334,7 +334,9 @@ class Agent:
                 if (self.config.debug.save_all_traj
                         and self.planner.last_cycle is not None):
                     res, mat, msk = self.planner.last_cycle
-                    self.logger.log_all_candidates(self.state.time_step, res, mat, msk)
+                    self.logger.log_all_candidates(
+                        self.state.time_step, res, mat, msk,
+                        dt=self.config.planning.dt)
             if plan is None:
                 self.status = AgentStatus.ERROR
                 self.message = "no feasible trajectory"

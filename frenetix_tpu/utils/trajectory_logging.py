@@ -42,6 +42,25 @@ class TrajectoryLogger:
         self.save_unweighted = save_unweighted
         self.log_risk = log_risk
 
+        # save_all_traj also writes the reference's trajectories.csv
+        # (logging_helpers.py:320,395-441: semicolon-separated, one row per
+        # candidate per cycle) next to the SQLite tables
+        self._traj_csv = None
+        if save_all_traj:
+            self._traj_csv = os.path.join(log_dir, "trajectories.csv")
+            header = (
+                "time_step;trajectory_number;unique_id;feasible;horizon;dt;"
+                "x_positions_m;y_positions_m;theta_orientations_rad;"
+                "kappa_rad;curvilinear_orientations_rad;velocities_mps;"
+                "accelerations_mps2;s_position_m;d_position_m;ego_risk;"
+                "obst_risk;costs_cumulative_weighted;"
+                + ";".join(self.cost_names) + ";"
+                "inf_kin_yaw_rate;inf_kin_acceleration;"
+                "inf_kin_max_curvature;inf_kin_max_curvature_rate"
+            )
+            with open(self._traj_csv, "w") as fh:
+                fh.write(header + "\n")
+
         self.con = sqlite3.connect(os.path.join(log_dir, "trajectories.db"))
         c = self.con
         c.execute(
@@ -198,9 +217,11 @@ class TrajectoryLogger:
             )
         self.con.commit()
 
-    def log_all_candidates(self, time_step: int, res, matrix, mask):
+    def log_all_candidates(self, time_step: int, res, matrix, mask,
+                           dt: float = 0.1):
         """save_all_traj mode: every candidate's geometry + costs + feasibility
-        (SqlLogger.log_all_trajectories, logging_helpers.py:264-295)."""
+        (SqlLogger.log_all_trajectories, logging_helpers.py:264-295), plus the
+        reference's trajectories.csv rows (logging_helpers.py:580-616)."""
         ro = res.rollout
         m = int(np.asarray(mask).sum())
         x = np.asarray(ro.x)
@@ -254,6 +275,25 @@ class TrajectoryLogger:
             sp_rows,
         )
         self.con.commit()
+
+        if self._traj_csv is not None:
+            with open(self._traj_csv, "a") as fh:
+                for i in range(m):
+                    fh.write(";".join(
+                        [str(time_step), str(i), f"{time_step}_{i}",
+                         str(bool(feas[i])), "{:.3g}".format(float(mat[i, 1])),
+                         "{:.3g}".format(dt),
+                         _float_values(x[i]), _float_values(y[i]),
+                         _float_values(th[i]), _float_values(kap[i]),
+                         _float_values(th_cl[i]), _float_values(v[i]),
+                         _float_values(a[i]), _float_values(s[i]),
+                         _float_values(d[i]), "", "",
+                         "{:.5g}".format(float(cost[i]))]
+                        + ["{:.5g}".format(float(terms[i, order[n]]))
+                           if n in order else "0" for n in self.cost_names]
+                        + ["{:.5g}".format(float(slots[i, j]))
+                           for j in (6, 8, 5, 7)]
+                    ) + "\n")
 
     def close(self):
         self.con.close()

@@ -581,6 +581,8 @@ def test_crosswalk_in_static_route_plan():
     assert "Crosswalk" in types and "PrepareCrosswalk" in types
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_multiagent_behavior_planners():
     """Behavior planner + multi-agent — the combination the reference
     explicitly does not support (behavior.yaml:2 'works only without

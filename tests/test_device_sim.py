@@ -105,12 +105,40 @@ def test_device_sim_guards():
     for key, val in [
         ("prediction.mode", "bogus"),
         ("behavior.use_behavior_planner", True),
-        ("planning.emergency_mode", "min_risk"),
+        ("planning.emergency_mode", "bogus"),
     ]:
         cfg = _cfg(**{key: val})
         sim = Simulation(make_highway(), cfg)
         with pytest.raises(ValueError):
             DeviceSimulation(sim)
+
+
+def test_device_sim_min_risk_emergency_matches_host():
+    """emergency_mode='min_risk' on device: when no candidate is selectable
+    the fallback picks the feasible candidate with minimal ego+obstacle risk
+    (host: ReactivePlanner min-risk fallback via _risk_totals).  The factory
+    highway ego starts off-corridor, so cycle 0 exercises the fallback."""
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    cfg = _cfg(**{"planning.emergency_mode": "min_risk"})
+    res_d = _run_device(make_highway(), cfg)
+    res_h = Simulation(make_highway(),
+                       _cfg(**{"planning.emergency_mode": "min_risk"})).run()
+
+    assert res_h.agent_status[60000] == AgentStatus.COMPLETED_SUCCESS
+    assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
+    assert res_d.steps == res_h.steps
+    # cycle 0 really went through the fallback
+    assert not res_d.found[0, 0] and res_d.found[1, 0]
+    h = res_h.histories[60000]
+    for i in range(1, len(h)):
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, :2], h[i].position, atol=1e-9,
+            err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
 
 
 def test_device_sim_sharded_matches_vmap():
@@ -395,10 +423,10 @@ def test_device_sim_progressive_densification():
 
 
 def test_device_sim_responsibility_matches_host():
-    """Responsibility weight ≠ 0 (single agent): per-cycle reach-set grids
-    precomputed at init + the on-device term/re-selection must reproduce the
-    sequential host loop (ReactivePlanner._apply_responsibility) step by
-    step on the T-junction scenario."""
+    """Responsibility weight ≠ 0 (single agent): reach-set grids built ON
+    DEVICE inside the scan + the term/re-selection must reproduce the
+    sequential host loop (host builder + ReactivePlanner._apply_responsibility)
+    step by step on the T-junction scenario."""
     from frenetix_tpu.io.commonroad import load_scenario
     from frenetix_tpu.parallel.device_sim import DeviceSimulation
     from frenetix_tpu.sim import Simulation
@@ -413,12 +441,11 @@ def test_device_sim_responsibility_matches_host():
     assert res_h.success
     aid = sim_h.agents[0].id
     assert sim_h.agents[0].planner.reach_grid is not None
+    # the host grids are non-trivial (otherwise the parity below is vacuous)
+    assert np.asarray(sim_h.agents[0].planner.reach_grid.occupancy).any()
 
     ds = DeviceSimulation(Simulation(load_scenario(xml), cfg))
-    assert ds.reach_grids is not None
-    # grids were actually populated (an all-empty occupancy would make the
-    # parity below vacuous for the term)
-    assert np.asarray(ds.reach_grids.occupancy).any()
+    assert ds.lane_tensors is not None
     res_d = ds.run()
 
     assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
@@ -432,27 +459,195 @@ def test_device_sim_responsibility_matches_host():
             res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
 
 
-def test_device_sim_responsibility_guards():
-    """Multi-agent / mesh / fleet + responsibility must fail loudly."""
+@pytest.mark.slow
+def test_device_sim_responsibility_multiagent_matches_host_batched():
+    """MULTI-agent responsibility on device (VERDICT r2 item 2): peer-agent
+    reach grids are sim-state dependent, so the device scan builds them live
+    (build_reach_set_grids_device).  Statuses, steps and executed
+    trajectories must match the batched host path, which builds the same
+    grids per agent on host (simulation.py reach-grid stacking)."""
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    xml = "/root/reference/example_scenarios/ZAM_Tjunction-1_23_T-1.xml"
+    cfg = _cfg(**{"simulation.start_multiagent": True})
+    cfg.cost_weights["responsibility"] = 0.2
+    res_d = DeviceSimulation(Simulation(load_scenario(xml), cfg)).run()
+
+    cfg_h = _cfg(**{"simulation.start_multiagent": True,
+                    "simulation.batched_device_agents": True})
+    cfg_h.cost_weights["responsibility"] = 0.2
+    res_h = Simulation(load_scenario(xml), cfg_h).run()
+
+    assert res_d.steps == res_h.steps
+    for col, aid in enumerate(res_d.agent_ids):
+        assert int(res_d.status[col]) == int(res_h.agent_status[aid])
+        h = res_h.histories[aid]
+        for i in range(1, len(h)):
+            np.testing.assert_allclose(
+                res_d.trajectories[i - 1, col, :2], h[i].position, atol=1e-9,
+                err_msg=f"agent {aid} step {i}")
+
+
+@pytest.mark.slow
+def _blind_spot_scenario():
+    """make_highway + a parked truck shadowing the shoulder (the occlusion
+    e2e scenario from tests/test_occlusion.py)."""
+    from frenetix_tpu.io.commonroad import Obstacle, State
+    from frenetix_tpu.io.scenario_factory import make_highway
+
+    sc = make_highway(ego_v=13.0, lead_v=13.0, lead_gap=120.0, n_steps=150)
+    sc.obstacles[200] = Obstacle(
+        obstacle_id=200, obstacle_type="truck", role="static", length=9.0,
+        width=2.5, initial_state=State(0, np.array([60.0, 2.6]), 0.0, 0.0),
+    )
+    return sc
+
+
+def test_device_phantom_spawner_matches_host_module():
+    """The device spawn locator + phantom rows (DeviceSimulation._phantom_fn)
+    must reproduce OcclusionModule.find_spawn_points +
+    phantom_prediction_rows exactly: same admitted spawn positions in the
+    same rank order, same CV means/covariances."""
+    import jax
+
+    from frenetix_tpu.occlusion import OcclusionModule
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+
+    sc = _blind_spot_scenario()
+    cfg = _cfg(**{"occlusion.use_occlusion_module": True,
+                  "occlusion.harm_threshold": 0.02})
+    ds = DeviceSimulation(Simulation(sc, cfg))
+    agent = ds.agents[0]
+    assert agent.occlusion is not None
+
+    ego = np.array([40.0, 0.3])
+    host_specs = agent.occlusion.find_spawn_points(
+        type("S", (), {"position": ego})(), 0)
+    assert host_specs, "scenario must produce spawn points"
+    horizon = int(ds.pred_windows["means"].shape[2])
+    rows = agent.occlusion.phantom_prediction_rows(
+        host_specs, horizon, ds.dt, np.float64)
+
+    fn = ds._phantom_fn(horizon)
+    g = ds.tensors
+
+    def call(g, e, nf):
+        return fn(g, 0, e, nf, g.turn_xy[0], g.turn_spawn[0],
+                  g.turn_heading[0], g.turn_hot[0])
+
+    ph, admitted = jax.jit(call)(g, ds.jnp.asarray(ego), ds.jnp.asarray(8))
+    admitted = np.asarray(admitted)
+    assert admitted.sum() == len(host_specs)
+    got_means = np.asarray(ph.means)[admitted]
+    # XLA's sin/cos/atan2 differ from numpy's libm in the last ulp, so the
+    # heading→CV-row round trip is near-exact, not bitwise (the only
+    # tolerance in this differential; everything trig-free is exact)
+    np.testing.assert_allclose(got_means, rows["means"][: admitted.sum()],
+                               rtol=0, atol=1e-12)
+    # LAPACK's getri is itself up to 1 ulp from the exact 1/var diagonal
+    np.testing.assert_allclose(
+        np.asarray(ph.inv_covs)[admitted], rows["inv_covs"][: admitted.sum()],
+        rtol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(ph.orientations)[admitted],
+        rows["orientations"][: admitted.sum()], rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(ph.lengths)[admitted], rows["lengths"][: admitted.sum()])
+    np.testing.assert_array_equal(
+        np.asarray(ph.widths)[admitted], rows["widths"][: admitted.sum()])
+    # free-slot cap: zero free slots → no phantoms (host augment semantics)
+    _, adm0 = jax.jit(call)(g, ds.jnp.asarray(ego), ds.jnp.asarray(0))
+    assert not np.asarray(adm0).any()
+
+
+@pytest.mark.slow
+def test_device_sim_occlusion_matches_host():
+    """Occlusion module ON in the device scan (VERDICT r2 item 2): phantom
+    spawner + safety gate on device must reproduce the sequential host loop
+    step-exactly on the blind-spot scenario, including the slowdown the
+    phantoms force."""
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    kw = {"occlusion.use_occlusion_module": True,
+          "occlusion.harm_threshold": 0.02}
+    res_d = _run_device(_blind_spot_scenario(), _cfg(**kw))
+    res_h = Simulation(_blind_spot_scenario(), _cfg(**kw)).run()
+
+    assert res_h.agent_status[60000] == AgentStatus.COMPLETED_SUCCESS
+    assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
+    assert res_d.steps == res_h.steps
+    h = res_h.histories[60000]
+    for i in range(1, len(h)):
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, :2], h[i].position, atol=1e-9,
+            err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
+    # the gate actually bit: the pass is markedly slower than un-gated
+    v_pass = [s.velocity for s in h if 45 < s.position[0] < 65]
+    assert np.mean(v_pass) < 10.0
+
+
+def test_device_sim_occlusion_guards():
+    """occ_um/occ_ve external costs need host-side polar maps."""
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+
+    cfg = _cfg(**{"occlusion.use_occlusion_module": True})
+    cfg.external_cost_weights["occ_um"] = 0.5
+    sim = Simulation(_blind_spot_scenario(), cfg)
+    with pytest.raises(ValueError, match="occ_um"):
+        DeviceSimulation(sim)
+
+
+def test_device_sim_responsibility_mesh_and_fleet():
+    """Responsibility composes with the agent mesh (grids built inside the
+    shard) and with run_fleet (lanelet tensors pad across members): both
+    must match the plain vmap device run exactly."""
     import jax
 
     from frenetix_tpu.io.scenario_factory import make_highway, make_overtake
     from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
     from frenetix_tpu.sim import Simulation
 
-    cfg = _cfg(**{"simulation.start_multiagent": True})
-    cfg.cost_weights["responsibility"] = 0.2
-    with pytest.raises(ValueError, match="single-agent"):
-        DeviceSimulation(Simulation(make_overtake(), cfg))
+    def mk(scenario_fn, **kw):
+        cfg = _cfg(**kw)
+        cfg.cost_weights["responsibility"] = 0.2
+        return DeviceSimulation(Simulation(scenario_fn(), cfg))
 
-    cfg1 = _cfg()
-    cfg1.cost_weights["responsibility"] = 0.2
+    solo = mk(make_overtake, **{"simulation.start_multiagent": True}).run()
+
     if len(jax.devices()) >= 2:
         from frenetix_tpu.parallel.mesh import make_agent_mesh
 
-        with pytest.raises(ValueError, match="mesh"):
-            DeviceSimulation(Simulation(make_highway(), cfg1),
-                             mesh=make_agent_mesh(jax.devices()[:1]))
-    ds = DeviceSimulation(Simulation(make_highway(), cfg1))
-    with pytest.raises(ValueError, match="responsibility"):
-        run_fleet([ds, ds])
+        cfg = _cfg(**{"simulation.start_multiagent": True})
+        cfg.cost_weights["responsibility"] = 0.2
+        r_mesh = DeviceSimulation(
+            Simulation(make_overtake(), cfg),
+            mesh=make_agent_mesh(jax.devices()[:2])).run()
+        np.testing.assert_array_equal(solo.status, r_mesh.status)
+        assert solo.steps == r_mesh.steps
+        np.testing.assert_allclose(solo.trajectories, r_mesh.trajectories,
+                                   atol=1e-9)
+
+    fleet = run_fleet([
+        mk(make_overtake, **{"simulation.start_multiagent": True}),
+        mk(make_highway),
+    ])
+    np.testing.assert_array_equal(fleet[0].status, solo.status)
+    assert fleet[0].steps == solo.steps
+    np.testing.assert_allclose(fleet[0].trajectories, solo.trajectories,
+                               atol=1e-9)
+    solo_hw = mk(make_highway).run()
+    np.testing.assert_array_equal(fleet[1].status, solo_hw.status)
+    assert fleet[1].steps == solo_hw.steps
+
+    # mixed responsibility settings across a fleet must fail loudly
+    with pytest.raises(ValueError, match="statics"):
+        run_fleet([mk(make_highway),
+                   DeviceSimulation(Simulation(make_highway(), _cfg()))])

@@ -265,3 +265,16 @@ def test_risk_visualization_charts(tmp_path):
     out2 = plot_cost_composition(str(tmp_path / "60000" / "logs.csv"),
                                  save_path=str(tmp_path / "costs.png"))
     assert os.path.getsize(out2) > 10_000
+
+    # save_all_traj also writes the reference's trajectories.csv
+    # (logging_helpers.py:320,580-616): one row per candidate per cycle
+    csv_path = tmp_path / "60000" / "trajectories.csv"
+    lines = csv_path.read_text().strip().split("\n")
+    header = lines[0].split(";")
+    assert header[:6] == ["time_step", "trajectory_number", "unique_id",
+                          "feasible", "horizon", "dt"]
+    assert "costs_cumulative_weighted" in header
+    assert len(lines) > 100          # every candidate, every cycle
+    row = lines[1].split(";")
+    assert len(row) == len(header)
+    assert row[3] in ("True", "False")

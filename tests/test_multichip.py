@@ -103,6 +103,8 @@ def _slice_ctx(ctx, i):
     )
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_in_batch_responsibility_matches_host_math(stacked_problem):
     """resp_weight ≠ 0: the device-side responsibility application
     (mesh._one_agent_select) must reproduce the host-side post-pass exactly
@@ -255,6 +257,8 @@ def test_batched_matches_sequential_outcomes():
         np.testing.assert_allclose(st_seq[aid], st_bat[aid], atol=1e-9)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_batched_responsibility_matches_sequential():
     """Responsibility cost ≠ 0: the fused batch applies the lanelet reach-set
     term in-device (mesh._one_agent_select) and must match the sequential
@@ -270,6 +274,8 @@ def test_batched_responsibility_matches_sequential():
         np.testing.assert_allclose(st_seq[aid], st_bat[aid], atol=1e-9)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_batched_occlusion_matches_sequential():
     """Occlusion module on: phantom rows ride the stacked prediction tensors
     and the safety gate runs inside the fused batch (mesh._one_agent_select);
@@ -285,6 +291,8 @@ def test_batched_occlusion_matches_sequential():
         np.testing.assert_allclose(st_seq[aid], st_bat[aid], atol=1e-9)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_in_batch_occlusion_gate_matches_host_math(stacked_problem):
     """The device-side occlusion gate must reproduce
     OcclusionModule.trajectory_safety_assessment + host re-selection exactly:
@@ -430,6 +438,8 @@ def test_strict_cli_overrides_reject_typos():
     assert cfg.planning.dt == 0.1
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_inbatch_occlusion_gate_geometric_thresholds(stacked_problem):
     """The in-batch gate with a GEOMETRIC metric threshold (dce) matches the
     host shared-gate selection exactly — the full occlusion.yaml metric set
@@ -496,6 +506,8 @@ def test_inbatch_occlusion_gate_geometric_thresholds(stacked_problem):
     assert np.asarray(out_v["found"]).tolist() == exp_found
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_inbatch_occ_pm_soft_cost_matches_host(stacked_problem):
     """The occ_pm soft cost (cost.yaml external_cost_weights) applied inside
     the fused batch selects the same candidates as the host-side math."""

@@ -1,5 +1,6 @@
 """Occlusion module: spawn points, phantom predictions, safety gating."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 
@@ -63,6 +64,7 @@ def test_phantom_rows_and_gate():
     assert safe[1]
 
 
+@pytest.mark.slow
 def test_occlusion_slows_past_blind_spot():
     """End-to-end behavioral effect: a parked truck creates a blind spot; with
     the occlusion module on, the ego passes it markedly slower (phantom
@@ -416,6 +418,7 @@ def test_external_occlusion_costs_geometry():
     assert np.allclose(c, [0.6, 0.2])
 
 
+@pytest.mark.slow
 def test_external_costs_e2e_and_batched_guard():
     """occ_um wired end-to-end through the host planner (blind-spot scenario
     still completes); occ_um + batched_device_agents fails loudly."""

@@ -252,6 +252,54 @@ def test_reach_grid_matches_host_oracle_on_junction():
     assert np.asarray(grid.occupancy[0, -1]).sum() > 10
 
 
+def test_device_reach_grid_builder_matches_host_exactly():
+    """The pure-jnp grid builder (build_reach_set_grids_device — what the
+    device-resident sim uses for LIVE peer-agent grids inside the scan) must
+    reproduce the host builder bit-exactly on float64: same occupancy
+    rasters, same per-obstacle cell sizes, on the real T-junction map with
+    randomized obstacle states (on-road, off-road, slow, fast, invalid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from frenetix_tpu.io.commonroad import load_scenario
+    from frenetix_tpu.risk.reachable_set import (
+        build_reach_set_grids, build_reach_set_grids_device, lanelet_tensors,
+    )
+
+    sc = load_scenario(
+        "/root/reference/example_scenarios/ZAM_Tjunction-1_23_T-1.xml"
+    )
+    rng = np.random.default_rng(7)
+    o = 6
+    # positions spread over the junction area (some off-network), mixed
+    # velocities incl. ~0, one invalid row
+    pos = np.stack([rng.uniform(-5, 35, o), rng.uniform(-5, 55, o)], axis=1)
+    ths = rng.uniform(-np.pi, np.pi, o)
+    vs = np.concatenate([[0.0, 14.0], rng.uniform(1.0, 9.0, o - 2)])
+    lens = rng.uniform(3.5, 9.0, o)
+    wids = rng.uniform(1.6, 2.5, o)
+    valid = np.ones(o, bool)
+    valid[3] = False
+
+    host = build_reach_set_grids(sc, pos, ths, vs, lens, wids, valid)
+
+    lane = lanelet_tensors(sc)
+    dev = jax.jit(lambda *a: build_reach_set_grids_device(*a, lane))(
+        jnp.asarray(pos), jnp.asarray(ths), jnp.asarray(vs),
+        jnp.asarray(lens), jnp.asarray(wids), jnp.asarray(valid),
+    )
+
+    np.testing.assert_array_equal(np.asarray(host.valid), np.asarray(dev.valid))
+    np.testing.assert_array_equal(np.asarray(host.cell), np.asarray(dev.cell))
+    np.testing.assert_array_equal(np.asarray(host.origin), np.asarray(dev.origin))
+    occ_h, occ_d = np.asarray(host.occupancy), np.asarray(dev.occupancy)
+    assert occ_h.shape == occ_d.shape
+    assert occ_h[0].any() and occ_h[1].any(), "degenerate test inputs"
+    np.testing.assert_array_equal(occ_h, occ_d)
+    # caching: second call reuses the per-scenario tensors
+    assert lanelet_tensors(sc) is lane
+
+
 def test_responsibility_reach_grid_direction():
     """A candidate driving INTO an obstacle's reach set keeps the obstacle's
     risk (cost contribution 0); a candidate outside it gets the risk
