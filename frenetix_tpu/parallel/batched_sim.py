@@ -99,23 +99,22 @@ class BatchedAgentStepper:
         from frenetix_tpu.occlusion import PhantomThresholds
 
         ew = config.external_cost_weights
-        if self.use_occlusion and (float(ew.get("occ_um", 0.0)) != 0.0
-                                   or float(ew.get("occ_ve", 0.0)) != 0.0):
-            # these soft costs need per-agent polar visibility maps, which
-            # only the host path builds — fail loudly instead of silently
-            # dropping the terms from the fused batch
-            raise ValueError(
-                "external_cost_weights occ_um/occ_ve are not supported with "
-                "batched_device_agents (host-path only); occ_pm runs in-batch"
-            )
         self._occl_kwargs = dict(
             occlusion=self.use_occlusion,
             harm_threshold=float(config.occlusion.harm_threshold),
             risk_threshold=float(config.occlusion.risk_threshold),
             thresholds=PhantomThresholds.from_config(config.occlusion),
             occ_pm_weight=float(ew.get("occ_pm", 0.0)),
+            # occ_um/occ_ve soft costs run in-batch too; the host pre-pass
+            # gathers the per-agent occluder geometry (polar map + phantom
+            # silhouette points) and passes it to step()
+            occ_um_weight=float(ew.get("occ_um", 0.0)),
+            occ_ve_weight=float(ew.get("occ_ve", 0.0)),
             compensated_sum=bool(config.planning.compensated_cost_sum),
         )
+        self.use_occ_geom = self.use_occlusion and (
+            self._occl_kwargs["occ_um_weight"] != 0.0
+            or self._occl_kwargs["occ_ve_weight"] != 0.0)
 
         # the program is shape-polymorphic via jit retracing; build once
         self._step_fn = self._build()
@@ -146,13 +145,16 @@ class BatchedAgentStepper:
         return jax.jit(wrapped)
 
     def step(self, matrices, masks, preds_stacked, x0_orients, v_desireds,
-             veh, weights, reach_grids=None, phantom_masks=None):
+             veh, weights, reach_grids=None, phantom_masks=None,
+             occ_geom=None):
         """matrices (A, M, 13) … → (dict of (A, ...) selected-trajectory
         arrays, poses_all (A, 4) device-resident).  `reach_grids`: an
         agent-stacked ReachSetGrid (mesh.stack_reach_grids), required iff the
         responsibility cost weight is non-zero.  `phantom_masks`: (A, O) bool
         marking occlusion-phantom prediction rows, required iff the occlusion
-        module is enabled (the in-batch safety gate)."""
+        module is enabled (the in-batch safety gate).  `occ_geom`:
+        (ego (A,2), r_vis (A,K), pts (A,Q,2), pts_valid (A,Q)) per-agent
+        occluder geometry, required iff occ_um/occ_ve are weighted."""
         from frenetix_tpu.planner.core import CycleContext
 
         jnp = self.jnp
@@ -181,6 +183,12 @@ class BatchedAgentStepper:
                 raise ValueError("occlusion module is enabled but no phantom "
                                  "masks were passed to step()")
             extras.append(jnp.asarray(phantom_masks))
+            if self.use_occ_geom:
+                if occ_geom is None:
+                    raise ValueError(
+                        "occ_um/occ_ve are weighted but no occluder geometry "
+                        "was passed to step()")
+                extras.extend(jnp.asarray(x) for x in occ_geom)
         out, poses_all = self._step_fn(
             jnp.asarray(matrices), jnp.asarray(masks), ctx, *extras
         )

@@ -362,19 +362,23 @@ class DeviceSimulation:
                              "planner (host modes do)")
         self.use_occlusion = bool(config.occlusion.use_occlusion_module)
         ew = config.external_cost_weights
-        if self.use_occlusion and (float(ew.get("occ_um", 0.0)) != 0.0
-                                   or float(ew.get("occ_ve", 0.0)) != 0.0):
-            raise ValueError(
-                "external_cost_weights occ_um/occ_ve need per-step polar "
-                "visibility maps (host-only); occ_pm runs on device")
         self.occ_pm_weight = (float(ew.get("occ_pm", 0.0))
+                              if self.use_occlusion else 0.0)
+        # occ_um/occ_ve soft costs: the per-step polar visibility map and
+        # phantom silhouette points are built ON DEVICE inside the scan
+        # (sim.visible_area.polar_visibility_batch — jnp twin of the host's
+        # polar_map/occluder_points inputs, reactive.py:412-443)
+        self.occ_um_weight = (float(ew.get("occ_um", 0.0))
+                              if self.use_occlusion else 0.0)
+        self.occ_ve_weight = (float(ew.get("occ_ve", 0.0))
                               if self.use_occlusion else 0.0)
         occ_cfg = config.occlusion
         if self.use_occlusion:
             from frenetix_tpu.occlusion import PhantomThresholds
 
             self._occ_statics = (
-                True, self.occ_pm_weight, occ_cfg.phantom_type,
+                True, self.occ_pm_weight, self.occ_um_weight,
+                self.occ_ve_weight, occ_cfg.phantom_type,
                 int(occ_cfg.max_phantoms),
                 int(occ_cfg.max_dynamic_spawn_points),
                 int(occ_cfg.max_static_spawn_points),
@@ -604,7 +608,10 @@ class DeviceSimulation:
         Returns fn(g, c, ego (2,), n_free (), turn_xy (R2, 2),
         turn_spawn (R2, 2), turn_heading (R2,), turn_hot (R2,)) →
         (PredictionTensors with (P, horizon, ...) leaves, admitted (P,)
-        bool); the turn tensors are the calling agent's rows."""
+        bool, spawn positions (P, 2)); the turn tensors are the calling
+        agent's rows.  The spawn positions are the phantom silhouette
+        points consumed by the occ_ve external cost (host:
+        OcclusionModule.occluder_points)."""
         jnp = self.jnp
         occ_cfg = self.config.occlusion
         from frenetix_tpu.occlusion.occlusion_module import PHANTOM_TYPES
@@ -712,7 +719,7 @@ class DeviceSimulation:
                 widths=jnp.full((p_max,), width, dtype),
                 valid=jnp.broadcast_to(row_ok[:, None], (p_max, horizon)),
             )
-            return ph, row_ok
+            return ph, row_ok, row_pos
 
         return one
 
@@ -849,6 +856,11 @@ class DeviceSimulation:
 
         use_occ = self.use_occlusion
         occ_pm_w = self.occ_pm_weight
+        occ_um_w = self.occ_um_weight
+        occ_ve_w = self.occ_ve_weight
+        # occ_um/occ_ve need the per-cycle occluder geometry (polar map +
+        # phantom silhouette points) threaded into the per-agent select
+        use_occ_geom = use_occ and (occ_um_w != 0.0 or occ_ve_w != 0.0)
         phantom_fn = None
         if use_occ:
             from frenetix_tpu.occlusion import PhantomThresholds
@@ -857,13 +869,13 @@ class DeviceSimulation:
             phantom_fn = self._phantom_fn(
                 int(self.pred_windows["means"].shape[2]))
 
-        def _post(res, ctx, risks, grid, pm):
+        def _post(res, ctx, risks, grid, pm, occ_geom=None):
             """Post-cycle selection adjustments, the exact in-batch order of
             mesh._one_agent_select: responsibility term (reach grids built ON
             DEVICE from this cycle's prediction tensors — live peer-agent
             rows included, host builder inputs sim/planner_interfaces.py:
-            116-124) → occlusion phantom gate + occ_pm soft cost → one
-            re-argmin over the adjusted selectable set."""
+            116-124) → occlusion phantom gate + occ_pm/um/ve soft costs →
+            one re-argmin over the adjusted selectable set."""
             cost, selectable = res.cost, res.selectable
             if resp_w != 0.0:
                 from frenetix_tpu.risk.reachable_set import (
@@ -879,10 +891,15 @@ class DeviceSimulation:
                                            rollout=res.rollout,
                                            preds=ctx.preds, veh=veh, dt=dt)
                 selectable = selectable & safe
-                if occ_pm_w:
+                if occ_pm_w or use_occ_geom:
+                    ego = r_vis = pts = pts_valid = None
+                    if occ_geom is not None:
+                        ego, r_vis, pts, pts_valid = occ_geom
                     cost = cost + external_occlusion_costs(
-                        res.rollout, w_pm=occ_pm_w, risks=risks,
-                        phantom_mask=pm)
+                        res.rollout, w_pm=occ_pm_w, w_um=occ_um_w,
+                        w_ve=occ_ve_w, risks=risks, phantom_mask=pm,
+                        ego=ego, r_vis=r_vis, occluder_pts=pts,
+                        occluder_valid=pts_valid)
             masked = jnp.where(selectable, cost, jnp.inf)
             found = jnp.any(selectable)
             best = jnp.where(found, jnp.argmin(masked),
@@ -898,8 +915,16 @@ class DeviceSimulation:
             selects — in the launch-bound regime the second cycle is nearly
             free, and it removes the one kinematics divergence from the
             host loop."""
-            lane = extras[0] if resp_w != 0.0 else None
-            pm = extras[-1] if use_occ else None
+            # extras, fixed order: lane tensors? phantom-row mask? occluder
+            # geometry (ego, r_vis, phantom pts, pts valid)?
+            e_i = 0
+            lane = pm = occ_geom = None
+            if resp_w != 0.0:
+                lane, e_i = extras[0], 1
+            if use_occ:
+                pm, e_i = extras[e_i], e_i + 1
+                if use_occ_geom:
+                    occ_geom = tuple(extras[e_i:e_i + 4])
             res_hi = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
                                     low_vel_mode=False, table_window=768,
                                     compensated_sum=comp_sum)
@@ -921,8 +946,8 @@ class DeviceSimulation:
                         ctx.preds.means[:, 0], ctx.preds.orientations[:, 0],
                         ctx.preds.velocities[:, 0], ctx.preds.lengths,
                         ctx.preds.widths, ctx.preds.valid[:, 0], lane)
-                res_hi = _post(res_hi, ctx, risks_hi, grid, pm)
-                res_lo = _post(res_lo, ctx, risks_lo, grid, pm)
+                res_hi = _post(res_hi, ctx, risks_hi, grid, pm, occ_geom)
+                res_lo = _post(res_lo, ctx, risks_lo, grid, pm, occ_geom)
             out_hi = _select_from(res_hi, matrix, mask, d0, risks_hi)
             out_lo = _select_from(res_lo, matrix, mask, d0, risks_lo)
             lv = v_cur < low_thr
@@ -931,9 +956,11 @@ class DeviceSimulation:
 
         use_lane = resp_w != 0.0
         # extras, fixed order: lanelet tensors (scenario-level → broadcast
-        # over agents), then the (A, O) phantom-row mask (per agent)
+        # over agents), the (A, O) phantom-row mask (per agent), then the
+        # per-agent occluder geometry for occ_um/occ_ve
         extra_axes = (*((None,) if use_lane else ()),
-                      *((0,) if use_occ else ()))
+                      *((0,) if use_occ else ()),
+                      *((0, 0, 0, 0) if use_occ_geom else ()))
         vbody = jax.vmap(one_select,
                          in_axes=(0, 0, CTX_IN_AXES, 0, 0, *extra_axes))
         if self.mesh is None:
@@ -950,7 +977,8 @@ class DeviceSimulation:
             axis = self.axis_name
             sh = P(axis)
             extra_specs = (*((P(),) if use_lane else ()),
-                           *((sh,) if use_occ else ()))
+                           *((sh,) if use_occ else ()),
+                           *((sh, sh, sh, sh) if use_occ_geom else ()))
 
             def sharded(mats, msks, ctx, d0, v_cur, *extras):
                 out = vbody(mats, msks, ctx, d0, v_cur, *extras)
@@ -1027,7 +1055,7 @@ class DeviceSimulation:
                 n_present = jnp.sum(jnp.any(window.valid, axis=2), axis=1)
                 n_peers = jnp.sum(running) - running.astype(jnp.int32)
                 n_free = window.valid.shape[1] - n_present - n_peers
-                ph, ph_mask = jax.vmap(
+                ph, ph_mask, ph_pos = jax.vmap(
                     phantom_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
                     g, c, center, n_free, g.turn_xy, g.turn_spawn,
                     g.turn_heading, g.turn_hot)
@@ -1036,6 +1064,34 @@ class DeviceSimulation:
                     jnp.zeros((a_n, window.valid.shape[1] + a_n), bool),
                     ph_mask], axis=1)
                 pm_extra = (pm_full,)
+                if use_occ_geom:
+                    # on-device polar visibility map (occ_um) + phantom
+                    # silhouette points (occ_ve) — host inputs gathered at
+                    # reactive.py:412-443 via OcclusionModule.polar_map /
+                    # occluder_points: scenario obstacles at the replan step
+                    # plus LIVE peers occlude; road walls excluded
+                    from frenetix_tpu.sim.visible_area import (
+                        obb_segments_batch, polar_visibility_batch)
+
+                    op0 = g.obst_poses[t0]                        # (O, 3)
+                    segs_o = obb_segments_batch(
+                        op0[:, :2], op0[:, 2], g.obst_half)       # (O,4,2,2)
+                    segs_p = obb_segments_batch(
+                        center, theta,
+                        jnp.broadcast_to(h_agent, center.shape))  # (A,4,2,2)
+                    seg_pts = jnp.concatenate(
+                        [segs_o.reshape(-1, 2, 2), segs_p.reshape(-1, 2, 2)])
+                    o4 = jnp.repeat(g.obst_valid[t0], 4)
+                    peer_ok = running[None, :] & ~eye             # (A, A)
+                    seg_valid = jnp.concatenate([
+                        jnp.broadcast_to(o4[None], (a_n, o4.shape[0])),
+                        jnp.repeat(peer_ok, 4, axis=1)], axis=1)  # (A, S)
+                    r_vis = jax.vmap(
+                        polar_visibility_batch,
+                        in_axes=(0, None, None, 0, None))(
+                        center, seg_pts[:, 0], seg_pts[:, 1], seg_valid,
+                        sensor_radius)                            # (A, K)
+                    pm_extra = pm_extra + (center, r_vis, ph_pos, ph_mask)
             ctx = CycleContext(
                 ref=g.ref, veh=veh, weights=weights, preds=preds,
                 obstacle_xy=preds.means[:, :, 0],

@@ -186,10 +186,12 @@ CTX_PSPECS = _ctx_pspecs  # exported for callers building their own programs
 GRID_IN_AXES = ReachSetGrid(origin=0, occupancy=0, valid=0, cell=0, dt_rs=None)
 
 
-def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
+def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None,
+                      occ_geom=None, *, dt,
                       n_steps, low_vel_mode, table_window, resp_weight=0.0,
                       harm_threshold=0.1, risk_threshold=1.0, thresholds=None,
-                      occ_pm_weight=0.0, compensated_sum=False):
+                      occ_pm_weight=0.0, occ_um_weight=0.0, occ_ve_weight=0.0,
+                      compensated_sum=False):
     """One agent's FULL cycle + on-device selection gather.
 
     With `resp_weight` ≠ 0 and a per-agent ReachSetGrid, the lanelet
@@ -239,13 +241,20 @@ def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
                                    rollout=res.rollout, preds=ctx.preds,
                                    veh=ctx.veh, dt=dt)
         selectable = selectable & safe
-        if occ_pm_weight:
-            # the occ_pm soft cost runs in-batch (occ_um/occ_ve need
-            # per-agent polar maps and stay host-only — BatchedAgentStepper
-            # rejects the combination)
+        if occ_pm_weight or occ_um_weight or occ_ve_weight:
+            # all three external soft costs run in-batch; occ_um/occ_ve
+            # consume the per-agent occluder geometry (ego, polar map,
+            # phantom silhouette points) gathered by the host pre-pass
+            # (OcclusionModule.polar_map/occluder_points) or built on
+            # device (parallel.device_sim)
+            ego = r_vis = pts = pts_valid = None
+            if occ_geom is not None:
+                ego, r_vis, pts, pts_valid = occ_geom
             cost = cost + external_occlusion_costs(
-                res.rollout, w_pm=occ_pm_weight, risks=risks,
-                phantom_mask=phantom_mask,
+                res.rollout, w_pm=occ_pm_weight, w_um=occ_um_weight,
+                w_ve=occ_ve_weight, risks=risks, phantom_mask=phantom_mask,
+                ego=ego, r_vis=r_vis, occluder_pts=pts,
+                occluder_valid=pts_valid,
             )
     if use_resp or use_gate:
         masked = jnp.where(selectable, cost, jnp.inf)
@@ -261,42 +270,56 @@ def _one_agent_select(matrix, mask, ctx, grid=None, phantom_mask=None, *, dt,
     return out
 
 
-def _extra_axes(resp_weight, occlusion):
+def _extra_axes(resp_weight, occlusion, occ_geom=False):
     """vmap in_axes for the optional trailing args, in their fixed order:
-    ReachSetGrid (iff resp_weight ≠ 0), phantom masks (iff occlusion)."""
+    ReachSetGrid (iff resp_weight ≠ 0), phantom masks (iff occlusion),
+    occluder geometry ego/r_vis/pts/pts_valid (iff occ_geom)."""
     axes = []
     if resp_weight != 0.0:
         axes.append(GRID_IN_AXES)
     if occlusion:
         axes.append(0)
+    if occ_geom:
+        axes.extend([0, 0, 0, 0])
     return tuple(axes)
 
 
 def _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight=0.0,
                   occlusion=False, harm_threshold=0.1, risk_threshold=1.0,
-                  thresholds=None, occ_pm_weight=0.0, compensated_sum=False):
+                  thresholds=None, occ_pm_weight=0.0, compensated_sum=False,
+                  occ_um_weight=0.0, occ_ve_weight=0.0):
     use_grid = resp_weight != 0.0
+    use_geom = occlusion and (occ_um_weight != 0.0 or occ_ve_weight != 0.0)
 
     def body(matrix, mask, ctx, *extras):
-        grid = extras[0] if use_grid else None
-        pm = extras[-1] if occlusion else None
+        i = 0
+        grid = pm = occ_geom = None
+        if use_grid:
+            grid, i = extras[0], 1
+        if occlusion:
+            pm, i = extras[i], i + 1
+            if use_geom:
+                occ_geom = tuple(extras[i:i + 4])
         return _one_agent_select(
-            matrix, mask, ctx, grid, pm, dt=dt, n_steps=n_steps,
+            matrix, mask, ctx, grid, pm, occ_geom, dt=dt, n_steps=n_steps,
             low_vel_mode=low_vel_mode, table_window=table_window,
             resp_weight=resp_weight, harm_threshold=harm_threshold,
             risk_threshold=risk_threshold, thresholds=thresholds,
-            occ_pm_weight=occ_pm_weight, compensated_sum=compensated_sum,
+            occ_pm_weight=occ_pm_weight, occ_um_weight=occ_um_weight,
+            occ_ve_weight=occ_ve_weight, compensated_sum=compensated_sum,
         )
 
     return jax.vmap(
-        body, in_axes=(0, 0, CTX_IN_AXES, *_extra_axes(resp_weight, occlusion))
+        body, in_axes=(0, 0, CTX_IN_AXES,
+                       *_extra_axes(resp_weight, occlusion, use_geom))
     )
 
 
 def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768,
                        resp_weight=0.0, occlusion=False, harm_threshold=0.1,
                        risk_threshold=1.0, thresholds=None, occ_pm_weight=0.0,
-                       compensated_sum=False):
+                       compensated_sum=False, occ_um_weight=0.0,
+                       occ_ve_weight=0.0):
     """Single-device (vmap) full multi-agent cycle.
 
     Returns fn(matrices (A,M,13), masks (A,M), stacked_ctx, *extras) → dict of
@@ -304,12 +327,15 @@ def batched_full_cycle(*, dt, n_steps, low_vel_mode=False, table_window=768,
     Extras, in order: with `resp_weight` ≠ 0 an agent-stacked ReachSetGrid
     (`stack_reach_grids`, selection includes the responsibility term); with
     `occlusion=True` an (A, O) bool phantom-row mask (selection applies the
-    occlusion safety gate on device).
+    occlusion safety gate on device); with occ_um/occ_ve weighted, the
+    per-agent occluder geometry ego (A,2), r_vis (A,K), pts (A,Q,2),
+    pts_valid (A,Q).
     """
     return jax.jit(_vmapped_body(dt, n_steps, low_vel_mode, table_window,
                                  resp_weight, occlusion, harm_threshold,
                                  risk_threshold, thresholds, occ_pm_weight,
-                                 compensated_sum))
+                                 compensated_sum, occ_um_weight,
+                                 occ_ve_weight))
 
 
 def _poses_from(out):
@@ -335,6 +361,8 @@ def sharded_full_cycle(
     thresholds=None,
     occ_pm_weight: float = 0.0,
     compensated_sum: bool = False,
+    occ_um_weight: float = 0.0,
+    occ_ve_weight: float = 0.0,
 ):
     """Mesh-sharded full multi-agent cycle with ICI pose exchange.
 
@@ -352,7 +380,8 @@ def sharded_full_cycle(
     """
     vbody = _vmapped_body(dt, n_steps, low_vel_mode, table_window, resp_weight,
                           occlusion, harm_threshold, risk_threshold, thresholds,
-                          occ_pm_weight, compensated_sum)
+                          occ_pm_weight, compensated_sum, occ_um_weight,
+                          occ_ve_weight)
     sh, rep = P(axis_name), P()
 
     def sharded_body(matrices, masks, ctx, *extras):
@@ -367,6 +396,8 @@ def sharded_full_cycle(
                                         cell=sh, dt_rs=rep))
     if occlusion:
         extra_specs.append(sh)
+        if occ_um_weight != 0.0 or occ_ve_weight != 0.0:
+            extra_specs.extend([sh, sh, sh, sh])
     in_specs = (sh, sh, _ctx_pspecs(axis_name), *extra_specs)
 
     fn = jax.shard_map(

@@ -491,12 +491,39 @@ class Simulation:
         # (mesh._one_agent_select); all-False rows for agents without
         # phantoms this step (the gate is then a no-op for them)
         all_phantom_masks = None
+        occ_geom = None
         if stepper.use_occlusion and batchable:
             o_slots = pd_base["valid"].shape[0]
             all_phantom_masks = np.zeros((len(self.agents), o_slots), bool)
             for i, a in enumerate(self.agents):
                 if a.id in phantom_masks:
                     all_phantom_masks[i] = phantom_masks[a.id]
+            if stepper.use_occ_geom:
+                # occ_um/occ_ve inputs, stacked per agent: the same polar
+                # maps / phantom silhouette points the sequential host path
+                # gathers one agent at a time (reactive._occlusion_pack)
+                a_n = len(self.agents)
+                dtype = stepper.np_dtype
+                egos = np.zeros((a_n, 2), dtype)
+                r_all = None
+                pts_all = vld_all = None
+                for i, a in enumerate(self.agents):
+                    mod = a.occlusion
+                    if mod is None:
+                        continue
+                    r_vis, ego = mod.polar_map(a.state, a.state.time_step)
+                    pts, vld = mod.occluder_points()
+                    if r_all is None:
+                        r_all = np.zeros((a_n, len(r_vis)), dtype)
+                        r_all[:] = mod.sensor_radius   # unknown rows: open
+                        pts_all = np.zeros((a_n,) + pts.shape, dtype)
+                        vld_all = np.zeros((a_n,) + vld.shape, bool)
+                    egos[i] = ego
+                    r_all[i] = r_vis
+                    pts_all[i] = pts
+                    vld_all[i] = vld
+                occ_geom = (None if r_all is None
+                            else (egos, r_all, pts_all, vld_all))
 
         # progressive densification stays batched: agents that miss at one
         # sampling level re-run in the next level's batch
@@ -553,6 +580,7 @@ class Simulation:
                 all_mats, all_masks, preds_stacked, all_th, all_vdes,
                 self.config.vehicle, self._batched_weights,
                 reach_grids=reach_grids, phantom_masks=all_phantom_masks,
+                occ_geom=occ_geom,
             )
             # device-resident executed poses: the exposed hook for
             # device-side obstacle rebuild (parallel.mesh.

@@ -30,6 +30,8 @@ __all__ = [
     "road_boundary_segments",
     "obstacle_obb_segments",
     "polar_visibility",
+    "obb_segments_batch",
+    "polar_visibility_batch",
     "VisibleArea",
     "compute_visible_area",
 ]
@@ -119,6 +121,52 @@ def polar_visibility(ego_pos, segments, radius, n_rays: int = 720):
     t = np.where(hit, t, np.inf)
     r_vis = np.minimum(t.min(axis=1), float(radius))
     return phi, r_vis
+
+
+def obb_segments_batch(centers, thetas, half_dims):
+    """jnp twin of `obstacle_obb_segments` over a batch: (B, 2) centers,
+    (B,) orientations, half-dims (B, 2) or (2,) → (B, 4, 2, 2) edge
+    segments.  Pure jnp — used by the device-resident sim to build the
+    occluder set for the on-device polar map (occ_um external cost)."""
+    import jax.numpy as jnp
+
+    centers = jnp.asarray(centers)
+    half = jnp.broadcast_to(jnp.asarray(half_dims, centers.dtype),
+                            centers.shape)                      # (B, 2)
+    c, s = jnp.cos(thetas), jnp.sin(thetas)
+    signs = jnp.asarray([[1.0, 1.0], [1.0, -1.0], [-1.0, -1.0], [-1.0, 1.0]],
+                        centers.dtype)                          # (4, 2)
+    local = signs[None] * half[:, None]                         # (B, 4, 2)
+    wx = c[:, None] * local[..., 0] - s[:, None] * local[..., 1]
+    wy = s[:, None] * local[..., 0] + c[:, None] * local[..., 1]
+    corners = centers[:, None] + jnp.stack([wx, wy], axis=-1)   # (B, 4, 2)
+    nxt = jnp.roll(corners, -1, axis=1)
+    return jnp.stack([corners, nxt], axis=2)                    # (B, 4, 2, 2)
+
+
+def polar_visibility_batch(ego, seg_a, seg_b, seg_valid, radius,
+                           n_rays: int = 720):
+    """jnp twin of `polar_visibility` for one ego over a masked segment set:
+    ego (2,), seg_a/seg_b (S, 2), seg_valid (S,) → r_vis (n_rays,).
+
+    Identical output to the NumPy version (tests/test_visible_area.py): the
+    host's distance cull only removes segments whose intersections would be
+    clipped at `radius` anyway, so masking replaces filtering exactly."""
+    import jax.numpy as jnp
+
+    dtype = ego.dtype
+    phi = jnp.linspace(-jnp.pi, jnp.pi, n_rays, endpoint=False, dtype=dtype)
+    u = jnp.stack([jnp.cos(phi), jnp.sin(phi)], axis=1)         # (K, 2)
+    d = seg_b - seg_a                                           # (S, 2)
+    ao = seg_a - ego[None]                                      # (S, 2)
+    denom = u[:, None, 0] * d[None, :, 1] - u[:, None, 1] * d[None, :, 0]
+    safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    t = (ao[None, :, 0] * d[None, :, 1] - ao[None, :, 1] * d[None, :, 0]) / safe
+    s = (ao[None, :, 0] * u[:, None, 1] - ao[None, :, 1] * u[:, None, 0]) / safe
+    hit = ((jnp.abs(denom) > 1e-12) & (s >= 0.0) & (s <= 1.0) & (t > 1e-9)
+           & seg_valid[None, :])
+    t = jnp.where(hit, t, jnp.inf)
+    return jnp.minimum(jnp.min(t, axis=1), jnp.asarray(radius, dtype))
 
 
 class VisibleArea:

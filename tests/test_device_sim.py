@@ -539,9 +539,14 @@ def test_device_phantom_spawner_matches_host_module():
         return fn(g, 0, e, nf, g.turn_xy[0], g.turn_spawn[0],
                   g.turn_heading[0], g.turn_hot[0])
 
-    ph, admitted = jax.jit(call)(g, ds.jnp.asarray(ego), ds.jnp.asarray(8))
+    ph, admitted, spawn_pos = jax.jit(call)(
+        g, ds.jnp.asarray(ego), ds.jnp.asarray(8))
     admitted = np.asarray(admitted)
     assert admitted.sum() == len(host_specs)
+    # spawn positions (occ_ve silhouette points) match the host specs
+    np.testing.assert_allclose(
+        np.asarray(spawn_pos)[admitted],
+        np.stack([s.position for s in host_specs]), rtol=0, atol=1e-12)
     got_means = np.asarray(ph.means)[admitted]
     # XLA's sin/cos/atan2 differ from numpy's libm in the last ulp, so the
     # heading→CV-row round trip is near-exact, not bitwise (the only
@@ -560,7 +565,7 @@ def test_device_phantom_spawner_matches_host_module():
     np.testing.assert_array_equal(
         np.asarray(ph.widths)[admitted], rows["widths"][: admitted.sum()])
     # free-slot cap: zero free slots → no phantoms (host augment semantics)
-    _, adm0 = jax.jit(call)(g, ds.jnp.asarray(ego), ds.jnp.asarray(0))
+    _, adm0, _ = jax.jit(call)(g, ds.jnp.asarray(ego), ds.jnp.asarray(0))
     assert not np.asarray(adm0).any()
 
 
@@ -593,16 +598,60 @@ def test_device_sim_occlusion_matches_host():
     assert np.mean(v_pass) < 10.0
 
 
-def test_device_sim_occlusion_guards():
-    """occ_um/occ_ve external costs need host-side polar maps."""
-    from frenetix_tpu.parallel.device_sim import DeviceSimulation
-    from frenetix_tpu.sim import Simulation
+def test_polar_visibility_batch_matches_numpy():
+    """The jnp polar-map twin (sim.visible_area.polar_visibility_batch, the
+    occ_um input inside the device scan) must reproduce the host
+    polar_visibility ray-cast on a random masked segment set."""
+    import jax
+    import jax.numpy as jnp
 
-    cfg = _cfg(**{"occlusion.use_occlusion_module": True})
-    cfg.external_cost_weights["occ_um"] = 0.5
-    sim = Simulation(_blind_spot_scenario(), cfg)
-    with pytest.raises(ValueError, match="occ_um"):
-        DeviceSimulation(sim)
+    from frenetix_tpu.sim.visible_area import (
+        polar_visibility, polar_visibility_batch)
+
+    rng = np.random.default_rng(7)
+    segs = rng.uniform(-40.0, 40.0, size=(37, 2, 2))
+    valid = rng.random(37) > 0.3
+    ego = np.array([1.5, -2.0])
+    _, r_host = polar_visibility(ego, segs[valid], radius=50.0, n_rays=720)
+    r_dev = jax.jit(polar_visibility_batch, static_argnums=(4, 5))(
+        jnp.asarray(ego), jnp.asarray(segs[:, 0]), jnp.asarray(segs[:, 1]),
+        jnp.asarray(valid), 50.0, 720)
+    # identical math in float64; only linspace/trig last-ulp noise remains
+    np.testing.assert_allclose(np.asarray(r_dev), r_host, rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_device_sim_occ_um_ve_matches_host():
+    """occ_um/occ_ve external soft costs ON DEVICE (VERDICT r2 item 2 tail):
+    the polar visibility map and phantom silhouette points are built inside
+    the scan; the run must reproduce the sequential host loop (which gathers
+    the same inputs via OcclusionModule.polar_map/occluder_points) step-
+    exactly on the blind-spot scenario."""
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    kw = {"occlusion.use_occlusion_module": True,
+          "occlusion.harm_threshold": 0.02}
+
+    def cfg():
+        c = _cfg(**kw)
+        c.external_cost_weights["occ_um"] = 2.0
+        c.external_cost_weights["occ_ve"] = 0.5
+        return c
+
+    res_d = _run_device(_blind_spot_scenario(), cfg())
+    res_h = Simulation(_blind_spot_scenario(), cfg()).run()
+
+    assert res_h.agent_status[60000] == AgentStatus.COMPLETED_SUCCESS
+    assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
+    assert res_d.steps == res_h.steps
+    h = res_h.histories[60000]
+    for i in range(1, len(h)):
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, :2], h[i].position, atol=1e-9,
+            err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
 
 
 def test_device_sim_responsibility_mesh_and_fleet():

@@ -419,36 +419,44 @@ def test_external_occlusion_costs_geometry():
 
 
 @pytest.mark.slow
-def test_external_costs_e2e_and_batched_guard():
-    """occ_um wired end-to-end through the host planner (blind-spot scenario
-    still completes); occ_um + batched_device_agents fails loudly."""
+def test_external_costs_e2e_and_batched_parity():
+    """occ_um/occ_ve wired end-to-end through the host planner (blind-spot
+    scenario still completes); the batched path applies the same soft costs
+    in-batch (geometry gathered by the pre-pass) and reproduces the
+    sequential run exactly."""
     from frenetix_tpu.io.commonroad import Obstacle, State
     from frenetix_tpu.io.scenario_factory import make_highway
     from frenetix_tpu.sim import Simulation
     from frenetix_tpu.utils.config import load_config
 
-    sc = make_highway(ego_v=13.0, lead_v=13.0, lead_gap=120.0, n_steps=150)
-    sc.obstacles[200] = Obstacle(
-        obstacle_id=200, obstacle_type="truck", role="static", length=9.0,
-        width=2.5, initial_state=State(0, np.array([60.0, 2.6]), 0.0, 0.0),
-    )
-    cfg = load_config()
-    cfg.dtype = "float64"
-    cfg.occlusion.use_occlusion_module = True
-    cfg.external_cost_weights["occ_um"] = 2.0
-    cfg.external_cost_weights["occ_ve"] = 0.5
-    res = Simulation(sc, cfg).run()
+    def scenario():
+        sc = make_highway(ego_v=13.0, lead_v=13.0, lead_gap=120.0, n_steps=150)
+        sc.obstacles[200] = Obstacle(
+            obstacle_id=200, obstacle_type="truck", role="static", length=9.0,
+            width=2.5,
+            initial_state=State(0, np.array([60.0, 2.6]), 0.0, 0.0),
+        )
+        return sc
+
+    def config(batched):
+        cfg = load_config()
+        cfg.dtype = "float64"
+        cfg.occlusion.use_occlusion_module = True
+        cfg.external_cost_weights["occ_um"] = 2.0
+        cfg.external_cost_weights["occ_ve"] = 0.5
+        cfg.simulation.batched_device_agents = batched
+        return cfg
+
+    res = Simulation(scenario(), config(False)).run()
     assert list(res.agent_status.values())[0].name == "COMPLETED_SUCCESS"
 
-    cfg.simulation.batched_device_agents = True
-    from frenetix_tpu.parallel.batched_sim import BatchedAgentStepper
-
-    sim = Simulation(sc, cfg)
-    try:
-        BatchedAgentStepper(cfg, sim.agents)
-        assert False, "occ_um + batched must raise"
-    except ValueError as e:
-        assert "occ_um" in str(e)
+    res_b = Simulation(scenario(), config(True)).run()
+    assert list(res_b.agent_status.values())[0].name == "COMPLETED_SUCCESS"
+    assert res_b.steps == res.steps
+    h, hb = res.histories[60000], res_b.histories[60000]
+    for i in range(len(h)):
+        np.testing.assert_allclose(hb[i].position, h[i].position, atol=1e-9,
+                                   err_msg=f"step {i}")
 
 
 def test_external_cost_config_guards(tmp_path):
