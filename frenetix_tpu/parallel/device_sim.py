@@ -43,7 +43,14 @@ construction where possible):
   cap, and the shared `phantom_safety_mask` gate + occ_pm soft cost apply
   before selection (occ_um/occ_ve need per-step polar maps — host-only,
   construction raises).
-- no behavior planner (host sequential or batched modes cover it).
+- the behavior planner runs in HYBRID mode: the FSM is host control logic
+  (exactly as in the reference), so behavior runs switch from one whole-run
+  scan to one jitted device cycle per replan with the FSM on host between
+  cycles — one O(A)-floats fetch per cycle instead of one per run; matrix
+  build, cycle evaluation, stopping-mode quintic sampling, emergency ladder,
+  execute sub-steps and status ladder all stay on device (`_run_hybrid`).
+  Hybrid mode does not compose with the occlusion module or the fleet axis
+  (host modes cover those combinations; construction/run_fleet raise).
 - the responsibility (reach-set) term runs FULLY on device, multi-agent
   included: each agent's reach grids are built inside the scan by
   `risk.reachable_set.build_reach_set_grids_device` (bit-pinned against the
@@ -357,10 +364,18 @@ class DeviceSimulation:
                                           "walenet"):
             raise ValueError(
                 f"unknown prediction mode {config.prediction.mode!r}")
-        if config.behavior.use_behavior_planner:
-            raise ValueError("DeviceSimulation does not run the behavior "
-                             "planner (host modes do)")
+        # behavior planner → HYBRID mode: the FSM is host control logic (as
+        # in the reference, behavior_module.py:113-193), so the run switches
+        # from one whole-run lax.scan to one jitted device step per replan
+        # cycle with the FSM on host in between — one small fetch per CYCLE
+        # (carry + the cycle's executed sub-steps) instead of one per run.
+        self.hybrid_behavior = bool(config.behavior.use_behavior_planner)
         self.use_occlusion = bool(config.occlusion.use_occlusion_module)
+        if self.hybrid_behavior and self.use_occlusion:
+            raise ValueError(
+                "DeviceSimulation runs the behavior planner (hybrid mode) or "
+                "the occlusion module, not both; host modes cover the "
+                "combination")
         ew = config.external_cost_weights
         self.occ_pm_weight = (float(ew.get("occ_pm", 0.0))
                               if self.use_occlusion else 0.0)
@@ -439,6 +454,18 @@ class DeviceSimulation:
                 jnp.asarray(d_np.astype(dtype)),
                 len(t1) * (n_v + 1) * (len(d_np) + 1),
             ))
+
+        # hybrid behavior: worst-case stopping-matrix row count.  The host
+        # only ever tries stopping sampling at the FIRST level — one stopping
+        # failure flips use_stopping off for the rest of the cycle
+        # (planner/reactive.py:318-321), so level == sampling_min bounds it.
+        self._stop_bucket = 0
+        if self.hybrid_behavior:
+            lvl = p.sampling_min
+            nt = len(smp.time_samples(p.t_min, self.horizon, self.dt, lvl)) + 1
+            ns = len(smp.linspace_samples(0.0, 1.0, lvl))
+            nd = len(smp.linspace_samples(0.0, 1.0, max(lvl - 1, 0))) + 1
+            self._stop_bucket = nt * ns * nd
 
         # ---- initial per-agent state -------------------------------------
         a_n = len(self.agents)
@@ -554,6 +581,7 @@ class DeviceSimulation:
         )
 
         self._run_fn = None
+        self._hybrid_fn = None
         self._status_enum = AgentStatus
 
     # ------------------------------------------------------------ device fns
@@ -768,12 +796,20 @@ class DeviceSimulation:
         return v_des
 
     # ------------------------------------------------------------------- run
-    def _build_run(self, a_n=None, n_cycles=None):
+    def _build_run(self, a_n=None, n_cycles=None, hybrid=False):
         """Build the jitted whole-run function run(tensors) → out dict.
 
         `a_n` / `n_cycles` default to this scenario's values; `run_fleet`
         passes the padded fleet maxima and vmaps the returned function over
-        a leading scenario axis of SimTensors."""
+        a leading scenario axis of SimTensors.
+
+        `hybrid=True` (behavior mode) returns a jitted SINGLE-CYCLE step
+        `step(g, carry, c, v_des, stop_mat, stop_mask, wants_stop) →
+        (carry, ys)` instead of the whole-run scan: desired velocity comes
+        from the host FSM, and agents whose behavior stop point qualifies
+        for stopping mode (reactive.wants_stopping_mode) additionally
+        evaluate the host-built quintic stopping matrix, picked when it
+        finds a candidate (reactive.py:256-321 ladder semantics)."""
         import jax
         import jax.numpy as jnp
 
@@ -907,29 +943,44 @@ class DeviceSimulation:
             return res._replace(cost=cost, best_idx=best, found=found,
                                 selectable=selectable)
 
-        def one_select(matrix, mask, ctx, d0, v_cur, *extras):
+        def make_one_select(quintic: bool):
             """One agent's cycle in BOTH kinematics modes, picking by the
             host's low-velocity rule (v < low_vel_mode_threshold →
             lateral-over-arclength rollout).  low_vel_mode is a static flag
             of evaluate_cycle, so both programs run and a per-agent where
             selects — in the launch-bound regime the second cycle is nearly
             free, and it removes the one kinematics divergence from the
-            host loop."""
-            # extras, fixed order: lane tensors? phantom-row mask? occluder
-            # geometry (ego, r_vis, phantom pts, pts valid)?
-            e_i = 0
-            lane = pm = occ_geom = None
-            if resp_w != 0.0:
-                lane, e_i = extras[0], 1
-            if use_occ:
-                pm, e_i = extras[e_i], e_i + 1
-                if use_occ_geom:
-                    occ_geom = tuple(extras[e_i:e_i + 4])
+            host loop.
+
+            `quintic` (hybrid behavior mode): end-position-constrained
+            longitudinal sampling over the host-built stopping matrix
+            (reactive.py:265-267 quintic_lon)."""
+
+            def one_select(matrix, mask, ctx, d0, v_cur, *extras):
+                # extras, fixed order: lane tensors? phantom-row mask?
+                # occluder geometry (ego, r_vis, phantom pts, pts valid)?
+                e_i = 0
+                lane = pm = occ_geom = None
+                if resp_w != 0.0:
+                    lane, e_i = extras[0], 1
+                if use_occ:
+                    pm, e_i = extras[e_i], e_i + 1
+                    if use_occ_geom:
+                        occ_geom = tuple(extras[e_i:e_i + 4])
+                return _one_select_body(matrix, mask, ctx, d0, v_cur,
+                                        lane, pm, occ_geom, quintic)
+
+            return one_select
+
+        def _one_select_body(matrix, mask, ctx, d0, v_cur, lane, pm,
+                             occ_geom, quintic):
             res_hi = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
-                                    low_vel_mode=False, table_window=768,
+                                    low_vel_mode=False, quintic_lon=quintic,
+                                    table_window=768,
                                     compensated_sum=comp_sum)
             res_lo = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
-                                    low_vel_mode=True, table_window=768,
+                                    low_vel_mode=True, quintic_lon=quintic,
+                                    table_window=768,
                                     compensated_sum=comp_sum)
             risks_hi = _risks_of(res_hi, ctx) if need_risks else None
             risks_lo = _risks_of(res_lo, ctx) if need_risks else None
@@ -961,11 +1012,11 @@ class DeviceSimulation:
         extra_axes = (*((None,) if use_lane else ()),
                       *((0,) if use_occ else ()),
                       *((0, 0, 0, 0) if use_occ_geom else ()))
-        vbody = jax.vmap(one_select,
-                         in_axes=(0, 0, CTX_IN_AXES, 0, 0, *extra_axes))
-        if self.mesh is None:
-            cycle_fn = vbody
-        else:
+        def _wrap_cycle(one_sel):
+            vb = jax.vmap(one_sel,
+                          in_axes=(0, 0, CTX_IN_AXES, 0, 0, *extra_axes))
+            if self.mesh is None:
+                return vb
             # multi-chip: shard the expensive stage — the fused cycle — over
             # the agent mesh and all_gather the small selection dict; the
             # O(A) status/goal/collision bookkeeping in the scan body stays
@@ -981,17 +1032,20 @@ class DeviceSimulation:
                            *((sh, sh, sh, sh) if use_occ_geom else ()))
 
             def sharded(mats, msks, ctx, d0, v_cur, *extras):
-                out = vbody(mats, msks, ctx, d0, v_cur, *extras)
+                out = vb(mats, msks, ctx, d0, v_cur, *extras)
                 return jax.tree.map(
                     lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
                     out)
 
-            cycle_fn = jax.shard_map(
+            return jax.shard_map(
                 sharded, mesh=self.mesh,
                 in_specs=(sh, sh, _ctx_pspecs(axis), sh, sh, *extra_specs),
                 out_specs=P(),
                 check_vma=False,   # all_gather output is replicated
             )
+
+        cycle_fn = _wrap_cycle(make_one_select(False))
+        cycle_fn_stop = _wrap_cycle(make_one_select(True)) if hybrid else None
         masks_l = [jnp.ones((a_n, lvl[3]), bool) for lvl in self.levels]
         weights = self.weights
         eye = jnp.eye(a_n, dtype=bool)
@@ -1000,8 +1054,17 @@ class DeviceSimulation:
         cone_half = float(pcfg.cone_angle) * np.pi / 180.0 / 2.0
         cone_safety = float(pcfg.cone_safety_dist)
 
-        def body(g, carry, c):
-            x_cl, center, theta, v, acc, status = carry
+        def body(g, carry, c, behavior=None):
+            # hybrid carry additionally tracks the executed curvature and the
+            # previous executed orientation: the host FSM mirror needs the
+            # recorded state's steering angle (arctan(L·κ)) and yaw rate
+            # ((θ_j − θ_{j−1})/dt) — sim/agent.py:369-370 — because both feed
+            # compute_initial_state on a reference-path swap
+            if behavior is None:
+                x_cl, center, theta, v, acc, status = carry
+                kap = th_prev = None
+            else:
+                x_cl, center, theta, v, acc, kap, th_prev, status = carry
             t0 = c * k
 
             # --- pre_step goal check at the cycle-start state -------------
@@ -1012,7 +1075,12 @@ class DeviceSimulation:
 
             # --- replan (one fused vmapped cycle over all agents) ---------
             x_cl_replan = x_cl
-            v_des = vdes_fn(g, x_cl, v, t0.astype(dtype))
+            if behavior is None:
+                v_des = vdes_fn(g, x_cl, v, t0.astype(dtype))
+            else:
+                # hybrid: the host FSM's desired velocity
+                # (apply_behavior_output → set_desired_velocity)
+                v_des = behavior[0]
             # scenario-obstacle window of this cycle, broadcast to the agent
             # axis (every agent sees the same ground-truth rows — host
             # parity: pd_base is shared, sensor filtering is off here)
@@ -1119,6 +1187,22 @@ class DeviceSimulation:
                                      a, b)
 
                 out = jax.tree.map(pick, out, out_l)
+            if behavior is not None:
+                # hybrid stopping mode: the host tries the quintic stopping
+                # matrix FIRST (only ever at the first level — one stopping
+                # miss flips use_stopping off, reactive.py:318-321) and falls
+                # back to the regular ladder, so the merged result is
+                # "stopping when it found a candidate, regular otherwise"
+                _, stop_mat, stop_mask, wants_stop = behavior
+                out_stop = cycle_fn_stop(stop_mat, stop_mask, ctx,
+                                         x_cl[:, 3], v, *extra)
+                take = wants_stop & out_stop["found"]
+
+                def pick_stop(a, b, f=take):
+                    return jnp.where(f.reshape(f.shape + (1,) * (a.ndim - 1)),
+                                     b, a)
+
+                out = jax.tree.map(pick_stop, out, out_stop)
             found = out["found"]
             # host emergency ladder (plan() fallback): standstill at v ≤ 0.1
             # takes precedence, then the stopping fallback, then failure
@@ -1142,6 +1226,13 @@ class DeviceSimulation:
                 th_j = out["theta"][:, j]
                 c_j = rear + wb * jnp.stack(
                     [jnp.cos(th_j), jnp.sin(th_j)], axis=1)
+                if kap is not None:
+                    # θ before this sub-step's update (std agents hold θ →
+                    # yaw 0, matching the host's constant-pose standstill);
+                    # κ holds for std/frozen agents (standstill keeps κ₀,
+                    # reactive.py:516-537)
+                    th_prev = jnp.where(step_ok, theta, th_prev)
+                    kap = jnp.where(mov, out["kappa"][:, j], kap)
                 center = jnp.where(mov[:, None], c_j, center)
                 theta = jnp.where(mov, th_j, theta)
                 # standstill agents hold pose and brake to zero (host
@@ -1180,12 +1271,22 @@ class DeviceSimulation:
                     axis=1))
                 status_steps.append(status)
 
-            carry = (x_cl, center, theta, v, acc, status)
+            if behavior is None:
+                carry = (x_cl, center, theta, v, acc, status)
+            else:
+                carry = (x_cl, center, theta, v, acc, kap, th_prev, status)
             # x_cl0_cycle: the curvilinear state each agent REPLANNED from
             # this cycle (exposed for debugging/regression)
             ys = (jnp.stack(traj_steps), jnp.stack(status_steps), sel, found,
                   x_cl_replan)
             return carry, ys
+
+        if hybrid:
+            def step(g, carry, c, v_des, stop_mat, stop_mask, wants_stop):
+                return body(g, carry, c,
+                            behavior=(v_des, stop_mat, stop_mask, wants_stop))
+
+            return jax.jit(step)
 
         def run(g: SimTensors):
             center0 = g.pose0[:, :2]
@@ -1237,11 +1338,162 @@ class DeviceSimulation:
 
         import jax
 
+        if self.hybrid_behavior:
+            return self._run_hybrid()
         t_start = time.perf_counter()
         if self._run_fn is None:
             self._run_fn = self._build_run()
         out = self._run_fn(self.tensors)
         out = jax.device_get(out)     # THE one fetch
+        res = self._finalize(out)
+        res.wall_time = time.perf_counter() - t_start
+        return res
+
+    def _benign_stop_rows(self, x_cl_row):
+        """A well-conditioned masked-out stopping matrix for agents not in
+        stopping mode this cycle: the rows still flow through the quintic
+        coefficient solve, so they must be numerically sane (no t1=0)."""
+        m = np.zeros((1, 13), self.np_dtype)
+        m[0, 1] = self.n_steps * self.dt
+        m[0, 2:5] = x_cl_row[:3]
+        m[0, 5] = x_cl_row[0] + max(float(x_cl_row[1]), 1.0) * self.horizon
+        m[0, 7:10] = x_cl_row[3:]
+        m[0, 10] = x_cl_row[3]
+        return np.repeat(m, self._stop_bucket, axis=0)
+
+    def _run_hybrid(self) -> DeviceSimResult:
+        """Behavior-planner hybrid: device cycles, host FSM in between.
+
+        The FSM is data-dependent host control logic (as in the reference —
+        behavior_module.py:113-193 runs per replan step on host), so the run
+        trades the whole-run `lax.scan` for one jitted device cycle per
+        replan with the FSM between cycles.  Per cycle: ONE small fetch (the
+        six carry leaves — O(A) floats), host `BehaviorModule.execute` per
+        running agent at the host loop's cadence (replan steps only,
+        sim/agent.py:310-321), reference-path swaps restack the agent tables
+        exactly like the batched host path (sim/simulation.py:422-437, with
+        the curvilinear state recomputed on the new frame by
+        `apply_behavior_output` → `ensure_x_cl`), qualifying stop points
+        build the host's own quintic stopping matrix
+        (ReactivePlanner._stopping_matrix at level sampling_min — the only
+        level the host ever tries, reactive.py:318-321), then one device
+        cycle runs matrix build, full evaluation, emergency ladder, the k
+        execute sub-steps and the status ladder unchanged.
+        """
+        import time
+
+        import jax
+
+        from frenetix_tpu.planner.reactive import wants_stopping_mode
+        from frenetix_tpu.sim.agent import EgoState
+        from frenetix_tpu.sim.planner_interfaces import apply_behavior_output
+
+        t_start = time.perf_counter()
+        jnp = self.jnp
+        dtype = self.np_dtype
+        a_n = len(self.agents)
+        k = self.k_replan
+        if self._hybrid_fn is None:
+            self._hybrid_fn = self._build_run(hybrid=True)
+        step_fn = self._hybrid_fn
+        g = self.tensors
+        status0 = jnp.where(g.active0, _RUNNING, _ERROR).astype(jnp.int32)
+        kap0 = np.array([np.tan(float(a.state.steering_angle))
+                         / self.veh.wheelbase for a in self.agents], dtype)
+        carry = (g.x_cl0, g.pose0[:, :2], g.pose0[:, 2], g.pose0[:, 3],
+                 g.acc0, jnp.asarray(kap0), g.pose0[:, 2], status0)
+
+        stop_thr = self.config.behavior.stopping_mode_threshold
+        lvl0 = self.config.planning.sampling_min
+        m_stop = self._stop_bucket
+        wb = self.veh.wheelbase
+        ys_list = []
+        for c in range(self.n_cycles):
+            (x_cl_h, center_h, theta_h, v_h, acc_h, kap_h, th_prev_h,
+             status_h) = jax.device_get(carry)
+            x_cl_h = np.asarray(x_cl_h)
+            t0 = c * k
+            v_des = np.zeros(a_n, dtype)
+            wants = np.zeros(a_n, bool)
+            stop_mat = np.zeros((a_n, m_stop, 13), dtype)
+            stop_mask = np.zeros((a_n, m_stop), bool)
+
+            # ---- sync host mirrors (behavior peers observe executed
+            # records through WorldView — sim/world_view.py).  Cycle 0 skips
+            # the sync: a fresh host Simulation's mirrors (initial state,
+            # x_cl, record) are already exact, including the scenario's
+            # initial yaw rate the carry does not track. -------------------
+            for i, a in enumerate(self.agents if c > 0 else ()):
+                a.state = EgoState(
+                    time_step=t0, position=np.asarray(center_h[i]).copy(),
+                    orientation=float(theta_h[i]), velocity=float(v_h[i]),
+                    acceleration=float(acc_h[i]),
+                    yaw_rate=float(theta_h[i] - th_prev_h[i]) / self.dt,
+                    steering_angle=float(
+                        np.arctan2(wb * float(kap_h[i]), 1.0)))
+                a.x_cl = (x_cl_h[i, :3].copy(), x_cl_h[i, 3:].copy())
+                if status_h[i] == _RUNNING and (
+                        not a.record.states
+                        or a.record.states[-1].time_step < t0):
+                    a.record.states.append(a.state)
+
+            # ---- host FSM per running agent -------------------------------
+            swapped = False
+            x_cl_new = x_cl_h.copy()
+            for i, a in enumerate(self.agents):
+                stop_mat[i] = self._benign_stop_rows(x_cl_h[i])
+                if int(status_h[i]) != _RUNNING:
+                    v_des[i] = v_h[i]
+                    continue
+                if a.behavior is None:
+                    v_des[i] = a.desired_velocity()
+                    continue
+                b_out = a.behavior.execute(None, a.state, t0)
+                if apply_behavior_output(a, b_out):
+                    swapped = True
+                    lon, lat = a.x_cl
+                    x_cl_new[i] = np.concatenate(
+                        [np.asarray(lon), np.asarray(lat)]).astype(dtype)
+                v_des[i] = b_out.desired_velocity
+                sp = a.planner.stop_point
+                x_cl_t = (x_cl_new[i, :3], x_cl_new[i, 3:])
+                if sp is not None and wants_stopping_mode(sp, x_cl_t, stop_thr):
+                    m = a.planner._stopping_matrix(lvl0, x_cl_t)
+                    assert m.shape[0] <= m_stop, (m.shape, m_stop)
+                    stop_mat[i, :m.shape[0]] = m.astype(dtype)
+                    stop_mask[i, :m.shape[0]] = True
+                    wants[i] = True
+
+            if swapped:
+                # restack the per-agent tables from the swapped planners —
+                # the same rebuild the batched host path performs
+                # (sim/simulation.py:422-437).  A longer new path grows the
+                # common R bucket and retraces the step (jit handles it).
+                from frenetix_tpu.parallel.batched_sim import (
+                    BatchedAgentStepper)
+
+                self.stepper = BatchedAgentStepper(self.config, self.agents)
+                g = g._replace(ref=self.stepper.ref,
+                               corridors=self.stepper.corridors,
+                               lane_segments=self.stepper.lane_segments,
+                               lane_valid=self.stepper.lane_valid)
+                self.tensors = g
+                carry = (jnp.asarray(x_cl_new), *carry[1:])
+
+            carry, ys = step_fn(g, carry, jnp.asarray(c, jnp.int32),
+                                jnp.asarray(v_des), jnp.asarray(stop_mat),
+                                jnp.asarray(stop_mask), jnp.asarray(wants))
+            ys_list.append(ys)
+
+        ys_h = jax.device_get(ys_list)
+        out = {
+            "final_status": np.asarray(jax.device_get(carry[7])),
+            "trajectories": np.concatenate([y[0] for y in ys_h]),
+            "status_per_step": np.concatenate([y[1] for y in ys_h]),
+            "selections": np.stack([y[2] for y in ys_h]),
+            "found": np.stack([y[3] for y in ys_h]),
+            "x_cl_cycles": np.stack([y[4] for y in ys_h]),
+        }
         res = self._finalize(out)
         res.wall_time = time.perf_counter() - t_start
         return res
@@ -1448,6 +1700,10 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
             raise ValueError("run_fleet composes with vmap only (per-member "
                              "meshes are not supported; pass mesh= to "
                              "run_fleet to shard the scenario axis)")
+        if s.hybrid_behavior:
+            raise ValueError("run_fleet does not compose with the behavior "
+                             "hybrid (the FSM is a per-scenario host loop); "
+                             "run behavior sims individually")
         if (s.dt, s.n_steps, s.k_replan, tuple(l[3] for l in s.levels),
                 s.np_dtype, s.config.planning.emergency_mode,
                 s.config.planning.compensated_cost_sum, s.resp_weight,

@@ -56,6 +56,7 @@ def test_device_sim_single_agent_matches_host_exactly():
             res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_device_sim_multiagent_matches_host_batched():
     """Two-agent overtake (obstacle converted to an agent): statuses and
     per-step executed positions must match the batched host path."""
@@ -102,17 +103,20 @@ def test_device_sim_guards():
     from frenetix_tpu.parallel.device_sim import DeviceSimulation
     from frenetix_tpu.sim import Simulation
 
-    for key, val in [
-        ("prediction.mode", "bogus"),
-        ("behavior.use_behavior_planner", True),
-        ("planning.emergency_mode", "bogus"),
+    for kv in [
+        {"prediction.mode": "bogus"},
+        {"planning.emergency_mode": "bogus"},
+        # behavior alone runs (hybrid mode); + occlusion module does not
+        {"behavior.use_behavior_planner": True,
+         "occlusion.use_occlusion_module": True},
     ]:
-        cfg = _cfg(**{key: val})
+        cfg = _cfg(**kv)
         sim = Simulation(make_highway(), cfg)
         with pytest.raises(ValueError):
             DeviceSimulation(sim)
 
 
+@pytest.mark.slow
 def test_device_sim_min_risk_emergency_matches_host():
     """emergency_mode='min_risk' on device: when no candidate is selectable
     the fallback picks the feasible candidate with minimal ego+obstacle risk
@@ -141,6 +145,7 @@ def test_device_sim_min_risk_emergency_matches_host():
             res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_device_sim_sharded_matches_vmap():
     """The mesh-sharded device sim (cycle stage shard_mapped over agents,
     selection dict all-gathered) must reproduce the single-device scan:
@@ -169,6 +174,7 @@ def test_device_sim_sharded_matches_vmap():
                          mesh=make_agent_mesh(jax.devices()[:3]))
 
 
+@pytest.mark.slow
 def test_device_sim_tjunction_six_agents():
     """The real reference scenario (T-junction, 6 agents): statuses, step
     count and every agent's executed trajectory must match the batched host
@@ -208,6 +214,7 @@ def test_device_sim_tjunction_six_agents():
     assert saw_low_vel, "scenario no longer exercises the low-vel branch"
 
 
+@pytest.mark.slow
 def test_device_fleet_matches_solo():
     """run_fleet: S scenarios as one vmapped scan + one fetch must reproduce
     each solo device run exactly (statuses, steps, trajectories) despite the
@@ -242,6 +249,7 @@ def test_device_fleet_matches_solo():
         run_fleet([DeviceSimulation(Simulation(make_highway(), _cfg())), bad])
 
 
+@pytest.mark.slow
 def test_device_fleet_five_reference_scenarios_match_goldens():
     """The five reference T-junction scenarios as ONE device fleet call:
     step counts, statuses and final positions must match the golden
@@ -331,6 +339,7 @@ def test_device_sim_fuzz_never_crashes(seed):
     assert set(int(s) for s in res.status) <= {2, 3, 4, 5}
 
 
+@pytest.mark.slow
 def test_device_fleet_sharded_over_mesh():
     """run_fleet(mesh=...): scenarios shard over the device mesh with no
     collectives (independent sims); results must match the vmap fleet."""
@@ -364,6 +373,7 @@ def test_device_fleet_sharded_over_mesh():
                                                axis_name="scenarios"))
 
 
+@pytest.mark.slow
 def test_device_sim_convoy_eight_agents():
     """Eight-agent single-lane platoon (make_convoy): all agents reach their
     goals through the device scan, matching the batched host path step count
@@ -392,6 +402,7 @@ def test_device_sim_convoy_eight_agents():
                 err_msg=f"agent {aid} step {i}")
 
 
+@pytest.mark.slow
 def test_device_sim_progressive_densification():
     """sampling_max > sampling_min + 1: every level evaluates on device and
     the first level that finds a candidate wins (host structure).  The
@@ -422,6 +433,7 @@ def test_device_sim_progressive_densification():
     assert not res_d.found[0, 0]
 
 
+@pytest.mark.slow
 def test_device_sim_responsibility_matches_host():
     """Responsibility weight ≠ 0 (single agent): reach-set grids built ON
     DEVICE inside the scan + the term/re-selection must reproduce the
@@ -654,6 +666,7 @@ def test_device_sim_occ_um_ve_matches_host():
             res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_device_sim_responsibility_mesh_and_fleet():
     """Responsibility composes with the agent mesh (grids built inside the
     shard) and with run_fleet (lanelet tensors pad across members): both
@@ -700,3 +713,81 @@ def test_device_sim_responsibility_mesh_and_fleet():
     with pytest.raises(ValueError, match="statics"):
         run_fleet([mk(make_highway),
                    DeviceSimulation(Simulation(make_highway(), _cfg()))])
+
+
+# ---------------------------------------------------------- behavior hybrid
+
+
+def _hybrid_parity(maker, a_idx=0, **overrides):
+    """Run host loop and device hybrid on the same behavior scenario and pin
+    step-exact executed-state parity for agent `a_idx`."""
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+
+    def cfg():
+        return _cfg(**{"behavior.use_behavior_planner": True, **overrides})
+
+    sim_h = Simulation(maker(), cfg())
+    aid = sim_h.agents[a_idx].id
+    res_h = sim_h.run()
+    res_d = DeviceSimulation(Simulation(maker(), cfg())).run()
+    assert res_d.steps == res_h.steps
+    assert int(res_d.status[a_idx]) == int(res_h.agent_status[aid])
+    h = res_h.histories[aid]
+    for i in range(1, len(h)):
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, a_idx, :2], h[i].position, atol=1e-9,
+            err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, a_idx, 3], h[i].velocity, atol=1e-9,
+            err_msg=f"step {i}")
+    return res_d, res_h
+
+
+def test_device_sim_hybrid_behavior_red_light_matches_host():
+    """Traffic-light stop: the behavior FSM arms a stop point, the device
+    cycle switches to the host-built quintic stopping matrix
+    (wants_stopping_mode), holds through red and proceeds on green — the
+    full hybrid loop (host FSM between device cycles) must reproduce the
+    host loop step-exactly, stopping mode included."""
+    from frenetix_tpu.io.scenario_factory import make_traffic_light
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    res_d, _ = _hybrid_parity(make_traffic_light)
+    assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
+    # actually held at the line: several near-zero-velocity steps
+    assert (res_d.trajectories[: res_d.steps, 0, 3] < 0.3).sum() >= 5
+
+
+@pytest.mark.slow
+def test_device_sim_hybrid_behavior_lane_change_matches_host():
+    """Lane change: the FSM REBUILDS the reference path mid-run; the hybrid
+    must restack the agent tables + recompute the curvilinear state on the
+    new frame (the batched host path's rebuild) and stay step-exact."""
+    from frenetix_tpu.io.scenario_factory import make_lane_change
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    res_d, _ = _hybrid_parity(make_lane_change)
+    assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
+    assert res_d.trajectories[res_d.steps - 1, 0, 1] > 3.0  # on the left lane
+
+
+@pytest.mark.slow
+def test_device_sim_hybrid_behavior_multiagent():
+    """Behavior planners in a MULTI-agent device sim (beyond the reference,
+    which forbids the combination): peers observe each other's executed
+    records through the synced WorldView mirrors."""
+    from frenetix_tpu.io.scenario_factory import make_overtake
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
+
+    res_d, res_h = _hybrid_parity(
+        make_overtake, **{"simulation.start_multiagent": True})
+    for i, aid in enumerate(res_d.agent_ids):
+        assert int(res_d.status[i]) == int(res_h.agent_status[aid])
+
+    # fleet axis does not compose with the hybrid — loud failure
+    cfg = _cfg(**{"behavior.use_behavior_planner": True})
+    ds = DeviceSimulation(Simulation(make_overtake(), cfg))
+    with pytest.raises(ValueError, match="hybrid"):
+        run_fleet([ds])
