@@ -79,16 +79,24 @@ def build_stacked_problem(a: int, dtype=np.float32, n_steps: int = 30,
     return matrices, masks, stack_cycle_contexts(ctxs)
 
 
-def main():
+def main(json_path=None):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
+    import multiprocessing
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
     from frenetix_tpu.parallel.mesh import make_agent_mesh, sharded_full_cycle
 
+    report = {
+        "physical_cpus": multiprocessing.cpu_count(),
+        "virtual_devices": len(jax.devices()),
+        "weak_scaling_full_cycle": [],
+        "fleet_weak_scaling": [],
+    }
     n_steps, dt = 30, 0.1
     agents_per_device = 4
     results = {}
@@ -115,6 +123,11 @@ def main():
             f"devices={n_dev}: agents={a}, {solves_per_sec:.1f} agent-cycles/s, "
             f"apparent efficiency {100*eff:.0f}%"
         )
+        report["weak_scaling_full_cycle"].append({
+            "devices": n_dev, "agents": a,
+            "agent_cycles_per_sec": round(solves_per_sec, 1),
+            "apparent_efficiency_pct": round(100 * eff, 1),
+        })
 
     # --- fleet weak scaling: whole SIMULATIONS sharded over the mesh -------
     from frenetix_tpu.io.scenario_factory import make_highway
@@ -145,17 +158,34 @@ def main():
         print(f"devices={n_dev}: scenarios={s}, {s/wall:.2f} sims/s, "
               f"{total_steps/wall:.1f} sim-steps/s, "
               f"statuses={sorted(set(int(x) for r in res for x in r.status))}")
+        report["fleet_weak_scaling"].append({
+            "devices": n_dev, "scenarios": s,
+            "sims_per_sec": round(s / wall, 3),
+            "sim_steps_per_sec": round(total_steps / wall, 1),
+            "all_success": all(int(x) == 2 for r in res for x in r.status),
+        })
 
-    print(
-        "\nNOTE: virtual CPU devices share one physical CPU, so weak-scaling "
-        "efficiency here reflects host saturation, not mesh behavior. What this "
-        "run validates: the FULL-cycle shard_map program (boundary + corridor + "
-        "cost stack) compiles and executes at every mesh size with a fixed-size "
-        "per-step collective (one all_gather of agent poses), and the fleet "
-        "program (whole simulations, no collectives) at every mesh size. Real "
-        "scaling numbers require a multi-chip slice."
+    note = (
+        "virtual CPU devices share one physical CPU (see physical_cpus), so "
+        "weak-scaling efficiency here reflects host saturation, not mesh "
+        "behavior. What this run validates: the FULL-cycle shard_map program "
+        "(boundary + corridor + cost stack) compiles and executes at every "
+        "mesh size with a fixed-size per-step collective (one all_gather of "
+        "agent poses), and the fleet program (whole simulations, no "
+        "collectives) at every mesh size. Real scaling numbers require a "
+        "multi-chip slice."
     )
+    report["note"] = note
+    print("\nNOTE: " + note)
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {json_path}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

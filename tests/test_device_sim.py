@@ -791,3 +791,28 @@ def test_device_sim_hybrid_behavior_multiagent():
     ds = DeviceSimulation(Simulation(make_overtake(), cfg))
     with pytest.raises(ValueError, match="hybrid"):
         run_fleet([ds])
+
+
+@pytest.mark.slow
+def test_device_sim_hybrid_behavior_sharded_matches_vmap():
+    """Hybrid behavior composes with the agent mesh: the per-cycle device
+    step (regular ladder AND the quintic stopping program) runs shard_mapped
+    and must reproduce the single-device hybrid exactly."""
+    import jax
+
+    from frenetix_tpu.io.scenario_factory import make_overtake
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.parallel.mesh import make_agent_mesh
+    from frenetix_tpu.sim import Simulation
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    cfg = _cfg(**{"behavior.use_behavior_planner": True,
+                  "simulation.start_multiagent": True})
+    r_v = DeviceSimulation(Simulation(make_overtake(), cfg)).run()
+    r_s = DeviceSimulation(Simulation(make_overtake(), cfg),
+                           mesh=make_agent_mesh(jax.devices()[:2])).run()
+    np.testing.assert_array_equal(r_v.status, r_s.status)
+    assert r_v.steps == r_s.steps
+    np.testing.assert_array_equal(r_v.selections, r_s.selections)
+    np.testing.assert_allclose(r_v.trajectories, r_s.trajectories, atol=1e-9)
