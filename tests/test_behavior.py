@@ -656,6 +656,7 @@ def test_behavior_log_written(tmp_path):
     assert any("WaitingForGreenLight" in ln for ln in lines)
 
 
+@pytest.mark.slow
 def test_multiagent_behavior_batched():
     """Behavior planners + multi-agent + the fused device batch: behavior
     logic runs on host ahead of the batch (stopping-mode agents fall back to
