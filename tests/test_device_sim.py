@@ -816,3 +816,40 @@ def test_device_sim_hybrid_behavior_sharded_matches_vmap():
     assert r_v.steps == r_s.steps
     np.testing.assert_array_equal(r_v.selections, r_s.selections)
     np.testing.assert_allclose(r_v.trajectories, r_s.trajectories, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_device_sim_hybrid_behavior_reference_scenario():
+    """Behavior planner + hybrid device sim on a REAL reference map
+    (T-junction scenario 23): the full FSM stack (static route, velocity
+    planner, stop points) drives the device cycles and must reproduce the
+    host loop step-exactly."""
+    import os
+
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    path = os.path.join("/root/reference/example_scenarios",
+                        "ZAM_Tjunction-1_23_T-1.xml")
+    if not os.path.exists(path):
+        pytest.skip("reference scenarios not available")
+
+    def cfg():
+        return _cfg(**{"behavior.use_behavior_planner": True})
+
+    sim_h = Simulation(load_scenario(path), cfg())
+    aid = sim_h.agents[0].id
+    res_h = sim_h.run()
+    res_d = DeviceSimulation(Simulation(load_scenario(path), cfg())).run()
+    assert res_h.agent_status[aid] == AgentStatus.COMPLETED_SUCCESS
+    assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
+    assert res_d.steps == res_h.steps
+    h = res_h.histories[aid]
+    for i in range(1, len(h)):
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, :2], h[i].position, atol=1e-9,
+            err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
