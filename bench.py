@@ -495,10 +495,18 @@ def main():
                     "error": _err_summary(e)}
                 break
             total_steps = sum(r.steps * len(r.agent_ids) for r in fleet)
+            # the gap sweep includes members whose overtake legitimately ends
+            # in a collision (the planner's genuine outcome; host parity for
+            # this family is pinned by tests/test_device_sim.py::
+            # test_device_sim_collision_sweep_matches_host_order) — report
+            # the status histogram, not a pass/fail bit
+            counts = {}
+            for r in fleet:
+                for s in r.status:
+                    counts[int(s)] = counts.get(int(s), 0) + 1
             out["fleet"].append({
                 "scenarios": s_n,
-                "all_success": all(int(s) == 2
-                                   for r in fleet for s in r.status),
+                "status_counts": counts,
                 "wall_s": round(fleet_wall, 3),
                 "compile_plus_first_run_s": round(compile_wall, 2),
                 "scenarios_per_sec": round(s_n / fleet_wall, 2),

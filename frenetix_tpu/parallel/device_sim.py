@@ -71,8 +71,10 @@ construction where possible):
   (nearly free in the launch-bound regime).
 - road-departure failsafe of executed poses is skipped — selected plans are
   already corridor-checked inside the cycle.
-- agent-agent collision is symmetric: BOTH vehicles of a colliding pair get
-  COLLISION (the host loop's in-order sweep marks only the first).
+- agent-agent collision reproduces the host's in-order sweep exactly
+  (sequential fori_loop): a marked agent leaves the world for later agents'
+  checks, so in a mutually overlapping pair only the first-in-order agent
+  is marked and the partner keeps driving.
 
 Parity caveat: outcomes can differ from the host on genuine knife-edge
 configurations — e.g. scenario 36 with the opt-in
@@ -1248,7 +1250,14 @@ class DeviceSimulation:
                      out["d"][:, j], out["d_dot"][:, j], out["d_ddot"][:, j]],
                     axis=1), jnp.where((step_ok & std)[:, None], hold_cl, x_cl))
 
-                # collision ladder at the new poses (_check_collisions)
+                # collision ladder at the new poses — the host's EXACT
+                # in-order sweep (_check_collisions): each agent first checks
+                # obstacles, then live peers; an agent marked COLLISION
+                # immediately "leaves the world" for later agents' checks, so
+                # in a mutually overlapping pair only the first-in-order
+                # agent is marked and the partner keeps driving (the
+                # reference's ended-trajectory semantics).  A sequential
+                # fori_loop reproduces the order dependence.
                 op = g.obst_poses[t_glob]                 # (O, 3)
                 ov = g.obst_valid[t_glob]                 # (O,)
                 hit_obs = jnp.any(
@@ -1256,13 +1265,19 @@ class DeviceSimulation:
                                 h_agent[None, None], op[None, :, :2],
                                 op[None, :, 2], g.obst_half[None]) & ov[None],
                     axis=1)
-                live = status == _RUNNING
+                live = step_ok
                 pair = obb_overlap(center[:, None], theta[:, None],
                                    h_agent[None, None], center[None, :],
-                                   theta[None, :], h_agent[None, None])
-                hit_agent = jnp.any(pair & ~eye & live[None] & live[:, None],
-                                    axis=1)
-                collided = (hit_obs | hit_agent) & step_ok
+                                   theta[None, :], h_agent[None, None]) & ~eye
+
+                def _sweep(i, marked):
+                    peers = live & ~marked
+                    hit = hit_obs[i] | jnp.any(pair[i] & peers)
+                    return marked.at[i].set(hit & live[i])
+
+                collided = jax.lax.fori_loop(
+                    0, pair.shape[0], _sweep,
+                    jnp.zeros(pair.shape[0], bool))
                 status = jnp.where(collided, _COLLISION, status)
                 running = status == _RUNNING
 

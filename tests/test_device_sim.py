@@ -853,3 +853,36 @@ def test_device_sim_hybrid_behavior_reference_scenario():
             err_msg=f"step {i}")
         np.testing.assert_allclose(
             res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_device_sim_collision_sweep_matches_host_order():
+    """A mutually colliding agent pair (overtake, gap 58 in float64 class —
+    the planner genuinely collides the rear agent into the lead here): the
+    host's in-order sweep marks ONLY the first agent; the partner keeps
+    driving to its goal.  The device scan reproduces that order dependence
+    (sequential fori_loop sweep), the partner's post-collision trajectory
+    included."""
+    from frenetix_tpu.io.scenario_factory import make_overtake
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    cfg = _cfg(**{"simulation.start_multiagent": True})
+    sim_h = Simulation(make_overtake(lead_gap=58.0), cfg)
+    res_h = sim_h.run()
+    res_d = DeviceSimulation(
+        Simulation(make_overtake(lead_gap=58.0), cfg)).run()
+
+    statuses_h = [int(res_h.agent_status[aid]) for aid in res_d.agent_ids]
+    assert statuses_h == [int(s) for s in res_d.status]
+    # the scenario must actually exercise the sweep: one collision, one not
+    if int(AgentStatus.COLLISION) in statuses_h:
+        assert statuses_h.count(int(AgentStatus.COLLISION)) == 1
+    assert res_d.steps == res_h.steps
+    for col, aid in enumerate(res_d.agent_ids):
+        h = res_h.histories[aid]
+        for i in range(1, len(h)):
+            np.testing.assert_allclose(
+                res_d.trajectories[i - 1, col, :2], h[i].position,
+                atol=1e-9, err_msg=f"agent {aid} step {i}")
