@@ -96,6 +96,25 @@ def run_all():
     print(f"device_sim resp: {results['device_sim_23_responsibility']}",
           flush=True)
 
+    # behavior-planner HYBRID device sim on the real map: host FSM between
+    # device cycles (parallel/device_sim._run_hybrid), float32 on the chip
+    sc = load_scenario(f"{SCENARIO_DIR}/ZAM_Tjunction-1_23_T-1.xml")
+    cfg = load_config()
+    cfg.dtype = "float32"
+    cfg.debug.activate_logging = False
+    cfg.behavior.use_behavior_planner = True
+    t0 = time.time()
+    dres = DeviceSimulation(Simulation(sc, cfg)).run()
+    results["device_sim_23_behavior_hybrid"] = {
+        "status": ("COMPLETED_SUCCESS"
+                   if all(int(s) == 2 for s in dres.status) else
+                   str([int(s) for s in dres.status])),
+        "steps": int(dres.steps),
+        "wall_s": round(time.time() - t0, 2),
+    }
+    print(f"device_sim hybrid: {results['device_sim_23_behavior_hybrid']}",
+          flush=True)
+
     results["_meta"] = {
         "device": str(jax.devices()[0]),
         "dtype": "float32",
@@ -115,7 +134,8 @@ def main():
         expect = json.load(f)
     failures = []
     keys = SCENARIOS + [k for k in ("device_sim_23_multiagent",
-                                    "device_sim_23_responsibility")
+                                    "device_sim_23_responsibility",
+                                    "device_sim_23_behavior_hybrid")
                         if k in expect and k in results]
     for name in keys:
         got, want = results[name], expect[name]
