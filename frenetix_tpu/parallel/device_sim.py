@@ -33,9 +33,11 @@ construction where possible):
   inference over them is deterministic at init); peer agents enter as
   constant-velocity rows built on device from executed poses, same as the
   host's `_augment_with_agents`.
-- the radius + rear-cone sensor filter runs on device (host parity);
-  `calc_occlusions` visible-area polygons are host-only (construction
-  raises).
+- the FULL sensor pipeline runs on device (host parity): radius + rear-cone
+  filter, and — with `calc_occlusions` — the visible-area occlusion stage
+  (the host's membership test is a pure polar query, so the in-scan twin is
+  exact: road walls + recorded obstacles + live peers build the polar map,
+  nearest-ray lookup over each window row's silhouette corners + center).
 - the occlusion module runs ON DEVICE: the spawn locator (silhouette-edge
   points behind recorded obstacles + turn spawns from static route
   curvature) evaluates from the live ego pose inside the scan, phantom CV
@@ -130,6 +132,9 @@ class SimTensors(NamedTuple):
     pose0: object              # (A, 4) center x, y, theta, v
     acc0: object               # (A,)
     lane: object = None        # LaneletTensors (responsibility on) or None
+    # visible-area occlusion sensor stage (prediction.calc_occlusions)
+    road_segs: object = None       # (Sr, 2, 2) static road-boundary walls
+    cur_half: object = None        # (C, O, 2) raw half dims per window row
     # occlusion-module tensors (None unless use_occlusion_module)
     occ_obst: object = None        # (C, Oc, 3) recorded obstacle poses
     occ_obst_valid: object = None  # (C, Oc)
@@ -492,7 +497,7 @@ class DeviceSimulation:
         # ---- scenario-obstacle tensors ------------------------------------
         # prediction windows per cycle, via the host's own builder (input
         # parity with the host replan)
-        pds, cur_obst, cur_valid = [], [], []
+        pds, cur_obst, cur_valid, cur_half = [], [], [], []
         for c in range(self.n_cycles):
             t_c = c * self.k_replan
             pd, ids = sim._predictions_for_step(t_c)
@@ -502,8 +507,13 @@ class DeviceSimulation:
             o_slots = pd["valid"].shape[0]
             cur = np.zeros((o_slots, 3), dtype)
             cv = np.zeros(o_slots, bool)
+            ch = np.zeros((o_slots, 2), dtype)
             for row, oid in enumerate(ids[:o_slots]):
-                st = sim.scenario.obstacles[oid].state_at_time(t_c)
+                ob = sim.scenario.obstacles[oid]
+                # RAW obstacle dims: the visible-area membership probe uses
+                # ob.length/width, NOT the margin-enriched prediction dims
+                ch[row] = (ob.length / 2.0, ob.width / 2.0)
+                st = ob.state_at_time(t_c)
                 if st is None:
                     continue
                 cur[row, :2] = st.position
@@ -511,12 +521,14 @@ class DeviceSimulation:
                 cv[row] = True
             cur_obst.append(cur)
             cur_valid.append(cv)
+            cur_half.append(ch)
         self.pred_windows = {
             k: jnp.asarray(np.stack([pd[k] for pd in pds]))
             for k in pds[0]
         }
         self.cur_obst = jnp.asarray(np.stack(cur_obst))
         self.cur_obst_valid = jnp.asarray(np.stack(cur_valid))
+        self.cur_half = jnp.asarray(np.stack(cur_half))
 
         # ---- lanelet tensors (responsibility term) -------------------------
         # reach-set grids are built ON DEVICE inside the scan, per agent per
@@ -532,10 +544,22 @@ class DeviceSimulation:
             from frenetix_tpu.risk.reachable_set import lanelet_tensors
 
             self.lane_tensors = lanelet_tensors(sim.scenario, dtype=dtype)
-        if config.prediction.use_sensor_model and config.prediction.calc_occlusions:
-            raise ValueError(
-                "DeviceSimulation supports the radius+cone sensor filter "
-                "only; calc_occlusions (visible-area polygons) is host-only")
+        # visible-area occlusion sensor stage ON DEVICE: the host's
+        # membership test is a pure polar query (VisibleArea.points_visible —
+        # nearest-ray lookup + 0.3 m tolerance), so the in-scan twin is
+        # exact: static road-boundary walls + recorded obstacles at the
+        # replan step + live peers occlude, window rows whose silhouette
+        # corners/center all fall beyond their ray's clipped range drop out
+        # (sensor_model.visible_obstacles / compute_visible_area semantics).
+        self.use_vis_occl = bool(config.prediction.use_sensor_model
+                                 and config.prediction.calc_occlusions)
+        self.road_segs = None
+        if self.use_vis_occl:
+            from frenetix_tpu.sim.visible_area import road_boundary_segments
+
+            self.road_segs = jnp.asarray(
+                np.asarray(road_boundary_segments(sim.scenario),
+                           dtype=dtype).reshape(-1, 2, 2))
         op, ov, oh = _obstacle_step_poses(
             sim.scenario, sim.agent_obstacle_ids,
             self.max_steps + self.k_replan, dtype)
@@ -561,6 +585,8 @@ class DeviceSimulation:
             pred_windows=self.pred_windows,
             cur_obst=self.cur_obst,
             cur_obst_valid=self.cur_obst_valid,
+            road_segs=self.road_segs,
+            cur_half=self.cur_half if self.use_vis_occl else None,
             obst_poses=self.obst_poses,
             obst_valid=self.obst_valid,
             obst_half=self.obst_half,
@@ -1052,6 +1078,7 @@ class DeviceSimulation:
         weights = self.weights
         eye = jnp.eye(a_n, dtype=bool)
         use_sensor = bool(pcfg.use_sensor_model)
+        use_vis_occl = self.use_vis_occl
         sensor_radius = float(pcfg.sensor_radius)
         cone_half = float(pcfg.cone_angle) * np.pi / 180.0 / 2.0
         cone_safety = float(pcfg.cone_safety_dist)
@@ -1106,8 +1133,57 @@ class DeviceSimulation:
                 ang = jnp.arctan2(loc_y, loc_x)
                 dropped = ((loc_x < 0) & (dist > cone_safety)
                            & (jnp.abs(jnp.abs(ang) - jnp.pi) < cone_half))
+                sensor_ok = in_radius & ~dropped
+                if use_vis_occl:
+                    # visible-area occlusion stage (host: visible_obstacles →
+                    # compute_visible_area + obstacle_visible): polar map per
+                    # agent from road walls + recorded obstacles at t0 + live
+                    # peers, then the nearest-ray membership probe over each
+                    # window row's 4 silhouette corners + center with the
+                    # host's 0.3 m on-edge tolerance
+                    from frenetix_tpu.sim.visible_area import (
+                        obb_segments_batch, polar_visibility_batch)
+
+                    op0 = g.obst_poses[t0]                        # (O, 3)
+                    segs_o = obb_segments_batch(
+                        op0[:, :2], op0[:, 2], g.obst_half)       # (O,4,2,2)
+                    segs_p = obb_segments_batch(
+                        center, theta,
+                        jnp.broadcast_to(h_agent, center.shape))  # (A,4,2,2)
+                    seg_pts = jnp.concatenate(
+                        [g.road_segs, segs_o.reshape(-1, 2, 2),
+                         segs_p.reshape(-1, 2, 2)])
+                    o4 = jnp.repeat(g.obst_valid[t0], 4)
+                    peer_ok = running[None, :] & ~eye             # (A, A)
+                    n_road = g.road_segs.shape[0]
+                    seg_valid = jnp.concatenate([
+                        jnp.ones((a_n, n_road), bool),
+                        jnp.broadcast_to(o4[None], (a_n, o4.shape[0])),
+                        jnp.repeat(peer_ok, 4, axis=1)], axis=1)  # (A, S)
+                    r_vis = jax.vmap(
+                        polar_visibility_batch,
+                        in_axes=(0, None, None, 0, None))(
+                        center, seg_pts[:, 0], seg_pts[:, 1], seg_valid,
+                        sensor_radius)                            # (A, K)
+                    cur = g.cur_obst[c]                           # (O', 3)
+                    corners = obb_segments_batch(
+                        cur[:, :2], cur[:, 2], g.cur_half[c])[:, :, 0]
+                    probes = jnp.concatenate(
+                        [corners, cur[:, None, :2]], axis=1)      # (O', 5, 2)
+                    rel_p = probes[None] - center[:, None, None]  # (A,O',5,2)
+                    rr = jnp.linalg.norm(rel_p, axis=-1)
+                    ang_p = jnp.arctan2(rel_p[..., 1], rel_p[..., 0])
+                    k_rays = r_vis.shape[1]
+                    idx = jnp.round(
+                        (ang_p + jnp.pi) / (2 * jnp.pi) * k_rays
+                    ).astype(jnp.int32) % k_rays                  # (A,O',5)
+                    r_at = jnp.take_along_axis(
+                        r_vis[:, None].repeat(idx.shape[1], 1),
+                        idx, axis=2)                              # (A,O',5)
+                    vis = jnp.any(rr <= r_at + 0.3, axis=-1)      # (A, O')
+                    sensor_ok = sensor_ok & vis
                 window = window._replace(
-                    valid=window.valid & (in_radius & ~dropped)[:, :, None])
+                    valid=window.valid & sensor_ok[:, :, None])
             poses_all = jnp.concatenate(
                 [center, theta[:, None], v[:, None]], axis=1)
             agent_preds = agent_pose_predictions(
@@ -1515,7 +1591,7 @@ class DeviceSimulation:
 
     def _padded_tensors(self, a_max, c_max, r_max, s_max, o_max, t1_max,
                         g_max, e_max, l_max=None, le_max=None, oc_max=None,
-                        r2_max=None) -> SimTensors:
+                        r2_max=None, sr_max=None) -> SimTensors:
         """This scenario's SimTensors padded to the fleet maxima.
 
         Padding is inert by construction: extra agents carry active0=False
@@ -1598,8 +1674,18 @@ class DeviceSimulation:
                 ring_valid=pad_zero(lane.ring_valid, l_max, 0),
                 closure=closure,
             )
+        vis_fields = {}
+        if g.road_segs is not None:
+            # zero-padded road segments are degenerate (a = b ⇒ denom 0) and
+            # never intersect a ray; cur_half pads on the cycle axis only
+            # (the window O dim is config-static across a fleet)
+            vis_fields = dict(
+                road_segs=pad_zero(g.road_segs, sr_max, 0),
+                cur_half=pad_repeat(g.cur_half, c_max, 0),
+            )
         return SimTensors(
             **occ_fields,
+            **vis_fields,
             cur_obst=pad_repeat(g.cur_obst, c_max, 0),
             cur_obst_valid=pad_repeat(g.cur_obst_valid, c_max, 0),
             ref=ref,
@@ -1722,12 +1808,14 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
         if (s.dt, s.n_steps, s.k_replan, tuple(l[3] for l in s.levels),
                 s.np_dtype, s.config.planning.emergency_mode,
                 s.config.planning.compensated_cost_sum, s.resp_weight,
-                s._occ_statics) != (
+                s._occ_statics, s.config.prediction.use_sensor_model,
+                s.use_vis_occl) != (
                 base.dt, base.n_steps, base.k_replan,
                 tuple(l[3] for l in base.levels), base.np_dtype,
                 base.config.planning.emergency_mode,
                 base.config.planning.compensated_cost_sum, base.resp_weight,
-                base._occ_statics):
+                base._occ_statics, base.config.prediction.use_sensor_model,
+                base.use_vis_occl):
             raise ValueError(
                 "fleet members must share planning statics (dt, horizon, "
                 "replanning frequency, sampling level, dtype, emergency "
@@ -1745,16 +1833,19 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
     t1_max = max(np.asarray(s.tensors.obst_poses).shape[0] for s in sims)
     g_max = max(np.asarray(s.tensors.g_rings).shape[1] for s in sims)
     e_max = max(np.asarray(s.tensors.g_rings).shape[2] for s in sims)
-    l_max = le_max = oc_max = r2_max = None
+    l_max = le_max = oc_max = r2_max = sr_max = None
     if base.resp_weight != 0.0:
         l_max = max(np.asarray(s.tensors.lane.rings).shape[0] for s in sims)
         le_max = max(np.asarray(s.tensors.lane.rings).shape[1] for s in sims)
     if base.use_occlusion:
         oc_max = max(np.asarray(s.tensors.occ_half).shape[0] for s in sims)
         r2_max = max(np.asarray(s.tensors.turn_hot).shape[1] for s in sims)
+    if base.use_vis_occl:
+        sr_max = max(np.asarray(s.tensors.road_segs).shape[0] for s in sims)
 
     padded = [s._padded_tensors(a_max, c_max, r_max, s_max, o_max, t1_max,
-                                g_max, e_max, l_max, le_max, oc_max, r2_max)
+                                g_max, e_max, l_max, le_max, oc_max, r2_max,
+                                sr_max)
               for s in sims]
     stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
                            *padded)

@@ -886,3 +886,94 @@ def test_device_sim_collision_sweep_matches_host_order():
             np.testing.assert_allclose(
                 res_d.trajectories[i - 1, col, :2], h[i].position,
                 atol=1e-9, err_msg=f"agent {aid} step {i}")
+
+
+def _occluded_pair_scenario():
+    """Overtake scenario + a parked truck on the left lane with a parked car
+    directly behind it: the car is radius-visible but occlusion-dropped while
+    the ego approaches, then becomes visible as the sight line clears."""
+    from frenetix_tpu.io.commonroad import Obstacle, State
+
+    from frenetix_tpu.io.scenario_factory import make_overtake
+
+    sc = make_overtake()
+    sc.obstacles[200] = Obstacle(
+        obstacle_id=200, obstacle_type="truck", role="static", length=9.0,
+        width=2.5, initial_state=State(0, np.array([120.0, 3.6]), 0.0, 0.0),
+    )
+    sc.obstacles[201] = Obstacle(
+        obstacle_id=201, obstacle_type="car", role="static", length=4.5,
+        width=2.0, initial_state=State(0, np.array([131.0, 4.2]), 0.0, 0.0),
+    )
+    return sc
+
+
+@pytest.mark.slow
+def test_device_sim_visible_area_sensor_matches_host():
+    """calc_occlusions on device: the visible-area occlusion stage of the
+    sensor pipeline (road walls + obstacle shadows + live peers → polar map →
+    silhouette membership probe) runs inside the scan and must reproduce the
+    host loop step-exactly."""
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+    from frenetix_tpu.sim.sensor_model import visible_obstacles
+
+    # the scenario genuinely exercises the stage: behind the truck the parked
+    # car is radius-visible but occluded; close in, the sight line clears
+    sc = _occluded_pair_scenario()
+
+    class _S:
+        position = np.array([85.0, 0.0])
+        orientation = 0.0
+
+    assert 201 not in visible_obstacles(sc, 60000, _S, 0, sensor_radius=50.0)
+    _S.position = np.array([115.0, 0.0])
+    assert 201 in visible_obstacles(sc, 60000, _S, 0, sensor_radius=50.0)
+
+    def cfg():
+        return _cfg(**{"prediction.use_sensor_model": True,
+                       "prediction.calc_occlusions": True})
+
+    sim_h = Simulation(_occluded_pair_scenario(), cfg())
+    aid = sim_h.agents[0].id
+    res_h = sim_h.run()
+    res_d = DeviceSimulation(
+        Simulation(_occluded_pair_scenario(), cfg())).run()
+    assert res_h.agent_status[aid] == AgentStatus.COMPLETED_SUCCESS
+    assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
+    assert res_d.steps == res_h.steps
+    h = res_h.histories[aid]
+    for i in range(1, len(h)):
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, :2], h[i].position, atol=1e-9,
+            err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, 3], h[i].velocity, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_device_fleet_with_visible_area_sensor():
+    """calc_occlusions composes with the fleet axis: heterogeneous road
+    geometries pad their wall-segment sets to the fleet max with degenerate
+    (inert) segments; each member reproduces its solo run."""
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
+    from frenetix_tpu.sim import Simulation
+
+    def cfg():
+        return _cfg(**{"prediction.use_sensor_model": True,
+                       "prediction.calc_occlusions": True})
+
+    def mk():
+        return [
+            DeviceSimulation(Simulation(_occluded_pair_scenario(), cfg())),
+            DeviceSimulation(Simulation(make_highway(), cfg())),
+        ]
+
+    solo = [s.run() for s in mk()]
+    fleet = run_fleet(mk())
+    for r, s in zip(fleet, solo):
+        np.testing.assert_array_equal(r.status, s.status)
+        assert r.steps == s.steps
+        np.testing.assert_allclose(r.trajectories, s.trajectories, atol=1e-9)
