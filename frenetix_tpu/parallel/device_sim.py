@@ -51,8 +51,11 @@ construction where possible):
   cycles — one O(A)-floats fetch per cycle instead of one per run; matrix
   build, cycle evaluation, stopping-mode quintic sampling, emergency ladder,
   execute sub-steps and status ladder all stay on device (`_run_hybrid`).
-  Hybrid mode does not compose with the occlusion module or the fleet axis
-  (host modes cover those combinations; construction/run_fleet raise).
+  Composes with the occlusion module (turn-spawn tensors stay on the
+  INITIAL route across behavior reference-path swaps — exactly the host's
+  semantics, OcclusionModule.route_xy is fixed at construction).  Hybrid
+  mode does not compose with the fleet axis (run_fleet raises; the FSM is
+  a per-scenario host loop).
 - the responsibility (reach-set) term runs FULLY on device, multi-agent
   included: each agent's reach grids are built inside the scan by
   `risk.reachable_set.build_reach_set_grids_device` (bit-pinned against the
@@ -378,11 +381,6 @@ class DeviceSimulation:
         # (carry + the cycle's executed sub-steps) instead of one per run.
         self.hybrid_behavior = bool(config.behavior.use_behavior_planner)
         self.use_occlusion = bool(config.occlusion.use_occlusion_module)
-        if self.hybrid_behavior and self.use_occlusion:
-            raise ValueError(
-                "DeviceSimulation runs the behavior planner (hybrid mode) or "
-                "the occlusion module, not both; host modes cover the "
-                "combination")
         ew = config.external_cost_weights
         self.occ_pm_weight = (float(ew.get("occ_pm", 0.0))
                               if self.use_occlusion else 0.0)

@@ -106,9 +106,6 @@ def test_device_sim_guards():
     for kv in [
         {"prediction.mode": "bogus"},
         {"planning.emergency_mode": "bogus"},
-        # behavior alone runs (hybrid mode); + occlusion module does not
-        {"behavior.use_behavior_planner": True,
-         "occlusion.use_occlusion_module": True},
     ]:
         cfg = _cfg(**kv)
         sim = Simulation(make_highway(), cfg)
@@ -977,3 +974,47 @@ def test_device_fleet_with_visible_area_sensor():
         np.testing.assert_array_equal(r.status, s.status)
         assert r.steps == s.steps
         np.testing.assert_allclose(r.trajectories, s.trajectories, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_device_sim_hybrid_behavior_with_occlusion_module():
+    """Behavior hybrid x occlusion module on device: the FSM drives desired
+    velocity/stop points between device cycles while the in-scan occlusion
+    module (spawn locator, phantom rows, safety gate) runs unchanged; turn
+    spawns stay on the INITIAL route across swaps — the host's own semantics
+    (OcclusionModule.route_xy is fixed at construction)."""
+    from frenetix_tpu.io.commonroad import Obstacle, State
+    from frenetix_tpu.io.scenario_factory import make_highway
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.sim.agent import AgentStatus
+
+    def scenario():
+        sc = make_highway(ego_v=13.0, lead_v=13.0, lead_gap=120.0,
+                          n_steps=150)
+        sc.obstacles[200] = Obstacle(
+            obstacle_id=200, obstacle_type="truck", role="static", length=9.0,
+            width=2.5, initial_state=State(0, np.array([60.0, 2.6]), 0.0, 0.0),
+        )
+        return sc
+
+    def cfg():
+        return _cfg(**{"behavior.use_behavior_planner": True,
+                       "occlusion.use_occlusion_module": True,
+                       "occlusion.harm_threshold": 0.02})
+
+    sim_h = Simulation(scenario(), cfg())
+    aid = sim_h.agents[0].id
+    res_h = sim_h.run()
+    res_d = DeviceSimulation(Simulation(scenario(), cfg())).run()
+    assert res_h.agent_status[aid] == AgentStatus.COMPLETED_SUCCESS
+    assert int(res_d.status[0]) == int(AgentStatus.COMPLETED_SUCCESS)
+    assert res_d.steps == res_h.steps
+    h = res_h.histories[aid]
+    for i in range(1, len(h)):
+        np.testing.assert_allclose(
+            res_d.trajectories[i - 1, 0, :2], h[i].position, atol=1e-9,
+            err_msg=f"step {i}")
+    # the phantom gate visibly shaped the run (blind-spot slowdown)
+    v = [s.velocity for s in h if 45 < s.position[0] < 65]
+    assert np.mean(v) < 10.0
