@@ -350,7 +350,11 @@ def main():
 
     # headline config (dense sweep, ~35k candidates) + a candidates sweep
     # (VERDICT r1 item 8: report valid-candidate throughput AND the sweep)
-    headline = measure(density=5, bucket=1024, compiles=3)
+    # 5 compile variants: the toolchain's nondeterministic lowering spans
+    # ~2x (77-130 us for the same cycle, PERF.md); with 3 variants the fast
+    # configuration is missed often enough to move the headline (r2 drew
+    # 0.076 ms, an r3 run with 3 variants drew 0.104 ms best-of)
+    headline = measure(density=5, bucket=1024, compiles=5)
     sweep = []
     V5E_BF16_PEAK = 197e12      # TPU v5e MXU peak, bf16 FLOP/s
     V5E_HBM_BPS = 819e9         # TPU v5e HBM bandwidth, B/s
