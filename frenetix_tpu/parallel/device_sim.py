@@ -43,8 +43,9 @@ construction where possible):
   curvature) evaluates from the live ego pose inside the scan, phantom CV
   rows concat into the cycle's prediction tensors with the host's free-slot
   cap, and the shared `phantom_safety_mask` gate + occ_pm soft cost apply
-  before selection (occ_um/occ_ve need per-step polar maps — host-only,
-  construction raises).
+  before selection; occ_um/occ_ve soft costs build their per-step polar
+  visibility map + silhouette points on device too (`sim.visible_area`
+  jnp twins).
 - the behavior planner runs in HYBRID mode: the FSM is host control logic
   (exactly as in the reference), so behavior runs switch from one whole-run
   scan to one jitted device cycle per replan with the FSM on host between
@@ -53,9 +54,9 @@ construction where possible):
   execute sub-steps and status ladder all stay on device (`_run_hybrid`).
   Composes with the occlusion module (turn-spawn tensors stay on the
   INITIAL route across behavior reference-path swaps — exactly the host's
-  semantics, OcclusionModule.route_xy is fixed at construction).  Hybrid
-  mode does not compose with the fleet axis (run_fleet raises; the FSM is
-  a per-scenario host loop).
+  semantics, OcclusionModule.route_xy is fixed at construction) AND with
+  the fleet axis (`_run_hybrid_fleet`: one vmapped device step for all S
+  scenarios per cycle, the S host FSM loops interleaved between cycles).
 - the responsibility (reach-set) term runs FULLY on device, multi-agent
   included: each agent's reach grids are built inside the scan by
   `risk.reachable_set.build_reach_set_grids_device` (bit-pinned against the
@@ -1473,100 +1474,23 @@ class DeviceSimulation:
 
         import jax
 
-        from frenetix_tpu.planner.reactive import wants_stopping_mode
-        from frenetix_tpu.sim.agent import EgoState
-        from frenetix_tpu.sim.planner_interfaces import apply_behavior_output
-
         t_start = time.perf_counter()
         jnp = self.jnp
-        dtype = self.np_dtype
-        a_n = len(self.agents)
-        k = self.k_replan
         if self._hybrid_fn is None:
             self._hybrid_fn = self._build_run(hybrid=True)
         step_fn = self._hybrid_fn
         g = self.tensors
-        status0 = jnp.where(g.active0, _RUNNING, _ERROR).astype(jnp.int32)
-        kap0 = np.array([np.tan(float(a.state.steering_angle))
-                         / self.veh.wheelbase for a in self.agents], dtype)
-        carry = (g.x_cl0, g.pose0[:, :2], g.pose0[:, 2], g.pose0[:, 3],
-                 g.acc0, jnp.asarray(kap0), g.pose0[:, 2], status0)
+        carry = self._hybrid_carry0(g)
 
-        stop_thr = self.config.behavior.stopping_mode_threshold
-        lvl0 = self.config.planning.sampling_min
-        m_stop = self._stop_bucket
-        wb = self.veh.wheelbase
         ys_list = []
         for c in range(self.n_cycles):
-            (x_cl_h, center_h, theta_h, v_h, acc_h, kap_h, th_prev_h,
-             status_h) = jax.device_get(carry)
-            x_cl_h = np.asarray(x_cl_h)
-            t0 = c * k
-            v_des = np.zeros(a_n, dtype)
-            wants = np.zeros(a_n, bool)
-            stop_mat = np.zeros((a_n, m_stop, 13), dtype)
-            stop_mask = np.zeros((a_n, m_stop), bool)
-
-            # ---- sync host mirrors (behavior peers observe executed
-            # records through WorldView — sim/world_view.py).  Cycle 0 skips
-            # the sync: a fresh host Simulation's mirrors (initial state,
-            # x_cl, record) are already exact, including the scenario's
-            # initial yaw rate the carry does not track. -------------------
-            for i, a in enumerate(self.agents if c > 0 else ()):
-                a.state = EgoState(
-                    time_step=t0, position=np.asarray(center_h[i]).copy(),
-                    orientation=float(theta_h[i]), velocity=float(v_h[i]),
-                    acceleration=float(acc_h[i]),
-                    yaw_rate=float(theta_h[i] - th_prev_h[i]) / self.dt,
-                    steering_angle=float(
-                        np.arctan2(wb * float(kap_h[i]), 1.0)))
-                a.x_cl = (x_cl_h[i, :3].copy(), x_cl_h[i, 3:].copy())
-                if status_h[i] == _RUNNING and (
-                        not a.record.states
-                        or a.record.states[-1].time_step < t0):
-                    a.record.states.append(a.state)
-
-            # ---- host FSM per running agent -------------------------------
-            swapped = False
-            x_cl_new = x_cl_h.copy()
-            for i, a in enumerate(self.agents):
-                stop_mat[i] = self._benign_stop_rows(x_cl_h[i])
-                if int(status_h[i]) != _RUNNING:
-                    v_des[i] = v_h[i]
-                    continue
-                if a.behavior is None:
-                    v_des[i] = a.desired_velocity()
-                    continue
-                b_out = a.behavior.execute(None, a.state, t0)
-                if apply_behavior_output(a, b_out):
-                    swapped = True
-                    lon, lat = a.x_cl
-                    x_cl_new[i] = np.concatenate(
-                        [np.asarray(lon), np.asarray(lat)]).astype(dtype)
-                v_des[i] = b_out.desired_velocity
-                sp = a.planner.stop_point
-                x_cl_t = (x_cl_new[i, :3], x_cl_new[i, 3:])
-                if sp is not None and wants_stopping_mode(sp, x_cl_t, stop_thr):
-                    m = a.planner._stopping_matrix(lvl0, x_cl_t)
-                    assert m.shape[0] <= m_stop, (m.shape, m_stop)
-                    stop_mat[i, :m.shape[0]] = m.astype(dtype)
-                    stop_mask[i, :m.shape[0]] = True
-                    wants[i] = True
+            carry_h = jax.device_get(carry)
+            v_des, wants, stop_mat, stop_mask, x_cl_new, swapped = (
+                self._hybrid_host_cycle(c, carry_h))
 
             if swapped:
-                # restack the per-agent tables from the swapped planners —
-                # the same rebuild the batched host path performs
-                # (sim/simulation.py:422-437).  A longer new path grows the
-                # common R bucket and retraces the step (jit handles it).
-                from frenetix_tpu.parallel.batched_sim import (
-                    BatchedAgentStepper)
-
-                self.stepper = BatchedAgentStepper(self.config, self.agents)
-                g = g._replace(ref=self.stepper.ref,
-                               corridors=self.stepper.corridors,
-                               lane_segments=self.stepper.lane_segments,
-                               lane_valid=self.stepper.lane_valid)
-                self.tensors = g
+                self._hybrid_restack()
+                g = self.tensors
                 carry = (jnp.asarray(x_cl_new), *carry[1:])
 
             carry, ys = step_fn(g, carry, jnp.asarray(c, jnp.int32),
@@ -1586,6 +1510,118 @@ class DeviceSimulation:
         res = self._finalize(out)
         res.wall_time = time.perf_counter() - t_start
         return res
+
+    def _hybrid_carry0(self, g: SimTensors):
+        """Initial hybrid carry from (possibly fleet-padded) SimTensors:
+        (x_cl, center, theta, v, acc, kappa, theta_prev, status).  Padded
+        agent rows replicate agent 0's kappa (numerically sane, inert via
+        status ERROR)."""
+        jnp = self.jnp
+        status0 = jnp.where(jnp.asarray(g.active0), _RUNNING,
+                            _ERROR).astype(jnp.int32)
+        kap = np.array([np.tan(float(a.state.steering_angle))
+                        / self.veh.wheelbase for a in self.agents],
+                       self.np_dtype)
+        a_pad = int(np.asarray(g.active0).shape[0])
+        if a_pad > kap.shape[0]:
+            kap = np.concatenate(
+                [kap, np.repeat(kap[:1], a_pad - kap.shape[0])])
+        pose0 = jnp.asarray(g.pose0)
+        return (jnp.asarray(g.x_cl0), pose0[:, :2], pose0[:, 2], pose0[:, 3],
+                jnp.asarray(g.acc0), jnp.asarray(kap), pose0[:, 2], status0)
+
+    def _hybrid_restack(self):
+        """Rebuild the per-agent tables after a behavior reference-path swap
+        — the same rebuild the batched host path performs
+        (sim/simulation.py:422-437).  A longer new path grows the common R
+        bucket and retraces the device step (jit handles it)."""
+        from frenetix_tpu.parallel.batched_sim import BatchedAgentStepper
+
+        self.stepper = BatchedAgentStepper(self.config, self.agents)
+        self.tensors = self.tensors._replace(
+            ref=self.stepper.ref, corridors=self.stepper.corridors,
+            lane_segments=self.stepper.lane_segments,
+            lane_valid=self.stepper.lane_valid)
+
+    def _hybrid_host_cycle(self, c: int, carry_h, inert: bool = False):
+        """Host side of one hybrid cycle: sync mirrors, run the FSM, build
+        the stopping program inputs.
+
+        `carry_h` is the fetched 8-tuple of np arrays, whose agent axis may
+        be fleet-padded (a_pad ≥ len(self.agents)); padded rows get benign
+        stop rows and v_des = current v (they are inert — status ERROR).
+        `inert=True` (a fleet member past its own cycle horizon) skips the
+        mirror sync and FSM entirely.  Returns
+        (v_des, wants, stop_mat, stop_mask, x_cl_new, swapped)."""
+        from frenetix_tpu.planner.reactive import wants_stopping_mode
+        from frenetix_tpu.sim.agent import EgoState
+        from frenetix_tpu.sim.planner_interfaces import apply_behavior_output
+
+        dtype = self.np_dtype
+        k = self.k_replan
+        stop_thr = self.config.behavior.stopping_mode_threshold
+        lvl0 = self.config.planning.sampling_min
+        m_stop = self._stop_bucket
+        wb = self.veh.wheelbase
+
+        (x_cl_h, center_h, theta_h, v_h, acc_h, kap_h, th_prev_h,
+         status_h) = carry_h
+        x_cl_h = np.asarray(x_cl_h)
+        a_pad = x_cl_h.shape[0]
+        t0 = c * k
+        v_des = np.asarray(v_h, dtype).copy()
+        wants = np.zeros(a_pad, bool)
+        stop_mat = np.zeros((a_pad, m_stop, 13), dtype)
+        stop_mask = np.zeros((a_pad, m_stop), bool)
+        for i in range(a_pad):
+            stop_mat[i] = self._benign_stop_rows(x_cl_h[i])
+        x_cl_new = x_cl_h.copy()
+        if inert:
+            return v_des, wants, stop_mat, stop_mask, x_cl_new, False
+
+        # ---- sync host mirrors (behavior peers observe executed records
+        # through WorldView — sim/world_view.py).  Cycle 0 skips the sync:
+        # a fresh host Simulation's mirrors (initial state, x_cl, record)
+        # are already exact, including the scenario's initial yaw rate the
+        # carry does not track. ------------------------------------------
+        for i, a in enumerate(self.agents if c > 0 else ()):
+            a.state = EgoState(
+                time_step=t0, position=np.asarray(center_h[i]).copy(),
+                orientation=float(theta_h[i]), velocity=float(v_h[i]),
+                acceleration=float(acc_h[i]),
+                yaw_rate=float(theta_h[i] - th_prev_h[i]) / self.dt,
+                steering_angle=float(
+                    np.arctan2(wb * float(kap_h[i]), 1.0)))
+            a.x_cl = (x_cl_h[i, :3].copy(), x_cl_h[i, 3:].copy())
+            if status_h[i] == _RUNNING and (
+                    not a.record.states
+                    or a.record.states[-1].time_step < t0):
+                a.record.states.append(a.state)
+
+        # ---- host FSM per running agent ---------------------------------
+        swapped = False
+        for i, a in enumerate(self.agents):
+            if int(status_h[i]) != _RUNNING:
+                continue
+            if a.behavior is None:
+                v_des[i] = a.desired_velocity()
+                continue
+            b_out = a.behavior.execute(None, a.state, t0)
+            if apply_behavior_output(a, b_out):
+                swapped = True
+                lon, lat = a.x_cl
+                x_cl_new[i] = np.concatenate(
+                    [np.asarray(lon), np.asarray(lat)]).astype(dtype)
+            v_des[i] = b_out.desired_velocity
+            sp = a.planner.stop_point
+            x_cl_t = (x_cl_new[i, :3], x_cl_new[i, 3:])
+            if sp is not None and wants_stopping_mode(sp, x_cl_t, stop_thr):
+                m = a.planner._stopping_matrix(lvl0, x_cl_t)
+                assert m.shape[0] <= m_stop, (m.shape, m_stop)
+                stop_mat[i, :m.shape[0]] = m.astype(dtype)
+                stop_mask[i, :m.shape[0]] = True
+                wants[i] = True
+        return v_des, wants, stop_mat, stop_mask, x_cl_new, swapped
 
     def _padded_tensors(self, a_max, c_max, r_max, s_max, o_max, t1_max,
                         g_max, e_max, l_max=None, le_max=None, oc_max=None,
@@ -1799,54 +1835,30 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
             raise ValueError("run_fleet composes with vmap only (per-member "
                              "meshes are not supported; pass mesh= to "
                              "run_fleet to shard the scenario axis)")
-        if s.hybrid_behavior:
-            raise ValueError("run_fleet does not compose with the behavior "
-                             "hybrid (the FSM is a per-scenario host loop); "
-                             "run behavior sims individually")
         if (s.dt, s.n_steps, s.k_replan, tuple(l[3] for l in s.levels),
                 s.np_dtype, s.config.planning.emergency_mode,
                 s.config.planning.compensated_cost_sum, s.resp_weight,
                 s._occ_statics, s.config.prediction.use_sensor_model,
-                s.use_vis_occl) != (
+                s.use_vis_occl, s.hybrid_behavior, s._stop_bucket) != (
                 base.dt, base.n_steps, base.k_replan,
                 tuple(l[3] for l in base.levels), base.np_dtype,
                 base.config.planning.emergency_mode,
                 base.config.planning.compensated_cost_sum, base.resp_weight,
                 base._occ_statics, base.config.prediction.use_sensor_model,
-                base.use_vis_occl):
+                base.use_vis_occl, base.hybrid_behavior, base._stop_bucket):
             raise ValueError(
                 "fleet members must share planning statics (dt, horizon, "
                 "replanning frequency, sampling level, dtype, emergency "
                 "mode, compensated-sum flag, responsibility weight, "
-                "occlusion settings)")
+                "occlusion settings, behavior-planner flag)")
     if mesh is not None and len(sims) % mesh.size != 0:
         raise ValueError(f"fleet size {len(sims)} must divide evenly over "
                          f"the {mesh.size}-device mesh")
 
-    a_max = max(len(s.agents) for s in sims)
-    c_max = max(s.n_cycles for s in sims)
-    r_max = max(np.asarray(s.tensors.ref.s).shape[1] for s in sims)
-    s_max = max(np.asarray(s.tensors.lane_segments).shape[1] for s in sims)
-    o_max = max(np.asarray(s.tensors.obst_half).shape[0] for s in sims)
-    t1_max = max(np.asarray(s.tensors.obst_poses).shape[0] for s in sims)
-    g_max = max(np.asarray(s.tensors.g_rings).shape[1] for s in sims)
-    e_max = max(np.asarray(s.tensors.g_rings).shape[2] for s in sims)
-    l_max = le_max = oc_max = r2_max = sr_max = None
-    if base.resp_weight != 0.0:
-        l_max = max(np.asarray(s.tensors.lane.rings).shape[0] for s in sims)
-        le_max = max(np.asarray(s.tensors.lane.rings).shape[1] for s in sims)
-    if base.use_occlusion:
-        oc_max = max(np.asarray(s.tensors.occ_half).shape[0] for s in sims)
-        r2_max = max(np.asarray(s.tensors.turn_hot).shape[1] for s in sims)
-    if base.use_vis_occl:
-        sr_max = max(np.asarray(s.tensors.road_segs).shape[0] for s in sims)
+    if base.hybrid_behavior:
+        return _run_hybrid_fleet(sims, mesh, axis_name, t0)
 
-    padded = [s._padded_tensors(a_max, c_max, r_max, s_max, o_max, t1_max,
-                                g_max, e_max, l_max, le_max, oc_max, r2_max,
-                                sr_max)
-              for s in sims]
-    stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                           *padded)
+    stacked, _, a_max, c_max = _fleet_stack(sims)
     # cache the compiled fleet program on the base member (a fresh
     # jit(vmap(...)) closure per call would re-trace every time)
     cache = getattr(base, "_fleet_cache", None)
@@ -1875,5 +1887,139 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
         res = s._finalize({k_: v[i] for k_, v in out.items()})
         res.wall_time = wall
         res.extras["fleet_size"] = len(sims)
+        results.append(res)
+    return results
+
+
+def _fleet_stack(sims):
+    """Pad every member's SimTensors to the fleet maxima and stack them on a
+    leading scenario axis.  Returns (stacked, padded, a_max, c_max)."""
+    import jax
+    import jax.numpy as jnp
+
+    base = sims[0]
+    a_max = max(len(s.agents) for s in sims)
+    c_max = max(s.n_cycles for s in sims)
+    r_max = max(np.asarray(s.tensors.ref.s).shape[1] for s in sims)
+    s_max = max(np.asarray(s.tensors.lane_segments).shape[1] for s in sims)
+    o_max = max(np.asarray(s.tensors.obst_half).shape[0] for s in sims)
+    t1_max = max(np.asarray(s.tensors.obst_poses).shape[0] for s in sims)
+    g_max = max(np.asarray(s.tensors.g_rings).shape[1] for s in sims)
+    e_max = max(np.asarray(s.tensors.g_rings).shape[2] for s in sims)
+    l_max = le_max = oc_max = r2_max = sr_max = None
+    if base.resp_weight != 0.0:
+        l_max = max(np.asarray(s.tensors.lane.rings).shape[0] for s in sims)
+        le_max = max(np.asarray(s.tensors.lane.rings).shape[1] for s in sims)
+    if base.use_occlusion:
+        oc_max = max(np.asarray(s.tensors.occ_half).shape[0] for s in sims)
+        r2_max = max(np.asarray(s.tensors.turn_hot).shape[1] for s in sims)
+    if base.use_vis_occl:
+        sr_max = max(np.asarray(s.tensors.road_segs).shape[0] for s in sims)
+
+    padded = [s._padded_tensors(a_max, c_max, r_max, s_max, o_max, t1_max,
+                                g_max, e_max, l_max, le_max, oc_max, r2_max,
+                                sr_max)
+              for s in sims]
+    stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                           *padded)
+    return stacked, padded, a_max, c_max
+
+
+def _run_hybrid_fleet(sims, mesh, axis_name, t0):
+    """Behavior-hybrid fleet: S scenarios' device cycles as ONE vmapped
+    jitted step, the S host FSM loops interleaved between cycles.
+
+    Beyond the reference twice over: the reference forbids the behavior
+    planner outside single-agent runs (simulation.py + behavior_module.py
+    guards) and has no scenario-batch axis at all.  Per cycle this does ONE
+    batched carry fetch (S·A·O(1) floats), runs every member's host FSM at
+    the host loop's cadence (`_hybrid_host_cycle` — members past their own
+    cycle horizon go inert), restacks + re-pads all members when any
+    behavior reference-path swap changes a member's tables (the R bucket may
+    grow; jit retraces), then runs one vmapped device step over the stacked
+    tensors.  ys stay on device until ONE final fetch.
+
+    `mesh`: scenarios shard over it with no collectives (the per-cycle step
+    is shard_mapped; FSMs still run on host for all members).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    base = sims[0]
+    n_s = len(sims)
+    dtype = base.np_dtype
+    stacked, padded_g, a_max, c_max = _fleet_stack(sims)
+
+    cache = getattr(base, "_fleet_cache", None)
+    if cache is None:
+        cache = base._fleet_cache = {}
+
+    def step_fn_for(a_max):
+        key = ("hybrid", a_max, None if mesh is None else id(mesh))
+        fn = cache.get(key)
+        if fn is None:
+            vstep = jax.vmap(base._build_run(a_n=a_max, hybrid=True),
+                             in_axes=(0, 0, None, 0, 0, 0, 0))
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                sh = P(axis_name)
+                vstep = jax.shard_map(
+                    vstep, mesh=mesh,
+                    in_specs=(sh, sh, P(), sh, sh, sh, sh),
+                    out_specs=sh, check_vma=False)
+            fn = cache[key] = jax.jit(vstep)
+        return fn
+
+    step_fn = step_fn_for(a_max)
+    carry = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[s._hybrid_carry0(g) for s, g in zip(sims, padded_g)])
+
+    ys_list = []
+    for c in range(c_max):
+        carry_h = jax.device_get(carry)
+        v_des = np.zeros((n_s, a_max), dtype)
+        wants = np.zeros((n_s, a_max), bool)
+        stop_mat = np.zeros((n_s, a_max, base._stop_bucket, 13), dtype)
+        stop_mask = np.zeros((n_s, a_max, base._stop_bucket), bool)
+        x_cl_all = np.asarray(carry_h[0]).copy()
+        any_swap = False
+        for i, s in enumerate(sims):
+            member = tuple(np.asarray(x[i]) for x in carry_h)
+            (v_des[i], wants[i], stop_mat[i], stop_mask[i], x_cl_new,
+             swapped) = s._hybrid_host_cycle(c, member,
+                                             inert=(c >= s.n_cycles))
+            x_cl_all[i] = x_cl_new
+            any_swap = any_swap or swapped
+        if any_swap:
+            for s in sims:
+                s._hybrid_restack()
+            stacked, _, a_max2, _ = _fleet_stack(sims)
+            assert a_max2 == a_max
+            carry = (jnp.asarray(x_cl_all), *carry[1:])
+        carry, ys = step_fn(stacked, carry, jnp.asarray(c, jnp.int32),
+                            jnp.asarray(v_des), jnp.asarray(stop_mat),
+                            jnp.asarray(stop_mask), jnp.asarray(wants))
+        ys_list.append(ys)
+
+    ys_h = jax.device_get(ys_list)
+    status_f = np.asarray(jax.device_get(carry[7]))
+    wall = time.perf_counter() - t0
+    results = []
+    for i, s in enumerate(sims):
+        out = {
+            "final_status": status_f[i],
+            "trajectories": np.concatenate([y[0][i] for y in ys_h]),
+            "status_per_step": np.concatenate([y[1][i] for y in ys_h]),
+            "selections": np.stack([y[2][i] for y in ys_h]),
+            "found": np.stack([y[3][i] for y in ys_h]),
+            "x_cl_cycles": np.stack([y[4][i] for y in ys_h]),
+        }
+        res = s._finalize(out)
+        res.wall_time = wall
+        res.extras["fleet_size"] = n_s
         results.append(res)
     return results

@@ -783,11 +783,11 @@ def test_device_sim_hybrid_behavior_multiagent():
     for i, aid in enumerate(res_d.agent_ids):
         assert int(res_d.status[i]) == int(res_h.agent_status[aid])
 
-    # fleet axis does not compose with the hybrid — loud failure
+    # mixed hybrid/non-hybrid members in one fleet — loud failure
     cfg = _cfg(**{"behavior.use_behavior_planner": True})
     ds = DeviceSimulation(Simulation(make_overtake(), cfg))
-    with pytest.raises(ValueError, match="hybrid"):
-        run_fleet([ds])
+    with pytest.raises(ValueError, match="statics"):
+        run_fleet([ds, DeviceSimulation(Simulation(make_overtake(), _cfg()))])
 
 
 @pytest.mark.slow
@@ -813,6 +813,72 @@ def test_device_sim_hybrid_behavior_sharded_matches_vmap():
     assert r_v.steps == r_s.steps
     np.testing.assert_array_equal(r_v.selections, r_s.selections)
     np.testing.assert_allclose(r_v.trajectories, r_s.trajectories, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_device_sim_hybrid_fleet_matches_solo():
+    """Behavior hybrid composes with the FLEET axis (beyond the reference
+    twice over — it forbids behavior outside single-agent runs and has no
+    scenario batch at all): S behavior scenarios run as ONE vmapped device
+    step per cycle with the S host FSMs interleaved, and every member must
+    reproduce its solo hybrid run exactly — heterogeneous agent counts
+    (padding), stopping mode (traffic light) and a mid-run reference-path
+    swap that restacks + re-pads the whole fleet (lane change) included."""
+    from frenetix_tpu.io.scenario_factory import (
+        make_lane_change, make_overtake, make_traffic_light)
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
+    from frenetix_tpu.sim import Simulation
+
+    def mk(maker, **kw):
+        cfg = _cfg(**{"behavior.use_behavior_planner": True, **kw})
+        return DeviceSimulation(Simulation(maker(), cfg))
+
+    makers = [(make_traffic_light, {}), (make_lane_change, {}),
+              (make_overtake, {"simulation.start_multiagent": True})]
+    solos = [mk(m, **kw).run() for m, kw in makers]
+    fleet = run_fleet([mk(m, **kw) for m, kw in makers])
+    for solo, fl in zip(solos, fleet):
+        assert solo.steps == fl.steps
+        np.testing.assert_array_equal(solo.status, fl.status)
+        # the fleet-padded program fuses differently than each solo program
+        # (different batch shapes), so float targets may differ in the last
+        # ulp — same candidate choices, ulp-level values (the established
+        # fleet-parity tolerance)
+        np.testing.assert_allclose(solo.selections,
+                                   fl.selections[:solo.selections.shape[0]],
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(solo.trajectories[:solo.steps],
+                                   fl.trajectories[:fl.steps], atol=1e-9)
+
+
+@pytest.mark.slow
+def test_device_sim_hybrid_fleet_sharded_matches_vmap():
+    """The hybrid fleet shards its scenario axis over a mesh with no
+    collectives; results must equal the unmeshed hybrid fleet exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    from frenetix_tpu.io.scenario_factory import (
+        make_lane_change, make_traffic_light)
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation, run_fleet
+    from frenetix_tpu.sim import Simulation
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+
+    def mk(maker):
+        cfg = _cfg(**{"behavior.use_behavior_planner": True})
+        return DeviceSimulation(Simulation(maker(), cfg))
+
+    makers = [make_traffic_light, make_lane_change]
+    plain = run_fleet([mk(m) for m in makers])
+    mesh = Mesh(np.array(jax.devices()[:2]), ("scenarios",))
+    sharded = run_fleet([mk(m) for m in makers], mesh=mesh)
+    for a, b in zip(plain, sharded):
+        assert a.steps == b.steps
+        np.testing.assert_array_equal(a.status, b.status)
+        np.testing.assert_array_equal(a.selections, b.selections)
+        np.testing.assert_allclose(a.trajectories, b.trajectories, atol=0)
 
 
 @pytest.mark.slow
