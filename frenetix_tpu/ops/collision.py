@@ -44,21 +44,30 @@ def obb_overlap(ca, theta_a, ha, cb, theta_b, hb):
 
     ca/cb: (..., 2) centers; theta: (...,) headings; ha/hb: (..., 2) half-sizes
     (half_length, half_width).  Returns (...,) bool.
+
+    Written fully ELEMENTWISE on purpose: the natural einsum formulation
+    (axes (..., 4, 2) dotted with extents) makes XLA:TPU lower a huge batch
+    of 4x2 dots onto the MXU with catastrophic tile padding — profiled at
+    ~70% of the device-resident sim's scan cycle (round 4).  The axis dot
+    products of two axis-aligned-in-their-own-frame boxes reduce to the
+    relative-rotation entries |cos dtheta| / |sin dtheta|, computed below as
+    the exact same two-term products the einsum evaluated.
     """
-    axes_a = _axes(theta_a)  # (..., 2, 2)
-    axes_b = _axes(theta_b)
-    batch = jnp.broadcast_shapes(axes_a.shape[:-2], axes_b.shape[:-2])
-    axes_a = jnp.broadcast_to(axes_a, batch + (2, 2))
-    axes_b = jnp.broadcast_to(axes_b, batch + (2, 2))
-    axes = jnp.concatenate([axes_a, axes_b], axis=-2)  # (..., 4, 2)
-    delta = cb - ca  # (..., 2)
-    proj_d = jnp.abs(jnp.einsum("...kj,...j->...k", axes, delta))  # (..., 4)
-    # radius of each box projected on each axis
-    dots_a = jnp.abs(jnp.einsum("...kj,...ij->...ki", axes, axes_a))  # (..., 4, 2)
-    dots_b = jnp.abs(jnp.einsum("...kj,...ij->...ki", axes, axes_b))
-    ra = jnp.einsum("...ki,...i->...k", dots_a, ha)
-    rb = jnp.einsum("...ki,...i->...k", dots_b, hb)
-    separated = jnp.any(proj_d > ra + rb, axis=-1)
+    dx = cb[..., 0] - ca[..., 0]
+    dy = cb[..., 1] - ca[..., 1]
+    ac, as_ = jnp.cos(theta_a), jnp.sin(theta_a)
+    bc, bs = jnp.cos(theta_b), jnp.sin(theta_b)
+    al, aw = ha[..., 0], ha[..., 1]
+    bl, bw = hb[..., 0], hb[..., 1]
+    # |a_i . b_j| SAT entries: cd = |a1.b1| = |a2.b2|, sd = |a1.b2| = |a2.b1|
+    cd = jnp.abs(ac * bc + as_ * bs)
+    sd = jnp.abs(as_ * bc - ac * bs)
+    separated = (
+        (jnp.abs(dx * ac + dy * as_) > al + bl * cd + bw * sd)
+        | (jnp.abs(dy * ac - dx * as_) > aw + bl * sd + bw * cd)
+        | (jnp.abs(dx * bc + dy * bs) > bl + al * cd + aw * sd)
+        | (jnp.abs(dy * bc - dx * bs) > bw + al * sd + aw * cd)
+    )
     return ~separated
 
 
@@ -157,11 +166,15 @@ def road_boundary_departure(ro, veh, quads):
     if quads.shape[0] == 0:
         return jnp.full((m,), -1, jnp.int32), jnp.zeros((m,), ro.x.dtype)
     centers = ego_centers(ro, veh.wb_rear_axle)        # (M, N+1, 2)
-    axes = _axes(ro.theta_gl)                          # (M, N+1, 2, 2)
     hl, hw = veh.length / 2.0, veh.width / 2.0
     signs = jnp.array([[1, 1], [1, -1], [-1, 1], [-1, -1]], ro.x.dtype)  # (4, 2)
-    half = jnp.array([hl, hw], ro.x.dtype)
-    offsets = jnp.einsum("cj,...ji->...ci", signs * half, axes)  # (M, N+1, 4, 2)
+    # elementwise corner offsets (see obb_overlap for why no einsum):
+    # corner (sx, sy): sx*hl*(cos,sin) + sy*hw*(-sin,cos)
+    c = jnp.cos(ro.theta_gl)[:, :, None]               # (M, N+1, 1)
+    s = jnp.sin(ro.theta_gl)[:, :, None]
+    sx = signs[None, None, :, 0] * hl
+    sy = signs[None, None, :, 1] * hw
+    offsets = jnp.stack([sx * c - sy * s, sx * s + sy * c], axis=-1)
     corners = centers[:, :, None, :] + offsets         # (M, N+1, 4, 2)
     inside = points_in_quads(corners, quads)           # (M, N+1, 4)
     off_road = jnp.any(~inside, axis=-1)               # (M, N+1)
