@@ -1858,7 +1858,19 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
     if base.hybrid_behavior:
         return _run_hybrid_fleet(sims, mesh, axis_name, t0)
 
-    stacked, _, a_max, c_max = _fleet_stack(sims)
+    # cache the stacked+padded fleet tensors across calls: every member's
+    # SimTensors is fixed at construction, but stacking pulls each device
+    # leaf to host (np.asarray = a D2H round trip over the tunnel) and pads
+    # + re-uploads it — measured 1.1 s of transfer time vs 0.19 s of device
+    # compute per S=8 fleet call (round-4 profile).  Keyed on member
+    # identity (strong refs held, so ids stay valid).
+    st_cache = getattr(base, "_fleet_stacked_cache", None)
+    if (st_cache is not None and len(st_cache[0]) == len(sims)
+            and all(a is b for a, b in zip(st_cache[0], sims))):
+        _, stacked, a_max, c_max = st_cache
+    else:
+        stacked, _, a_max, c_max = _fleet_stack(sims)
+        base._fleet_stacked_cache = (tuple(sims), stacked, a_max, c_max)
     # cache the compiled fleet program on the base member (a fresh
     # jit(vmap(...)) closure per call would re-trace every time)
     cache = getattr(base, "_fleet_cache", None)
@@ -1920,8 +1932,12 @@ def _fleet_stack(sims):
                                 g_max, e_max, l_max, le_max, oc_max, r2_max,
                                 sr_max)
               for s in sims]
-    stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                           *padded)
+    # stack on HOST and upload ONE array per leaf: the padded leaves are
+    # already NumPy, and jnp.stack(list-of-S-arrays) would device_put each
+    # member separately — S× the H2D round trips over the tunnel
+    stacked = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack([np.asarray(x) for x in xs])),
+        *padded)
     return stacked, padded, a_max, c_max
 
 
