@@ -165,15 +165,11 @@ def _best_of_compiles(make_fn, args, n=3, probe_reps=10):
 
 
 def main():
-    # persistent compilation cache: replanning-cycle compiles are expensive
-    # (especially over the remote-TPU tunnel); cache them across runs
-    try:
-        import jax
+    # persistent compilation cache (shared policy with run_scenario):
+    # warm bench/production starts hit ~/.cache/frenetix_tpu/xla
+    from frenetix_tpu.utils.jax_cache import enable_compilation_cache
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compilation_cache()
 
     import jax
 

@@ -1096,8 +1096,14 @@ class DeviceSimulation:
             t0 = c * k
 
             # --- pre_step goal check at the cycle-start state -------------
+            # all status transitions are gated on the member's OWN horizon
+            # (t0 < g.max_steps): in a fleet, members whose n_cycles < the
+            # padded c_max freeze status exactly like pose — a member that
+            # ends TIMELIMIT solo must not flip to SUCCESS/ERROR in the
+            # padding cycles (its solo run never evaluates them)
+            in_horizon = t0 < g.max_steps
             running = status == _RUNNING
-            reached = goal_fn(g, center, v) & running
+            reached = goal_fn(g, center, v) & running & in_horizon
             status = jnp.where(reached, _SUCCESS, status)
             running = status == _RUNNING
 
@@ -1284,7 +1290,7 @@ class DeviceSimulation:
             # host emergency ladder (plan() fallback): standstill at v ≤ 0.1
             # takes precedence, then the stopping fallback, then failure
             std = running & ~found & (v <= 0.1)
-            fail = running & ~found & ~std & ~out["fb_ok"]
+            fail = running & ~found & ~std & ~out["fb_ok"] & in_horizon
             status = jnp.where(fail, _ERROR, status)
             running = status == _RUNNING
             sel = out["sel"]
@@ -1294,7 +1300,8 @@ class DeviceSimulation:
             for j in range(1, k + 1):
                 t_glob = t0 + j
                 if j > 1:
-                    reached = goal_fn(g, center, v) & running
+                    reached = (goal_fn(g, center, v) & running
+                               & (t_glob <= g.max_steps))
                     status = jnp.where(reached, _SUCCESS, status)
                     running = status == _RUNNING
                 step_ok = running & (t_glob <= g.max_steps)
@@ -2002,19 +2009,29 @@ def _run_hybrid_fleet(sims, mesh, axis_name, t0):
         stop_mat = np.zeros((n_s, a_max, base._stop_bucket, 13), dtype)
         stop_mask = np.zeros((n_s, a_max, base._stop_bucket), bool)
         x_cl_all = np.asarray(carry_h[0]).copy()
-        any_swap = False
+        swapped_members = []
         for i, s in enumerate(sims):
             member = tuple(np.asarray(x[i]) for x in carry_h)
             (v_des[i], wants[i], stop_mat[i], stop_mask[i], x_cl_new,
              swapped) = s._hybrid_host_cycle(c, member,
                                              inert=(c >= s.n_cycles))
             x_cl_all[i] = x_cl_new
-            any_swap = any_swap or swapped
-        if any_swap:
-            for s in sims:
+            if swapped:
+                swapped_members.append(s)
+        if swapped_members:
+            # restack ONLY the members whose planners changed (a restack
+            # rebuilds the whole BatchedAgentStepper host tables — O(S) per
+            # swap cycle if done for everyone); the full re-pad below is
+            # still needed because a longer new path can grow the R bucket
+            for s in swapped_members:
                 s._hybrid_restack()
             stacked, _, a_max2, _ = _fleet_stack(sims)
-            assert a_max2 == a_max
+            if a_max2 != a_max:
+                # the agent-axis bucket is fixed at construction; a change
+                # would silently break the vmapped step's in_axes
+                raise RuntimeError(
+                    f"fleet agent bucket changed mid-run ({a_max} -> "
+                    f"{a_max2}) after a reference-path swap")
             carry = (jnp.asarray(x_cl_all), *carry[1:])
         carry, ys = step_fn(stacked, carry, jnp.asarray(c, jnp.int32),
                             jnp.asarray(v_des), jnp.asarray(stop_mat),

@@ -92,7 +92,12 @@ def collision_probability_fast(ro, preds, veh):
     ego_th = ro.theta_gl[:, 1 : t + 1]
 
     mean_c = preds.means[:, :t]  # (O, t, 2)
-    yaw = preds.orientations[:, :t]
+    # NOTE the reference's one-step yaw offset: the front/back mean points
+    # use yaw_list[1:min_len] against mean_list[:min_len-1]
+    # (collision_probability.py:180-183) — prediction step j's means pair
+    # with step j+1's orientation.  Pinned by
+    # tests/test_reference_oracles.py::test_collision_probability_fast…
+    yaw = preds.orientations[:, 1 : t + 1]
     half_len_vec = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1) * (
         preds.lengths[:, None, None] / 2.0
     )

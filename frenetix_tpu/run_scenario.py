@@ -90,15 +90,11 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
 
 
 def main(argv=None):
-    # persistent compilation cache: replanning-cycle compiles are expensive
-    # (especially over the remote-TPU tunnel); cache them across runs
-    try:
-        import jax
+    # persistent compilation cache: whole-run scan/fleet programs compile
+    # for tens of seconds; warm starts hit ~/.cache/frenetix_tpu/xla
+    from frenetix_tpu.utils.jax_cache import enable_compilation_cache
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compilation_cache()
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("scenarios", nargs="+",
