@@ -14,11 +14,22 @@ candidates with 6 OpenMP workers on a desktop CPU (per-cycle
 per sampling_matrix.py:152-195 at default levels).  We take a deliberately
 generous 100,000 candidate-evals/sec as the single-chip baseline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+TIMING METHODOLOGY (round 4 — supersedes the r2/r3 numbers): over the axon
+remote-TPU tunnel `jax.block_until_ready` resolves at SUBMISSION, not
+completion — every earlier timing built on it measured dispatch, not compute
+(r3's "0.25 ms / 505k agent-replans/s" headline was ~170× optimistic).  All
+timings here are fetch-synchronized: wall(K calls + tiny fetch) minus
+wall(1 call + tiny fetch) over K−1 cancels both the fetch round trip and the
+dispatch pipeline fill; cross-checked against `jax.profiler.trace` op-time
+sums (PERF.md "Timing on the axon tunnel").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} and appends
+a drift row (per-config p50 across rounds) to PERF_HISTORY.json.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -130,38 +141,107 @@ def _tree_nbytes(tree) -> int:
                    for leaf in jax.tree.leaves(tree)))
 
 
-def _best_of_compiles(make_fn, args, n=3, probe_reps=10):
-    """Compile n program VARIANTS; keep the fastest and report the spread.
-
-    The compile toolchain nondeterministically produces slower configurations
-    for the same program (measured 77-130 µs for equivalent cycles).
-    Re-jitting the identical function is a no-op — jax deduplicates identical
-    HLO to one cached executable — so `make_fn(k)` must return a structurally
-    distinct but semantically equivalent program per variant k (e.g. k fused
-    zero-adds); each then compiles independently and the probe keeps the best
-    configuration.
-
-    Returns (best_fn, variant_probe_seconds) — the per-variant probe times
-    let the caller report expected-case (median-variant) latency alongside
-    the best-case headline (VERDICT r2 item 9).
-    """
+def _fetch_small(out):
+    """Synchronize by fetching the smallest output leaf (the ONLY reliable
+    sync over the axon tunnel — block_until_ready resolves at submission)."""
     import jax
 
+    leaf = min(jax.tree.leaves(out),
+               key=lambda l: getattr(l, "nbytes", 1 << 62))
+    return np.asarray(leaf)
+
+
+def _timed_calls(fn, args, reps=8, outer=3):
+    """Honest median per-call seconds: wall(reps calls + tiny fetch) minus
+    wall(1 call + tiny fetch), over reps−1.  The subtraction cancels the
+    fetch round trip and the dispatch pipeline fill; one executable's
+    outputs all materialize together, so fetching the smallest leaf waits
+    for the whole call.  Cross-checked against jax.profiler.trace op sums
+    (they agree within ~15%)."""
+    out = fn(*args)
+    _fetch_small(out)                    # warm + drain
+
+    def wall(k):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(k):
+            o = fn(*args)
+        _fetch_small(o)
+        return time.perf_counter() - t0
+
+    singles = sorted(wall(1) for _ in range(outer))
+    batches = sorted(wall(reps) for _ in range(outer))
+    per_call = (batches[outer // 2] - singles[outer // 2]) / (reps - 1)
+    return float(max(per_call, 1e-9)), float(singles[outer // 2])
+
+
+def _trace_top_ops(fn, args, n_calls=3, top=8):
+    """Per-op device-time breakdown from a jax.profiler trace — the honest
+    per-op roofline input (VERDICT r3 item 4)."""
+    import collections
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    d = tempfile.mkdtemp(prefix="bench_trace_")
+    with jax.profiler.trace(d):
+        o = None
+        for _ in range(n_calls):
+            o = fn(*args)
+        _fetch_small(o)
+    paths = sorted(glob.glob(os.path.join(
+        d, "plugins", "profile", "*", "*.trace.json.gz")), key=os.path.getmtime)
+    if not paths:
+        return None
+    data = json.load(gzip.open(paths[-1]))
+    names = {}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            names[(e["pid"], e["tid"])] = e["args"].get("name")
+    agg = collections.defaultdict(float)
+    for e in data["traceEvents"]:
+        if (e.get("ph") == "X"
+                and names.get((e["pid"], e["tid"])) == "XLA Ops"):
+            agg[e["name"]] += e.get("dur", 0.0)
+    total_us = sum(agg.values())
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+    return {
+        "device_ms_per_call": round(total_us / 1e3 / n_calls, 3),
+        "top_ops": [{"op": n, "ms_per_call": round(us / 1e3 / n_calls, 3),
+                     "frac": round(us / total_us, 3)} for n, us in rows],
+    }
+
+
+def _best_of_compiles(make_fn, args, n=2, reps=4):
+    """Compile n structurally-distinct-but-equivalent program variants and
+    keep the honestly-fastest (the remote toolchain occasionally lowers the
+    same program into a slower configuration; with honest timing the spread
+    is reported so future rounds can retire this if it stays small)."""
     best_fn, best_t = None, float("inf")
     variant_times = []
     for k in range(n):
         f = make_fn(k)
-        out = f(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(probe_reps):
-            out = f(*args)
-        jax.block_until_ready(out)
-        dt_probe = (time.perf_counter() - t0) / probe_reps
-        variant_times.append(dt_probe)
-        if dt_probe < best_t:
-            best_fn, best_t = f, dt_probe
+        per_call, _ = _timed_calls(f, args, reps=reps, outer=1)
+        variant_times.append(per_call)
+        if per_call < best_t:
+            best_fn, best_t = f, per_call
     return best_fn, variant_times
+
+
+def _append_history(row, path="PERF_HISTORY.json"):
+    """Per-round drift table (VERDICT r3 item 10): one appended row per
+    bench run with the p50s of the headline configs."""
+    try:
+        hist = json.load(open(path)) if os.path.exists(path) else []
+    except Exception:
+        hist = []
+    hist.append(row)
+    try:
+        json.dump(hist, open(path, "w"), indent=1)
+    except Exception:
+        pass
 
 
 def main():
@@ -187,7 +267,7 @@ def main():
         subprocess.run(
             [sys.executable, "-c",
              "import jax, jax.numpy as j;"
-             "jax.block_until_ready(jax.jit(lambda v: v*2)(j.arange(8.0)))"],
+             "print(jax.jit(lambda v: v*2)(j.arange(8.0))[0])"],
             timeout=180, check=True, capture_output=True,
         )
     except subprocess.TimeoutExpired:
@@ -195,7 +275,7 @@ def main():
               "not complete within 180 s", file=sys.stderr)
         raise SystemExit(1)
 
-    def measure(density, bucket, reps=30, outer=7, compiles=2):
+    def measure(density, bucket, reps=8, outer=3, compiles=2):
         """One workload size → timing + accounting dict."""
         matrix, mask, ctx, dt, n_steps, n_valid = build_workload(
             density=density, bucket=bucket
@@ -230,70 +310,45 @@ def main():
         except Exception:
             pass
 
-        # median over batches to be robust against tunnel/scheduling noise
-        batch_times = []
-        for _ in range(outer):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn(matrix, mask, ctx)
-            jax.block_until_ready(out)
-            batch_times.append((time.perf_counter() - t0) / reps)
-        cycle_s = float(np.median(batch_times))
+        cycle_s, single_s = _timed_calls(fn, (matrix, mask, ctx),
+                                         reps=reps, outer=outer)
         return dict(
             m_padded=m_padded, n_valid=n_valid, cycle_s=cycle_s, flops=flops,
             bytes_accessed=bytes_acc, n_steps=n_steps,
-            variant_times=variant_times,
-            io_bytes=_tree_nbytes(((matrix, mask, ctx), out)),
+            single_call_plus_fetch_s=single_s,
+            variant_times=variant_times, fn=fn, fn_args=(matrix, mask, ctx),
+            io_bytes=_tree_nbytes((matrix, mask, ctx)),
         )
 
-    def measure_batched_agents(a, reps=20, outer=5, compiles=2):
+    def measure_batched_agents(a, compiles=1):
         """A agents' FULL cycles fused in ONE device call (the production
         multi-agent path, parallel.mesh.batched_full_cycle) on the real chip:
         agent-replans/s vs. batch size.  768 padded candidates per agent
         (the default sampling level)."""
-        import jax.numpy as jnp
-
         from bench_scaling import build_stacked_problem
         from frenetix_tpu.parallel.mesh import _vmapped_body
 
         matrices, masks, ctx = build_stacked_problem(a, dtype=np.float32)
 
-        def make_batch(k):
-            vb = _vmapped_body(0.1, 30, False, 768)
-
-            def f(m, msk, c):
-                out = vb(m, msk, c)
-                bump = sum([jnp.zeros(())] * k, jnp.zeros(())) if k else 0.0
-                return out["best"], out["found"], out["cost"] + bump
-
-            return jax.jit(f)
-
-        fn, variant_times = _best_of_compiles(
-            make_batch, (matrices, masks, ctx), n=compiles)
+        vb = jax.jit(_vmapped_body(0.1, 30, False, 768))
+        s, single_s = _timed_calls(vb, (matrices, masks, ctx),
+                                   reps=6, outer=3)
         flops, bytes_acc = None, None
         try:
-            cost = make_batch(0).lower(matrices, masks, ctx).compile().cost_analysis()
+            cost = vb.lower(matrices, masks, ctx).compile().cost_analysis()
             flops = float(cost.get("flops", 0.0)) or None
             bytes_acc = float(cost.get("bytes accessed", 0.0)) or None
         except Exception:
             pass
-        times = []
-        for _ in range(outer):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn(matrices, masks, ctx)
-            jax.block_until_ready(out)
-            times.append((time.perf_counter() - t0) / reps)
-        s = float(np.median(times))
         return {
             "agents": a,
             "p50_batch_latency_ms": round(1000.0 * s, 3),
             "agent_replans_per_sec": round(a / s, 1),
-            "compile_variant_spread_ms": [round(1000 * t, 3)
-                                          for t in variant_times],
+            "single_call_plus_fetch_ms": round(1000.0 * single_s, 3),
             "_seconds": s, "_flops": flops, "_bytes": bytes_acc,
             "_cands": int(matrices.shape[0] * matrices.shape[1]),
-            "_io": _tree_nbytes(((matrices, masks, ctx), out)),
+            "_io": _tree_nbytes((matrices, masks, ctx)),
+            "_fn": vb, "_args": (matrices, masks, ctx),
         }
 
     def measure_numpy_backend(n_cands=192):
@@ -345,69 +400,52 @@ def main():
         return round(n_cands / wall, 1)
 
     # headline config (dense sweep, ~35k candidates) + a candidates sweep
-    # (VERDICT r1 item 8: report valid-candidate throughput AND the sweep)
-    # 5 compile variants: the toolchain's nondeterministic lowering spans
-    # ~2x (77-130 us for the same cycle, PERF.md); with 3 variants the fast
-    # configuration is missed often enough to move the headline (r2 drew
-    # 0.076 ms, an r3 run with 3 variants drew 0.104 ms best-of)
-    headline = measure(density=5, bucket=1024, compiles=5)
+    headline = measure(density=5, bucket=1024, compiles=2)
     sweep = []
     V5E_BF16_PEAK = 197e12      # TPU v5e MXU peak, bf16 FLOP/s
     V5E_HBM_BPS = 819e9         # TPU v5e HBM bandwidth, B/s
 
-    def roofline(flops, bytes_acc, seconds, m_padded, n_steps,
-                 table_window=768, n_cols=7, io_bytes=None):
-        """Roofline placement from the compiled program's own cost model.
-
-        The HLO flop count prices the two-hot table interpolation as a real
-        (P, W) @ (W, 4C) matmul; on device XLA lowers that one-hot
-        contraction to a VMEM gather (PERF.md), so those flops are not
-        executed.  `true_flops` subtracts the analytic matmul count
-        (2·P·W·4C) — the defensible executed-FLOP lower bound.
+    def roofline(flops, bytes_acc, seconds, io_bytes=None):
+        """Roofline placement from the compiled program's own cost model and
+        the HONEST (fetch-synchronized) per-call seconds.  Since round 4 the
+        table interpolation is a gather (geometry/frenet.py), so the HLO
+        flop count no longer contains the fictitious one-hot matmul — it is
+        the executed-FLOP estimate directly.
 
         Bandwidth honesty: XLA's 'bytes accessed' is the PRE-FUSION op-level
-        operand sum (it exceeds physical HBM peak by 100×+ on this fused
-        cycle) — reported as `hlo_bytes_accessed_nominal` only.  The
-        defensible HBM-traffic LOWER bound is the program's argument+result
-        buffer traffic (`io_bytes`): every intermediate of the fused cycle
-        is VMEM-resident, so actual traffic sits between `io_bytes` and a
-        few× that.  The binding resource follows from the honest fractions:
-        both ≪ 1 at single-cycle scale ⇒ dispatch latency, not a roofline
-        wall."""
+        operand sum — reported as nominal only.  The defensible HBM-traffic
+        LOWER bound is the argument+result buffer traffic (`io_bytes`);
+        actual traffic sits between that and a few× it (the big rollout
+        banks are materialized between fusions)."""
         if not flops or not seconds:
             return None
-        p = m_padded * (n_steps + 1)
-        interp_flops = 2.0 * p * table_window * 4 * n_cols
-        true_flops = max(flops - interp_flops, 0.0)
-        mfu = true_flops / seconds / V5E_BF16_PEAK
+        mfu = flops / seconds / V5E_BF16_PEAK
         out = {
-            "hlo_flops_nominal": flops,
-            "interp_matmul_flops_not_executed": interp_flops,
-            "true_flops_lower_bound": true_flops,
-            "achieved_tflops": round(true_flops / seconds / 1e12, 3),
+            "hlo_flops": flops,
+            "achieved_tflops": round(flops / seconds / 1e12, 3),
             "mfu_vs_v5e_bf16_peak": round(mfu, 5),
         }
         if bytes_acc:
             out["hlo_bytes_accessed_nominal"] = bytes_acc
+            bw_frac_nom = bytes_acc / seconds / V5E_HBM_BPS
+            out["hbm_bw_fraction_if_nominal"] = round(bw_frac_nom, 4)
         if io_bytes:
             bw_frac = io_bytes / seconds / V5E_HBM_BPS
             out["io_bytes_per_call"] = int(io_bytes)
             out["hbm_gb_per_s_lower_bound"] = round(
                 io_bytes / seconds / 1e9, 2)
             out["hbm_bw_fraction_lower_bound"] = round(bw_frac, 5)
-            if max(mfu, bw_frac) < 0.05:
-                out["binding_resource"] = "dispatch_latency"
-            else:
-                out["binding_resource"] = (
-                    "hbm_bandwidth" if bw_frac > mfu else "compute")
+            out["binding_resource"] = (
+                "hbm_bandwidth" if bw_frac > mfu else
+                ("compute" if mfu > 0.05 else "vpu_elementwise_or_bandwidth"))
         return out
+
     # density 6 (≈200k candidates) exceeds the 16G HBM of one v5e chip at
     # N=30 with the fused rollout live — the sweep tops out at ~35k; the
-    # densest point reuses the headline measurement (same config, measured
-    # with full best-of-variants protection) instead of a weaker re-run
+    # densest point reuses the headline measurement
     for density, bucket in ((2, 256), (3, 256), (4, 512)):
-        r = measure(density=density, bucket=bucket, reps=20, outer=3,
-                    compiles=2)
+        r = measure(density=density, bucket=bucket, reps=6, outer=2,
+                    compiles=1)
         sweep.append({
             "candidates_padded": r["m_padded"],
             "candidates_valid": r["n_valid"],
@@ -429,14 +467,15 @@ def main():
 
     headline_roofline = roofline(
         headline["flops"], headline["bytes_accessed"], headline["cycle_s"],
-        headline["m_padded"], headline["n_steps"],
         io_bytes=headline["io_bytes"])
+    headline_ops = _trace_top_ops(headline["fn"], headline["fn_args"])
 
     def measure_device_sim():
         """End-to-end device-resident simulation (parallel/device_sim): the
         WHOLE multi-agent sim as one lax.scan + one fetch.  Reports executed
         agent-steps/s — the headless-evaluation throughput metric (the host
-        loop pays a device round trip per step instead)."""
+        loop pays a device round trip per step instead).  These walls were
+        always honest (they include the real device_get)."""
         from frenetix_tpu.io.scenario_factory import make_overtake
         from frenetix_tpu.parallel.device_sim import DeviceSimulation
         from frenetix_tpu.sim import Simulation
@@ -474,21 +513,20 @@ def main():
             return DeviceSimulation(Simulation(
                 make_overtake(lead_gap=40.0 + 2.0 * i), c))
 
-        # fleet-axis saturation curve (VERDICT r2 item 7): scenarios/s and
-        # agent-steps/s as the vmapped scenario axis grows
         out["fleet"] = []
-        # fail-soft: the whole-sim scan state scales with S; record where the
-        # chip tops out (S=32 measured 29.2G requested > 15.75G) instead of
-        # dying there
+        # fail-soft: record where the chip tops out instead of dying there
         for s_n in (8, 16, 32, 64):
             try:
                 fleet_sims = [build(i) for i in range(s_n)]
                 t0 = time.perf_counter()
                 run_fleet(fleet_sims)                  # compile + first run
                 compile_wall = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                fleet = run_fleet(fleet_sims)
-                fleet_wall = time.perf_counter() - t0
+                walls = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fleet = run_fleet(fleet_sims)
+                    walls.append(time.perf_counter() - t0)
+                fleet_wall = float(np.median(walls))
             except Exception as e:
                 out["fleet_oom_at"] = {
                     "scenarios": s_n,
@@ -512,29 +550,45 @@ def main():
                 "scenarios_per_sec": round(s_n / fleet_wall, 2),
                 "agent_steps_per_sec": round(total_steps / fleet_wall, 1),
             })
+
+        # warm start (VERDICT r3 item 5): fresh DeviceSimulation objects in
+        # the same process — the jitted closures retrace, the persistent
+        # compile cache serves the executables.  This is what a new process
+        # with a warm ~/.cache/frenetix_tpu/xla pays.
+        try:
+            fresh = [build(i) for i in range(8)]
+            t0 = time.perf_counter()
+            run_fleet(fresh)
+            out["fleet8_warm_start_s"] = round(time.perf_counter() - t0, 2)
+        except Exception as e:
+            out["fleet8_warm_start_s"] = _err_summary(e)
         return out
 
-    # multi-agent fused-batch saturation sweep (VERDICT r2 item 1b): grow the
-    # fused agent axis until the latency slope turns positive — the
-    # compute-bound operating point is the honest throughput headline.
-    # Fail-soft: A=256 exceeds one v5e's 16 G HBM (measured: 26.8 G requested)
-    # — record where the chip tops out instead of dying there.
+    # multi-agent fused-batch saturation sweep: grow the fused agent axis to
+    # the HBM ceiling; the compute-bound operating point is the honest
+    # throughput headline.
     agents_sweep, agents_oom_at = [], None
-    for a in (1, 4, 16, 64, 128, 256):
+    top = None
+    for a in (1, 16, 128, 512, 2048):
         try:
             agents_sweep.append(measure_batched_agents(a))
+            top = agents_sweep[-1]
         except Exception as e:
             agents_oom_at = {"agents": a, "error": _err_summary(e)}
             break
-    top = agents_sweep[-1]
     saturated_roofline = None
-    if top["_flops"]:
+    saturated_ops = None
+    if top and top["_flops"]:
         saturated_roofline = roofline(
             top["_flops"], top["_bytes"], top["_seconds"],
-            top["_cands"], 30, io_bytes=top["_io"])
+            io_bytes=top["_io"])
+        saturated_ops = _trace_top_ops(top["_fn"], top["_args"])
     for row in agents_sweep:
-        for key in ("_seconds", "_flops", "_bytes", "_cands", "_io"):
+        for key in ("_seconds", "_flops", "_bytes", "_cands", "_io",
+                    "_fn", "_args"):
             row.pop(key, None)
+
+    device_sim = measure_device_sim()
 
     result = {
         "metric": "valid_candidate_trajectory_evals_per_sec_per_chip",
@@ -542,36 +596,45 @@ def main():
         "unit": "candidates/s",
         "vs_baseline": round(valid_evals_per_sec / BASELINE_CAND_EVALS_PER_SEC, 2),
         "detail": {
+            "timing_methodology": "fetch-synchronized (block_until_ready "
+                                  "does not sync over the axon tunnel; r2/r3 "
+                                  "latencies were dispatch-only — see PERF.md)",
             "candidates_valid": headline["n_valid"],
             "candidates_padded": headline["m_padded"],
             "padded_cand_evals_per_sec": round(padded_evals_per_sec, 1),
             "replans_per_sec": round(replans_per_sec, 2),
             "p50_cycle_latency_ms": round(1000.0 * headline["cycle_s"], 3),
-            # expected-case alongside best-case (VERDICT r2 item 9)
+            "single_call_plus_fetch_ms": round(
+                1000.0 * headline["single_call_plus_fetch_s"], 3),
             "compile_variant_spread_ms": [
                 round(1000 * t, 3) for t in headline["variant_times"]],
-            "median_variant_latency_ms": round(
-                1000 * float(np.median(headline["variant_times"])), 3),
             "flops_per_cycle": headline["flops"],
             "roofline": headline_roofline,
+            "per_op_profile": headline_ops,
             "mfu_vs_v5e_bf16_peak": (headline_roofline or {}).get(
                 "mfu_vs_v5e_bf16_peak"),
             "sweep": sweep,
-            # production multi-agent path: fused full cycles per device call,
-            # grown to saturation; roofline at the largest batch
             "multi_agent_batched": agents_sweep,
             "multi_agent_batched_oom_at": agents_oom_at,
             "saturated_batch_roofline": saturated_roofline,
-            # measured CPU denominator for vs_baseline context (the 100k
-            # figure stays the official baseline; this is the measured leg)
+            "saturated_batch_per_op_profile": saturated_ops,
             "numpy_backend_cand_evals_per_sec": measure_numpy_backend(),
-            # whole-sim-on-device scan (parallel/device_sim): end-to-end
-            # executed agent-steps/s with ONE fetch per run
-            "device_resident_sim": measure_device_sim(),
+            "device_resident_sim": device_sim,
             "device": str(jax.devices()[0]),
             "dtype": "float32",
         },
     }
+    _append_history({
+        "date": time.strftime("%Y-%m-%d"),
+        "headline_p50_ms": result["detail"]["p50_cycle_latency_ms"],
+        "variant_spread_ms": result["detail"]["compile_variant_spread_ms"],
+        "A128_batch_ms": next((r["p50_batch_latency_ms"] for r in agents_sweep
+                               if r["agents"] == 128), None),
+        "device_sim_wall_s": device_sim.get("wall_s_per_run"),
+        "fleet8_wall_s": next((f["wall_s"] for f in device_sim.get("fleet", [])
+                               if f["scenarios"] == 8), None),
+        "timing": "fetch-synchronized",
+    })
     print(json.dumps(result))
 
 

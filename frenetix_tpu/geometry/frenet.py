@@ -102,11 +102,17 @@ def _split_precision_interp(tables, idx, lam):
     diff = jnp.concatenate([tables[1:] - tables[:-1], jnp.zeros_like(tables[:1])])
     stacked = jnp.concatenate([hi_a, hi_b, lo, diff], axis=1)  # (W, 4C)
 
-    w = tables.shape[0]
     c = tables.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], w), 1)
-    onehot = (cols == idx[:, None]).astype(lam.dtype)
-    out4 = jnp.dot(onehot, stacked, preferred_element_type=lam.dtype)  # (P, 4C)
+    # gather instead of a (P, W) one-hot matmul — BITWISE-identical output:
+    # a DEFAULT-precision TPU dot rounds its inputs to bf16 and accumulates
+    # in f32, and with an exact 0/1 one-hot the only nonzero term of each
+    # accumulation is bf16(stacked[idx]) — exactly what rounding the table
+    # once and gathering produces.  The matmul executed 2·P·W·4C real FLOPs
+    # (measured 33 ms + a 17.5 ms column-assembly fusion of the 59 ms/call
+    # interp chain at A=2048, M=768); the gather is pure bandwidth on the
+    # (P, 4C) output.
+    stacked = stacked.astype(jnp.bfloat16).astype(lam.dtype)
+    out4 = stacked[idx]  # (P, 4C)
     return (
         base[None, :]
         + out4[:, :c] + out4[:, c : 2 * c] + out4[:, 2 * c : 3 * c]
@@ -147,7 +153,14 @@ def interp_ref_tables(ref, s, extra_tables=None, window_rows=None, window_anchor
             jnp.floor(window_anchor / ds).astype(jnp.int32) - margin,
             0, r - window_rows,
         )
-        tables = jax.lax.dynamic_slice_in_dim(tables, offset, window_rows, axis=0)
+        # gather instead of lax.dynamic_slice_in_dim: under vmap (the
+        # multi-agent batched cycle), a per-agent dynamic_slice lowers to a
+        # serial while loop over the batch (measured: ~143 ms of 293 ms/call
+        # at A=2048 — slice + update-slice pairs, one per agent); a gather
+        # with batched indices stays one fused op.  offset is already
+        # clipped, so every row index is in range.
+        rows = offset + jnp.arange(window_rows)
+        tables = jnp.take(tables, rows, axis=0)
         idx_local = idx - offset
         in_window = (idx_local >= 0) & (idx_local <= window_rows - 2)
         in_dom = in_dom & in_window

@@ -294,10 +294,23 @@ def _apply_overrides(obj, overrides: dict, _path: str = "", _unknown=None):
                                 if kk not in allowed)
             cur.update(v)
         elif isinstance(cur, VehicleParams) and isinstance(v, dict):
-            bad = [kk for kk in v if kk not in cur._fields]
+            extra = {"cr_vehicle_id", "wb_front_axle"}
+            bad = [kk for kk in v if kk not in cur._fields and kk not in extra]
             if bad and _unknown is not None:
                 _unknown.extend(f"{_path}{k}.{kk}" for kk in bad)
-            setattr(obj, k, cur._replace(**{kk: vv for kk, vv in v.items() if kk in cur._fields}))
+            if v.get("cr_vehicle_id") is not None:
+                # reference semantics (configuration.py:60-83): resolve every
+                # parameter from the CommonRoad vehicle-model DB by id, then
+                # explicitly-provided non-None fields win
+                from frenetix_tpu.ops.vehicle_db import resolve_vehicle
+
+                ov = {kk: vv for kk, vv in v.items()
+                      if kk != "cr_vehicle_id" and kk not in bad}
+                setattr(obj, k, resolve_vehicle(v["cr_vehicle_id"], ov))
+            else:
+                setattr(obj, k, cur._replace(
+                    **{kk: vv for kk, vv in v.items()
+                       if kk in cur._fields and vv is not None}))
         else:
             setattr(obj, k, v)
 
