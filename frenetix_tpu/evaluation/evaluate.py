@@ -13,10 +13,14 @@ __all__ = ["evaluate_simulation"]
 
 
 def evaluate_simulation(scenario, result, config=None, sim_logger=None,
-                        metrics=None, msg_logger=None, check_solutions=True):
+                        metrics=None, msg_logger=None, check_solutions=True,
+                        log_dir=None):
     """→ {agent_id: DataFrame}; logs to sim_logger when provided.  Also runs
     the vehicle-dynamics solution check per agent (evaluate_agents analog,
-    cr_scenario_handler/utils/evaluation.py:61-124).
+    cr_scenario_handler/utils/evaluation.py:61-124), and with `log_dir` set
+    writes a CommonRoad competition solution XML per successful agent plus
+    its WX1 benchmark cost (the reference's CommonRoadSolutionWriter use,
+    utils/evaluation.py:336-338 + agent_evaluation.py:43-57).
 
     `config.evaluation` (evaluation.yaml) controls the per-metric enable map
     (criticality_metrics), the participant radius, the TET/TIT threshold tau
@@ -66,4 +70,21 @@ def evaluate_simulation(scenario, result, config=None, sim_logger=None,
                 f"orient_err={chk.max_orientation_error:.3f}rad "
                 f"input_violations={chk.input_violations}"
             )
+        from frenetix_tpu.sim.agent import AgentStatus
+
+        if (log_dir is not None and check_solutions
+                and result.agent_status.get(aid)
+                == AgentStatus.COMPLETED_SUCCESS):
+            import os
+
+            from frenetix_tpu.evaluation.solution_cost import benchmark_cost
+            from frenetix_tpu.io.solution_writer import write_solution
+
+            path = os.path.join(log_dir, f"solution_{aid}.xml")
+            write_solution(path, result.scenario_id, {aid: states}, dt)
+            cost = benchmark_cost(states, dt)
+            if msg_logger:
+                msg_logger.info(
+                    f"agent {aid} solution written: {path} "
+                    f"WX1 cost {cost['total']:.2f}")
     return out

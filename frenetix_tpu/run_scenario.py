@@ -83,7 +83,8 @@ def run_one(path: str, config, msg_logger=None, log_dir=None, evaluate=False):
                             sim_logger if do_metrics else None,
                             metrics=None if do_metrics else [],
                             msg_logger=msg_logger,
-                            check_solutions=do_solution_check)
+                            check_solutions=do_solution_check,
+                            log_dir=log_dir)
     if sim_logger:
         sim_logger.close()
     return res

@@ -125,7 +125,15 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--check", default=None)
     ap.add_argument("--arms", nargs="*", default=["host", "device"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "ignores JAX_PLATFORMS; only a config update works)")
     args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from frenetix_tpu.utils.jax_cache import enable_compilation_cache
 
