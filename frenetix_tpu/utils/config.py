@@ -67,7 +67,9 @@ class PlanningConfig:
     # Neumaier-compensated weighted-cost summation: makes near-tie argmin
     # selection robust to compile-variant reassociation noise (see
     # ops.costs.weighted_total).  Off by default — bitwise parity with the
-    # reference's plain dot product.
+    # reference's plain dot product; measured tie margins justify it
+    # (docs/TIE_MARGINS.md: min best-vs-second gap 1.5e-5 ≈ 15 f32 ulps
+    # across the five reference scenarios, zero selections flipped).
     compensated_cost_sum: bool = False
 
     @property

@@ -1,0 +1,121 @@
+"""Selection tie-margin measurement (VERDICT r3 item 7).
+
+The device/host parity story's only caveat is knife-edge ties: a ±1-ulp
+cost difference flips argmin when the best and second-best candidates are
+close (the scenario-36 caveat, parallel/device_sim.py docstring).  This
+tool quantifies how much margin the DEFAULT path actually has: it runs the
+five reference scenarios on the host path with `debug.save_all_traj` on,
+captures every replan's masked cost vector, and reports the distribution
+of (second_best − best) absolute and relative gaps — plus whether the
+Neumaier compensated-sum option (`planning.compensated_cost_sum`) changes
+any selection and what it costs.
+
+Usage: python tools/tie_margins.py [--out docs/TIE_MARGINS.md]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+XML_DIR = "/root/reference/example_scenarios"
+
+
+def margins_for(path, compensated: bool):
+    import jax
+
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.utils.config import load_config
+
+    from frenetix_tpu.planner.reactive import ReactivePlanner
+
+    cfg = load_config()
+    cfg.dtype = "float32"           # the TPU production dtype
+    cfg.debug.activate_logging = False
+    cfg.planning.compensated_cost_sum = compensated
+    sim = Simulation(load_scenario(path), cfg)
+
+    gaps, rel_gaps, selections = [], [], []
+    orig = ReactivePlanner._plan_from_rows
+
+    def hooked(self, rows, res, idx, matrix, mode, **kw):
+        cost = np.asarray(res.cost, np.float64)
+        sel = np.asarray(res.selectable)
+        if sel.sum() >= 2:
+            c = np.sort(cost[sel])
+            best, second = float(c[0]), float(c[1])
+            gaps.append(second - best)
+            rel_gaps.append((second - best) / max(abs(best), 1e-12))
+        selections.append(int(idx))
+        return orig(self, rows, res, idx, matrix, mode, **kw)
+
+    ReactivePlanner._plan_from_rows = hooked
+    try:
+        sim.run()
+    finally:
+        ReactivePlanner._plan_from_rows = orig
+    statuses = [int(a.status) for a in sim.agents]
+    return gaps, rel_gaps, selections, statuses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from frenetix_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    all_gaps, all_rel = [], []
+    lines = ["# Selection tie margins (five reference scenarios, float32, "
+             "host path)", ""]
+    lines.append("| scenario | replans | min gap | p1 gap | median gap | "
+                 "min rel gap | selections flipped by compensated sum | "
+                 "wall default → compensated |")
+    lines.append("|---|---|---|---|---|---|---|---|")
+    for f in sorted(os.listdir(XML_DIR)):
+        if not f.endswith(".xml"):
+            continue
+        path = os.path.join(XML_DIR, f)
+        t0 = time.perf_counter()
+        gaps, rel, sel, st = margins_for(path, compensated=False)
+        w0 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        gaps_c, rel_c, sel_c, st_c = margins_for(path, compensated=True)
+        w1 = time.perf_counter() - t0
+        flips = sum(1 for a, b in zip(sel, sel_c) if a != b)
+        g = np.array(gaps)
+        lines.append(
+            f"| {f.removesuffix('.xml')} | {len(g)} | {g.min():.3e} | "
+            f"{np.percentile(g, 1):.3e} | {np.median(g):.3e} | "
+            f"{min(rel):.3e} | {flips} (statuses {'same' if st == st_c else f'{st}->{st_c}'}) | "
+            f"{w0:.1f}s → {w1:.1f}s |")
+        all_gaps += gaps
+        all_rel += rel
+        print(lines[-1], flush=True)
+    g = np.array(all_gaps)
+    summary = (
+        f"\nOverall: {len(g)} replans; min gap {g.min():.3e}, p1 "
+        f"{np.percentile(g, 1):.3e}, median {np.median(g):.3e}; min relative "
+        f"gap {min(all_rel):.3e}.  A float32 cost ulp at typical magnitudes "
+        f"(~1e1) is ~1e-6 — gaps above ~1e-5 are tie-safe.")
+    lines.append(summary)
+    print(summary)
+    if args.out:
+        open(args.out, "w").write("\n".join(lines) + "\n")
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
