@@ -88,8 +88,13 @@ configurations — e.g. scenario 36 with the opt-in
 feasibility boundary (a quartic decelerating to ~0 whose minimum velocity
 flips sign on ±1e-15 input noise) for many consecutive cycles; the two
 compiled programs accumulate last-ulp differences and resolve the edge
-differently.  On non-degenerate configurations (all five reference
-scenarios, default settings; walenet default-mode collision reproduction)
+differently.  The same class appears when an emergency FALLBACK selects on
+the feasibility boundary (round-4 example: overtake at sampling_max=4 —
+the min-velocity-rank fallback candidate (t=1.1, v=7.41) is feasible in
+one compiled program and infeasible by an ulp in the other, so host picks
+t=1.3; terminal statuses still agree).  On non-degenerate configurations
+(all five reference scenarios, default settings; walenet default-mode
+collision reproduction; the round-4 regression matrix's base cells)
 parity is step-exact.
 """
 from __future__ import annotations
@@ -623,16 +628,101 @@ class DeviceSimulation:
         t_grid, n_v, d_grid, _ = self.levels[level_idx]
         d_ego = self.d_ego_pos
 
+        def _two_sum(a, b):
+            s = a + b
+            bb = s - a
+            return s, (a - (s - bb)) + (b - bb)
+
+        def _split(a):
+            c = a * 4097.0          # Dekker split, f32: 2^12 + 1
+            hi = c - (c - a)
+            return hi, a - hi
+
+        def _two_prod(a, b):
+            p = a * b
+            ah, al = _split(a)
+            bh, bl = _split(b)
+            return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+        def _ds_linspace(ah, al, bh, bl, n):
+            """np.linspace(a, b, n) computed in FLOAT64 then cast to f32 —
+            emulated in f32 double-single (Dekker) arithmetic, since TPUs
+            have no f64.  The host builds its velocity grid this way
+            (reactive.py _sampling_ranges: python-f64 bounds, f64 linspace,
+            f32 cast at build_sampling_matrix); a plain f32 arange·step+start
+            differs in the 7th digit at dense levels (measured 1.1e-6 at
+            level 3) and flips feasibility-boundary candidates.  Endpoints
+            arrive as (hi, lo) pairs carrying the exact f64 bound; DS keeps
+            ~1e-14 relative error through the interpolation — far inside the
+            f32 rounding step, so the final collapse lands on the host's
+            exact f32 values."""
+            d_hi, d_lo = _two_sum(bh, -ah)
+            d_lo = d_lo + (bl - al)
+            div = jnp.float32(n - 1)
+            q = d_hi / div
+            p, e = _two_prod(q, div)
+            q_lo = (((d_hi - p) - e) + d_lo) / div
+            i = jnp.arange(n, dtype=jnp.float32)
+            p, e = _two_prod(i, q)
+            e = e + i * q_lo
+            s, e2 = _two_sum(p, ah)
+            vs = s + (e + (e2 + al))
+            return vs.at[-1].set(bh + bl)
+
+        # exact f64 constants as (f32 hi, f32 lo) pairs (python-f64 math at
+        # trace time; the lo parts carry what the f32 cast drops)
+        def _ds_const(x):
+            hi = np.float32(x)
+            return hi, np.float32(x - float(hi))
+
+        _amax_T = _ds_const(veh.a_max * horizon)
+        _amax6_T = _ds_const((veh.a_max / 6.0) * horizon)
+        _vmax_c = _ds_const(veh.v_max)
+        _vfloor = _ds_const(0.001)
+
+        def _ds_sub_from(v, c):
+            """(v - c) for f32 v and DS constant c, exact (hi, lo)."""
+            s, e = _two_sum(v, -c[0])
+            return _two_sum(s, e - c[1])
+
+        def _ds_add_from(v, c):
+            s, e = _two_sum(v, c[0])
+            return _two_sum(s, e + c[1])
+
+        def _ds_max(a, b):
+            take_a = (a[0] > b[0]) | ((a[0] == b[0]) & (a[1] >= b[1]))
+            return (jnp.where(take_a, a[0], b[0]),
+                    jnp.where(take_a, a[1], b[1]))
+
+        def _ds_min(a, b):
+            take_a = (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] <= b[1]))
+            return (jnp.where(take_a, a[0], b[0]),
+                    jnp.where(take_a, a[1], b[1]))
+
+        use_ds = self.np_dtype == np.float32
+
         def one(x_cl, v_cur):
             s0, ss0, sss0, d0, dd0, ddd0 = (x_cl[i] for i in range(6))
-            v_lo = jnp.maximum(0.001, v_cur - veh.a_max * horizon)
-            v_hi = jnp.minimum(v_cur + (veh.a_max / 6.0) * horizon, veh.v_max)
-            # EXACTLY np.linspace's algorithm (arange·step + start, endpoint
-            # pinned) — a mathematically equivalent form rounds differently
-            # in the last ulp and flips argmin near-ties vs the host matrix
-            step = (v_hi - v_lo) / (n_v - 1)
-            vs = v_lo + jnp.arange(n_v, dtype=x_cl.dtype) * step
-            vs = vs.at[-1].set(v_hi)
+            if use_ds:
+                # f32: host computes v_min = max(0.001, v − a_max·T),
+                # v_max' = min(v + (a_max/6)·T, v_max) and the linspace in
+                # python/NumPy FLOAT64 and casts once — emulate with DS pairs
+                vf = (jnp.full((), _vfloor[0]), jnp.full((), _vfloor[1]))
+                vm = (jnp.full((), _vmax_c[0]), jnp.full((), _vmax_c[1]))
+                lo_h, lo_l = _ds_max(_ds_sub_from(v_cur, _amax_T), vf)
+                hi_h, hi_l = _ds_min(_ds_add_from(v_cur, _amax6_T), vm)
+                vs = _ds_linspace(lo_h, lo_l, hi_h, hi_l, n_v)
+            else:
+                # f64 (CPU test dtype): EXACTLY np.linspace's algorithm —
+                # arange·step + start, endpoint pinned — is already bitwise
+                # host-identical in f64; DS would round differently in the
+                # last ulp
+                v_lo = jnp.maximum(0.001, v_cur - veh.a_max * horizon)
+                v_hi = jnp.minimum(v_cur + (veh.a_max / 6.0) * horizon,
+                                   veh.v_max)
+                step = (v_hi - v_lo) / (n_v - 1)
+                vs = v_lo + jnp.arange(n_v, dtype=x_cl.dtype) * step
+                vs = vs.at[-1].set(v_hi)
             vs = jnp.concatenate([vs, ss0[None]])
             base_d = d_grid + (d0 if d_ego else 0.0)
             ds = jnp.concatenate([base_d, d0[None]])
@@ -970,14 +1060,17 @@ class DeviceSimulation:
             return res._replace(cost=cost, best_idx=best, found=found,
                                 selectable=selectable)
 
-        def make_one_select(quintic: bool):
-            """One agent's cycle in BOTH kinematics modes, picking by the
-            host's low-velocity rule (v < low_vel_mode_threshold →
-            lateral-over-arclength rollout).  low_vel_mode is a static flag
-            of evaluate_cycle, so both programs run and a per-agent where
-            selects — in the launch-bound regime the second cycle is nearly
-            free, and it removes the one kinematics divergence from the
-            host loop.
+        def make_one_select(quintic: bool, low_vel: bool):
+            """One agent's cycle in ONE kinematics mode (low_vel_mode is a
+            static flag of evaluate_cycle).  The host picks kinematics per
+            agent by v < low_vel_mode_threshold; the scan body runs the
+            high-velocity program always and the low-velocity program under
+            a runtime `lax.cond` only when some agent is actually below the
+            threshold (value-identical: with no low-vel agent the per-agent
+            where would pick the hi result everywhere anyway) — in the solo
+            scan this halves the dominant cycle cost in the common case
+            (under the fleet vmap the cond lowers to a select and both
+            programs run, as before).
 
             `quintic` (hybrid behavior mode): end-position-constrained
             longitudinal sampling over the host-built stopping matrix
@@ -995,28 +1088,20 @@ class DeviceSimulation:
                     if use_occ_geom:
                         occ_geom = tuple(extras[e_i:e_i + 4])
                 return _one_select_body(matrix, mask, ctx, d0, v_cur,
-                                        lane, pm, occ_geom, quintic)
+                                        lane, pm, occ_geom, quintic, low_vel)
 
             return one_select
 
         def _one_select_body(matrix, mask, ctx, d0, v_cur, lane, pm,
-                             occ_geom, quintic):
-            res_hi = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
-                                    low_vel_mode=False, quintic_lon=quintic,
-                                    table_window=768,
-                                    compensated_sum=comp_sum)
-            res_lo = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
-                                    low_vel_mode=True, quintic_lon=quintic,
-                                    table_window=768,
-                                    compensated_sum=comp_sum)
-            risks_hi = _risks_of(res_hi, ctx) if need_risks else None
-            risks_lo = _risks_of(res_lo, ctx) if need_risks else None
+                             occ_geom, quintic, low_vel):
+            res = evaluate_cycle(matrix, mask, ctx, dt=dt, n_steps=n_steps,
+                                 low_vel_mode=low_vel, quintic_lon=quintic,
+                                 table_window=768,
+                                 compensated_sum=comp_sum)
+            risks = _risks_of(res, ctx) if need_risks else None
             if resp_w != 0.0 or use_occ:
                 grid = None
                 if resp_w != 0.0:
-                    # the grid depends on the prediction tensors only — built
-                    # ONCE per agent per cycle, shared by both kinematics
-                    # programs
                     from frenetix_tpu.risk.reachable_set import (
                         build_reach_set_grids_device)
 
@@ -1024,13 +1109,8 @@ class DeviceSimulation:
                         ctx.preds.means[:, 0], ctx.preds.orientations[:, 0],
                         ctx.preds.velocities[:, 0], ctx.preds.lengths,
                         ctx.preds.widths, ctx.preds.valid[:, 0], lane)
-                res_hi = _post(res_hi, ctx, risks_hi, grid, pm, occ_geom)
-                res_lo = _post(res_lo, ctx, risks_lo, grid, pm, occ_geom)
-            out_hi = _select_from(res_hi, matrix, mask, d0, risks_hi)
-            out_lo = _select_from(res_lo, matrix, mask, d0, risks_lo)
-            lv = v_cur < low_thr
-            return jax.tree.map(lambda a, b: jnp.where(lv, b, a),
-                                out_hi, out_lo)
+                res = _post(res, ctx, risks, grid, pm, occ_geom)
+            return _select_from(res, matrix, mask, d0, risks)
 
         use_lane = resp_w != 0.0
         # extras, fixed order: lanelet tensors (scenario-level → broadcast
@@ -1071,8 +1151,30 @@ class DeviceSimulation:
                 check_vma=False,   # all_gather output is replicated
             )
 
-        cycle_fn = _wrap_cycle(make_one_select(False))
-        cycle_fn_stop = _wrap_cycle(make_one_select(True)) if hybrid else None
+        cycle_hi = _wrap_cycle(make_one_select(False, False))
+        cycle_lo = _wrap_cycle(make_one_select(False, True))
+        cycle_stop_hi = (_wrap_cycle(make_one_select(True, False))
+                         if hybrid else None)
+        cycle_stop_lo = (_wrap_cycle(make_one_select(True, True))
+                         if hybrid else None)
+
+        def run_cycle(mats, msks, ctx, d0, v_cur, extra, stop=False):
+            """Both kinematics merged by the host's per-agent low-velocity
+            rule, with the low-velocity program behind a runtime branch."""
+            fhi = cycle_stop_hi if stop else cycle_hi
+            flo = cycle_stop_lo if stop else cycle_lo
+            out_hi = fhi(mats, msks, ctx, d0, v_cur, *extra)
+            lv = v_cur < low_thr
+
+            def with_lo(_):
+                out_lo = flo(mats, msks, ctx, d0, v_cur, *extra)
+                return jax.tree.map(
+                    lambda a, b: jnp.where(
+                        lv.reshape(lv.shape + (1,) * (a.ndim - 1)), b, a),
+                    out_hi, out_lo)
+
+            return jax.lax.cond(jnp.any(lv), with_lo, lambda _: out_hi, None)
+
         masks_l = [jnp.ones((a_n, lvl[3]), bool) for lvl in self.levels]
         weights = self.weights
         eye = jnp.eye(a_n, dtype=bool)
@@ -1103,6 +1205,16 @@ class DeviceSimulation:
             # padding cycles (its solo run never evaluates them)
             in_horizon = t0 < g.max_steps
             running = status == _RUNNING
+            # peer-visibility snapshot: the host builds every agent's
+            # predictions (and the visible-area walls) from statuses BEFORE
+            # the pre-step goal check of this step (simulation.py run loop:
+            # the running list + _augment_with_agents read the pre-step
+            # snapshot; the goal check happens inside a.step afterwards) —
+            # a peer reaching its goal this cycle is still visible for ONE
+            # more replan.  Caught by the round-4 regression matrix: the
+            # curve/highway trailing agent diverged from the host at exactly
+            # the ego's success step.
+            running_pre = running
             reached = goal_fn(g, center, v) & running & in_horizon
             status = jnp.where(reached, _SUCCESS, status)
             running = status == _RUNNING
@@ -1159,7 +1271,7 @@ class DeviceSimulation:
                         [g.road_segs, segs_o.reshape(-1, 2, 2),
                          segs_p.reshape(-1, 2, 2)])
                     o4 = jnp.repeat(g.obst_valid[t0], 4)
-                    peer_ok = running[None, :] & ~eye             # (A, A)
+                    peer_ok = running_pre[None, :] & ~eye         # (A, A)
                     n_road = g.road_segs.shape[0]
                     seg_valid = jnp.concatenate([
                         jnp.ones((a_n, n_road), bool),
@@ -1194,7 +1306,7 @@ class DeviceSimulation:
             agent_preds = agent_pose_predictions(
                 poses_all, horizon=window.means.shape[2], dt=self.dt,
                 length=veh.length + 0.5, width=veh.width + 0.2,
-                cov_pos=pcfg.cov_pos, active=running,
+                cov_pos=pcfg.cov_pos, active=running_pre,
             )
             preds = concat_obstacles(window, agent_preds)
             pm_extra = ()
@@ -1204,7 +1316,8 @@ class DeviceSimulation:
                 # recorded obstacle poses + live ego, free-slot cap computed
                 # exactly as the host's post-augment free count
                 n_present = jnp.sum(jnp.any(window.valid, axis=2), axis=1)
-                n_peers = jnp.sum(running) - running.astype(jnp.int32)
+                n_peers = (jnp.sum(running_pre)
+                           - running_pre.astype(jnp.int32))
                 n_free = window.valid.shape[1] - n_present - n_peers
                 ph, ph_mask, ph_pos = jax.vmap(
                     phantom_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
@@ -1233,7 +1346,7 @@ class DeviceSimulation:
                     seg_pts = jnp.concatenate(
                         [segs_o.reshape(-1, 2, 2), segs_p.reshape(-1, 2, 2)])
                     o4 = jnp.repeat(g.obst_valid[t0], 4)
-                    peer_ok = running[None, :] & ~eye             # (A, A)
+                    peer_ok = running_pre[None, :] & ~eye         # (A, A)
                     seg_valid = jnp.concatenate([
                         jnp.broadcast_to(o4[None], (a_n, o4.shape[0])),
                         jnp.repeat(peer_ok, 4, axis=1)], axis=1)  # (A, S)
@@ -1258,34 +1371,51 @@ class DeviceSimulation:
             # candidate wins per agent, and when none does the LAST level's
             # stopping fallback applies (the host falls back on last_res)
             extra = (*((g.lane,) if resp_w != 0.0 else ()), *pm_extra)
-            out = cycle_fn(matrix_fns[0](x_cl, v), masks_l[0], ctx,
-                           x_cl[:, 3], v, *extra)
+            out = run_cycle(matrix_fns[0](x_cl, v), masks_l[0], ctx,
+                            x_cl[:, 3], v, extra)
             for li in range(1, len(matrix_fns)):
+                # densification level li evaluates only when some agent is
+                # still without a candidate (runtime branch — the host stops
+                # at the first level that finds one; with every agent found,
+                # the merge below keeps the previous result everywhere, so
+                # skipping is value-identical)
                 prev_found = out["found"]
-                out_l = cycle_fn(matrix_fns[li](x_cl, v), masks_l[li], ctx,
-                                 x_cl[:, 3], v, *extra)
 
-                def pick(a, b, f=prev_found):
-                    return jnp.where(f.reshape(f.shape + (1,) * (a.ndim - 1)),
-                                     a, b)
+                def eval_level(_, li=li, out=out, prev_found=prev_found):
+                    out_l = run_cycle(matrix_fns[li](x_cl, v), masks_l[li],
+                                      ctx, x_cl[:, 3], v, extra)
 
-                out = jax.tree.map(pick, out, out_l)
+                    def pick(a, b, f=prev_found):
+                        return jnp.where(
+                            f.reshape(f.shape + (1,) * (a.ndim - 1)), a, b)
+
+                    return jax.tree.map(pick, out, out_l)
+
+                out = jax.lax.cond(jnp.all(prev_found),
+                                   lambda _, out=out: out, eval_level, None)
             if behavior is not None:
                 # hybrid stopping mode: the host tries the quintic stopping
                 # matrix FIRST (only ever at the first level — one stopping
                 # miss flips use_stopping off, reactive.py:318-321) and falls
                 # back to the regular ladder, so the merged result is
-                # "stopping when it found a candidate, regular otherwise"
+                # "stopping when it found a candidate, regular otherwise".
+                # Runtime-branched: no agent wants stopping → skip the whole
+                # stopping program (take would be all-false anyway).
                 _, stop_mat, stop_mask, wants_stop = behavior
-                out_stop = cycle_fn_stop(stop_mat, stop_mask, ctx,
-                                         x_cl[:, 3], v, *extra)
-                take = wants_stop & out_stop["found"]
 
-                def pick_stop(a, b, f=take):
-                    return jnp.where(f.reshape(f.shape + (1,) * (a.ndim - 1)),
-                                     b, a)
+                def eval_stop(_, out=out):
+                    out_stop = run_cycle(stop_mat, stop_mask, ctx,
+                                         x_cl[:, 3], v, extra, stop=True)
+                    take = wants_stop & out_stop["found"]
 
-                out = jax.tree.map(pick_stop, out, out_stop)
+                    def pick_stop(a, b, f=take):
+                        return jnp.where(
+                            f.reshape(f.shape + (1,) * (a.ndim - 1)), b, a)
+
+                    return jax.tree.map(pick_stop, out, out_stop)
+
+                out = jax.lax.cond(jnp.any(wants_stop),
+                                   eval_stop, lambda _, out=out: out, None)
             found = out["found"]
             # host emergency ladder (plan() fallback): standstill at v ≤ 0.1
             # takes precedence, then the stopping fallback, then failure

@@ -722,13 +722,16 @@ class Simulation:
             self._check_collisions(t)
             self._check_road_departure()
             vis = self.config.visualization
-            if vis.save_plots and self.log_dir and t % vis.plot_interval == 0:
+            if ((vis.save_plots and self.log_dir) or vis.show_plots) \
+                    and t % vis.plot_interval == 0:
                 from frenetix_tpu.utils.visualization import plot_scenario_at_timestep
 
                 plot_scenario_at_timestep(
                     self.scenario, self.agents, t,
                     predictions=pd_base if vis.draw_predictions else None,
-                    save_path=f"{self.log_dir}/frames/frame_{t:04d}.png",
+                    save_path=(f"{self.log_dir}/frames/frame_{t:04d}.png"
+                               if vis.save_plots and self.log_dir else None),
+                    show=vis.show_plots,
                     window=vis.window,
                     veh_length=self.config.vehicle.length,
                     veh_width=self.config.vehicle.width,

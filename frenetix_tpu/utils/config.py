@@ -228,6 +228,7 @@ class VisualizationConfig:
     """configurations/simulation/visualization.yaml subset."""
 
     save_plots: bool = False
+    show_plots: bool = False    # live interactive rendering per plotted step
     plot_interval: int = 5      # plot every k-th step
     save_gif: bool = False
     draw_traj_set: bool = False  # draw the full candidate fan (debug.yaml)

@@ -76,7 +76,7 @@ def plot_scenario_at_timestep(
     scenario, agents, t, *, cycle_result=None, matrix_mask=None, predictions=None,
     save_path=None, window=60.0, veh_length=4.508, veh_width=1.61, show_ref=True,
     visible_area=None, show_labels=True, draw_planning_problem=True,
-    draw_icons=False,
+    draw_icons=False, show=False,
 ):
     """One frame: scenario + agents + (optional) candidate set + predictions.
 
@@ -87,10 +87,14 @@ def plot_scenario_at_timestep(
     show_labels / draw_planning_problem / draw_icons mirror the
     visualization.yaml flags of the same names (goal regions as filled
     polygons; icons draw a windshield wedge on the vehicle box).
+    `show` (visualization.yaml show_plots — the reference's live rendering,
+    cr_scenario_handler/utils/visualization.py:46-234): draw on the current
+    interactive backend and pause briefly instead of forcing Agg.
     """
     import matplotlib
 
-    matplotlib.use("Agg")
+    if not show:
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(11, 9))
@@ -198,6 +202,16 @@ def plot_scenario_at_timestep(
     if save_path:
         os.makedirs(os.path.dirname(save_path), exist_ok=True)
         fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        if not show:
+            plt.close(fig)
+            return save_path
+    if show:
+        try:
+            plt.ion()
+            fig.show()
+            plt.pause(0.001)
+        except Exception:
+            pass  # headless backend — live display silently unavailable
         plt.close(fig)
         return save_path
     return fig, ax

@@ -1,14 +1,20 @@
 """Profile the device-resident sim scan on the real TPU.
 
-Usage: python tools/profile_device_sim.py [--trace DIR]
+Usage: python tools/profile_device_sim.py [--trace DIR] [--no-trace]
 
 Builds the bench overtake scenario (bench.py::measure_device_sim workload),
-runs it once to compile, then a traced run. Prints wall numbers; if the
-profiler produces a trace, it is left under --trace for inspection.
+runs it once to compile, reports honest wall numbers (device_sim walls
+include the single real fetch, so they are trustworthy — PERF.md "Timing on
+the axon tunnel"), then captures a jax.profiler trace and prints the top
+XLA ops by device self-time.
 """
 from __future__ import annotations
 
 import argparse
+import collections
+import glob
+import gzip
+import json
 import os
 import sys
 import time
@@ -16,6 +22,31 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def top_ops(trace_dir, top=20):
+    """Aggregate 'XLA Ops' self-times from the newest trace.json.gz."""
+    paths = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins", "profile", "*", "*.trace.json.gz")),
+        key=os.path.getmtime)
+    if not paths:
+        print(f"(no trace under {trace_dir})")
+        return
+    data = json.load(gzip.open(paths[-1]))
+    names = {}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            names[(e["pid"], e["tid"])] = e["args"].get("name")
+    agg = collections.defaultdict(lambda: [0.0, 0])
+    for e in data["traceEvents"]:
+        if (e.get("ph") == "X"
+                and names.get((e["pid"], e["tid"])) == "XLA Ops"):
+            agg[e["name"]][0] += e.get("dur", 0)
+            agg[e["name"]][1] += 1
+    total = sum(v[0] for v in agg.values())
+    print(f"=== top XLA ops (device total {total / 1e3:.1f} ms) ===")
+    for name, (us, n) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]:
+        print(f"{us/1e3:9.2f} ms {100*us/total:5.1f}% x{n:<6d} {name[:100]}")
 
 
 def main():
@@ -26,8 +57,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from frenetix_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from frenetix_tpu.io.scenario_factory import make_overtake
     from frenetix_tpu.parallel.device_sim import DeviceSimulation
@@ -54,6 +86,7 @@ def main():
         with jax.profiler.trace(args.trace):
             r = ds.run()
         print(f"traced run: {r.wall_time:.3f}s → {args.trace}")
+        top_ops(args.trace)
 
 
 if __name__ == "__main__":
