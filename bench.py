@@ -571,6 +571,12 @@ def main():
     top = None
     for a in (1, 16, 128, 512, 2048):
         try:
+            if top is not None:
+                # release the previous size's problem arrays + executable
+                # BEFORE building the next one — retaining every sweep row's
+                # buffers OOMed A=2048 (which fits standalone)
+                for key in ("_fn", "_args"):
+                    top.pop(key, None)
             agents_sweep.append(measure_batched_agents(a))
             top = agents_sweep[-1]
         except Exception as e:
