@@ -102,17 +102,19 @@ def _split_precision_interp(tables, idx, lam):
     diff = jnp.concatenate([tables[1:] - tables[:-1], jnp.zeros_like(tables[:1])])
     stacked = jnp.concatenate([hi_a, hi_b, lo, diff], axis=1)  # (W, 4C)
 
+    w = tables.shape[0]
     c = tables.shape[1]
-    # gather instead of a (P, W) one-hot matmul — BITWISE-identical output:
-    # a DEFAULT-precision TPU dot rounds its inputs to bf16 and accumulates
-    # in f32, and with an exact 0/1 one-hot the only nonzero term of each
-    # accumulation is bf16(stacked[idx]) — exactly what rounding the table
-    # once and gathering produces.  The matmul executed 2·P·W·4C real FLOPs
-    # (measured 33 ms + a 17.5 ms column-assembly fusion of the 59 ms/call
-    # interp chain at A=2048, M=768); the gather is pure bandwidth on the
-    # (P, 4C) output.
-    stacked = stacked.astype(jnp.bfloat16).astype(lam.dtype)
-    out4 = stacked[idx]  # (P, 4C)
+    # one-hot matmul, NOT a gather.  A row-gather producing (P, 4C=28)
+    # f32 rows is bitwise-identical here (a DEFAULT-precision TPU dot
+    # rounds its inputs to bf16 with an exact 0/1 one-hot, so the only
+    # nonzero accumulation term is bf16(stacked[idx])) — but it was
+    # MEASURED 7× SLOWER: TPU gathers of 112-byte rows pay (8,128)-tile
+    # read amplification (119.5 ms vs ~16 ms for this dot at A=512,
+    # M=768; BENCH_r04 per-op profile).  The windowed dot runs on the MXU
+    # at ~1/3 peak.
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], w), 1)
+    onehot = (cols == idx[:, None]).astype(lam.dtype)
+    out4 = jnp.dot(onehot, stacked, preferred_element_type=lam.dtype)  # (P, 4C)
     return (
         base[None, :]
         + out4[:, :c] + out4[:, c : 2 * c] + out4[:, 2 * c : 3 * c]
