@@ -104,22 +104,29 @@ def _split_precision_interp(tables, idx, lam):
 
     w = tables.shape[0]
     c = tables.shape[1]
-    # one-hot matmul, NOT a gather.  A row-gather producing (P, 4C=28)
+    # one-hot matmul, NOT a gather.  A row-gather producing 4C=28-column
     # f32 rows is bitwise-identical here (a DEFAULT-precision TPU dot
     # rounds its inputs to bf16 with an exact 0/1 one-hot, so the only
     # nonzero accumulation term is bf16(stacked[idx])) — but it was
     # MEASURED 7× SLOWER: TPU gathers of 112-byte rows pay (8,128)-tile
     # read amplification (119.5 ms vs ~16 ms for this dot at A=512,
-    # M=768; BENCH_r04 per-op profile).  The windowed dot runs on the MXU
-    # at ~1/3 peak.
-    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], w), 1)
-    onehot = (cols == idx[:, None]).astype(lam.dtype)
-    out4 = jnp.dot(onehot, stacked, preferred_element_type=lam.dtype)  # (P, 4C)
+    # M=768; BENCH_r04 per-op profile).
+    #
+    # The dot is oriented (4C, W) @ (W, P) → columns-major: with P on the
+    # minor (lane) dimension every output tile is fully utilized (the
+    # (P, 28) orientation wastes 100/128 lanes AND forced XLA to emit a
+    # serial 7-iteration transpose loop when consumers slice per column —
+    # 15% of the headline cycle).  Same products, same single-term
+    # accumulations — bitwise identical values.
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w, idx.shape[0]), 0)
+    onehot_t = (cols == idx[None, :]).astype(lam.dtype)       # (W, P)
+    out4 = jnp.dot(stacked.T, onehot_t,
+                   preferred_element_type=lam.dtype)          # (4C, P)
     return (
-        base[None, :]
-        + out4[:, :c] + out4[:, c : 2 * c] + out4[:, 2 * c : 3 * c]
-        + lam[:, None] * out4[:, 3 * c :]
-    )
+        base[:, None]
+        + out4[:c] + out4[c : 2 * c] + out4[2 * c : 3 * c]
+        + lam[None, :] * out4[3 * c :]
+    )  # (C, P)
 
 
 def interp_ref_tables(ref, s, extra_tables=None, window_rows=None, window_anchor=None):
@@ -171,20 +178,27 @@ def interp_ref_tables(ref, s, extra_tables=None, window_rows=None, window_anchor
         idx_use = idx
 
     if s.dtype == jnp.float32:
-        vals = _split_precision_interp(tables, idx_use.reshape(-1), lam.reshape(-1))
+        vals_t = _split_precision_interp(tables, idx_use.reshape(-1),
+                                         lam.reshape(-1))  # (C, P)
     else:
         w = interp_weights(tables[:, 0], idx_use.reshape(-1), lam.reshape(-1))
         vals = jnp.dot(w, tables, preferred_element_type=s.dtype,
                        precision=jax.lax.Precision.HIGHEST)  # (P, 5+K)
-    vals = vals.reshape(batch_shape + (tables.shape[1],))
+        vals_t = vals.T
+    # per-column batch-shaped arrays from the columns-major result — row
+    # slices are contiguous, so no transpose materializes (the previous
+    # (P, C) orientation made XLA emit a serial per-column transpose loop)
+    field = [vals_t[i].reshape(batch_shape) for i in range(tables.shape[1])]
     return {
-        "alpha": wrap_valid_orientation(vals[..., 0]),
-        "theta_lerp": vals[..., 0],
-        "k_r": vals[..., 1],
-        "k_r_d": vals[..., 2],
-        "x": vals[..., 3],
-        "y": vals[..., 4],
-        "extras": vals[..., 5:] if extra_tables is not None else None,
+        "alpha": wrap_valid_orientation(field[0]),
+        "theta_lerp": field[0],
+        "k_r": field[1],
+        "k_r_d": field[2],
+        "x": field[3],
+        "y": field[4],
+        # tuple of K batch-shaped arrays (a stacked batch+(K,) array would
+        # re-materialize the transposed layout)
+        "extras": tuple(field[5:]) if extra_tables is not None else None,
         "idx": idx,
         "lam": lam,
         "in_domain": in_dom,

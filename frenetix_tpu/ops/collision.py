@@ -131,7 +131,7 @@ def points_in_quads(points, quads):
 def road_departure_corridor(ro, veh):
     """Road-departure check against the drivable corridor d_min(s), d_max(s)
     (see geometry.corridor) — O(M·N) comparisons, corridor bounds already
-    interpolated into `ro.extras[..., 0:2]` by the rollout's fused table matmul.
+    interpolated into `ro.extras` (tuple of two (M, N+1) arrays) by the rollout's fused table matmul.
 
     The ego footprint's lateral extent around its Frenet d is
     |wb_rear_axle·sin θ_cl| offset (rear-axle → center shift) ±
@@ -140,8 +140,8 @@ def road_departure_corridor(ro, veh):
     Returns (first_step (M,) int32, -1 if never; v_at (M,)).
     """
     m, n1 = ro.x.shape
-    d_lo = ro.extras[..., 0]
-    d_hi = ro.extras[..., 1]
+    d_lo = ro.extras[0]
+    d_hi = ro.extras[1]
     sin_t = jnp.sin(ro.theta_cl)
     cos_t = jnp.cos(ro.theta_cl)
     d_center = ro.d + veh.wb_rear_axle * sin_t

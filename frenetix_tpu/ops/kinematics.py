@@ -84,7 +84,8 @@ class Rollout(NamedTuple):
     a: jnp.ndarray
     kappa_gl: jnp.ndarray
     kappa_dot: jnp.ndarray
-    extras: object            # (M, N+1, K) interpolated extra ref tables or None
+    extras: object            # tuple of K (M, N+1) interpolated extra ref
+                              # tables (columns-major interp output) or None
     coeffs_lon: jnp.ndarray   # (M, 6)
     coeffs_lat: jnp.ndarray   # (M, 6)
     traj_len: jnp.ndarray     # (M,) int — valid sample count before extension
