@@ -1569,7 +1569,17 @@ class DeviceSimulation:
             return self._run_hybrid()
         t_start = time.perf_counter()
         if self._run_fn is None:
-            self._run_fn = self._build_run()
+            if self.mesh is None:
+                # AOT warm start (utils/aot_cache): a later process with the
+                # same code+config+shapes skips Python re-tracing entirely
+                from frenetix_tpu.utils.aot_cache import cached_program
+
+                self._run_fn = cached_program(
+                    "devsim", (repr(self.config), len(self.agents),
+                               self.n_cycles),
+                    self.tensors, self._build_run)
+            else:
+                self._run_fn = self._build_run()
         out = self._run_fn(self.tensors)
         out = jax.device_get(out)     # THE one fetch
         res = self._finalize(out)
@@ -2016,17 +2026,30 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
     key = (a_max, c_max, None if mesh is None else id(mesh))
     fleet_fn = cache.get(key)
     if fleet_fn is None:
-        vrun = jax.vmap(base._build_run(a_n=a_max, n_cycles=c_max))
-        if mesh is not None:
-            # scenarios are independent — shard the scenario axis over the
-            # mesh with no collectives at all (P3 over devices, the ICI-free
-            # embarrassingly-parallel case)
-            from jax.sharding import PartitionSpec as P
+        def build():
+            vrun = jax.vmap(base._build_run(a_n=a_max, n_cycles=c_max))
+            if mesh is not None:
+                # scenarios are independent — shard the scenario axis over
+                # the mesh with no collectives at all (P3 over devices, the
+                # ICI-free embarrassingly-parallel case)
+                from jax.sharding import PartitionSpec as P
 
-            sh_tree = jax.tree.map(lambda _: P(axis_name), stacked)
-            vrun = jax.shard_map(vrun, mesh=mesh, in_specs=(sh_tree,),
-                                 out_specs=P(axis_name), check_vma=False)
-        fleet_fn = jax.jit(vrun)
+                sh_tree = jax.tree.map(lambda _: P(axis_name), stacked)
+                vrun = jax.shard_map(vrun, mesh=mesh, in_specs=(sh_tree,),
+                                     out_specs=P(axis_name), check_vma=False)
+            return vrun
+
+        if mesh is None:
+            # AOT warm start: skip Python re-tracing of the whole-fleet scan
+            # in later processes (utils/aot_cache; code/config changes miss
+            # the cache via the package-hash + statics key)
+            from frenetix_tpu.utils.aot_cache import cached_program
+
+            fleet_fn = cached_program(
+                "fleet", (repr(base.config), a_max, c_max, len(sims)),
+                stacked, build)
+        else:
+            fleet_fn = jax.jit(build())
         cache[key] = fleet_fn
     out = jax.device_get(fleet_fn(stacked))      # THE one fetch for S sims
 
