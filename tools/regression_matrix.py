@@ -102,9 +102,11 @@ def run_cell(scenario_fn, overrides, arm: str):
             "steps": int(res.steps)}
 
 
-def build(arms):
+def build(arms, only=None):
     rows = []
     for i, (name, fn) in enumerate(corpus()):
+        if only and only not in name:
+            continue
         for tag, ov in cell_configs(i):
             for arm in arms:
                 key = f"{name}|{tag}|{arm}"
@@ -125,6 +127,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--check", default=None)
     ap.add_argument("--arms", nargs="*", default=["host", "device"])
+    ap.add_argument("--only", default=None,
+                    help="substring filter on scenario names (quick checks)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
                          "ignores JAX_PLATFORMS; only a config update works)")
@@ -139,7 +143,7 @@ def main():
 
     enable_compilation_cache()
 
-    rows = build(args.arms)
+    rows = build(args.arms, only=args.only)
     doc = {"n_cells": len(rows), "rows": rows}
     if args.check:
         pinned = json.load(open(args.check))
