@@ -56,29 +56,13 @@ class TrajectoryRisks(NamedTuple):
     coll_prob_per_obst: jnp.ndarray = None  # (M, O) max-over-time coll. prob
 
 
-def trajectory_risks(
-    ro,
-    preds,
-    meta: harm_mod.ObstacleMeta,
-    ego_mass: float,
-    coeffs=None,
-    modes=None,
-) -> TrajectoryRisks:
-    """Batched `calc_risk` (risk_costs.py:20-121) over all candidates."""
-    coeffs = coeffs or harm_mod.DEFAULT_HARM_COEFFS
-    modes = modes or DEFAULT_RISK_MODES
-    m = ro.x.shape[0]
-    o = preds.num_obstacles
-    dtype = ro.x.dtype
-    if o == 0:
-        z2 = jnp.zeros((m, 0), dtype)
-        z1 = jnp.zeros((m,), dtype)
-        return TrajectoryRisks(z2, z2, z2, z2, z1, z1, jnp.zeros((0,), bool), z2)
-
-    n1 = ro.x.shape[1]
-    # harm alignment: ego step i vs prediction step i, i = 0..pl-1
-    # (harm_estimation.py:247-249: pred_length = min(len(traj.x)-1, len(pred)))
-    pl = min(n1 - 1, preds.horizon)
+def _harm_tensors(ro, preds, meta, ego_mass, coeffs, modes, pl):
+    """(ego_harm, obst_harm) of shape (M, O, pl) — the harm_model dispatch
+    (harm_estimation.py:128-240) batched: pdof/impact angles via the
+    simplified crash-angle model (helpers/properties.py:327-359), the
+    mass-ratio Δv split (:51-75), then the protected/unprotected model
+    selection.  Factored out so the reference-chain oracle
+    (tests/test_harm_dispatch_oracle.py) can pin it directly."""
     theta = ro.theta_gl[:, None, :pl]          # (M, 1, t)
     v_ego = ro.v[:, None, :pl]
     x = ro.x[:, None, :pl]
@@ -130,6 +114,34 @@ def trajectory_risks(
                          jnp.where(prot == 0, harm_unprot_ego, 1.0))
     obst_harm = jnp.where(prot == 1, harm_prot_obs,
                           jnp.where(prot == 0, harm_unprot_obs, 1.0))
+    return ego_harm, obst_harm
+
+
+def trajectory_risks(
+    ro,
+    preds,
+    meta: harm_mod.ObstacleMeta,
+    ego_mass: float,
+    coeffs=None,
+    modes=None,
+) -> TrajectoryRisks:
+    """Batched `calc_risk` (risk_costs.py:20-121) over all candidates."""
+    coeffs = coeffs or harm_mod.DEFAULT_HARM_COEFFS
+    modes = modes or DEFAULT_RISK_MODES
+    m = ro.x.shape[0]
+    o = preds.num_obstacles
+    dtype = ro.x.dtype
+    if o == 0:
+        z2 = jnp.zeros((m, 0), dtype)
+        z1 = jnp.zeros((m,), dtype)
+        return TrajectoryRisks(z2, z2, z2, z2, z1, z1, jnp.zeros((0,), bool), z2)
+
+    n1 = ro.x.shape[1]
+    # harm alignment: ego step i vs prediction step i, i = 0..pl-1
+    # (harm_estimation.py:247-249: pred_length = min(len(traj.x)-1, len(pred)))
+    pl = min(n1 - 1, preds.horizon)
+    ego_harm, obst_harm = _harm_tensors(ro, preds, meta, ego_mass, coeffs,
+                                        modes, pl)
 
     # collision probability (risk_costs.py:66-80); output index j ↔ ego step
     # j+1, the reference multiplies harm[t]·prob[t] elementwise (:97-105)

@@ -144,7 +144,17 @@ class ObstacleMeta(NamedTuple):
 
 
 def angle_range(angle):
-    """Wrap into ]-π, π] (helpers/collision_helper_function.py:42-57)."""
+    """Wrap into ]-π, π] (helpers/collision_helper_function.py:42-57).
+
+    DELIBERATE divergence: this repo wraps impact angles BEFORE area
+    binning in every harm variant, while the reference's simplified
+    production path bins the raw values (harm_estimation.py:329-335 —
+    obs_angle = π + rel − yaw spans (−π, 3π), so roughly half of all
+    geometrically front/side impacts collapse into the "rear"
+    coefficient there).  The wrapped binning is the geometrically
+    correct circular semantics; the relationship is pinned by
+    tests/test_harm_dispatch_oracle.py (exact match against the
+    reference evaluated on wrapped angles)."""
     wrapped = jnp.mod(angle + jnp.pi, 2.0 * jnp.pi) - jnp.pi
     return jnp.where(wrapped == -jnp.pi, jnp.pi, wrapped)
 
