@@ -81,10 +81,16 @@ def evaluate_simulation(scenario, result, config=None, sim_logger=None,
             from frenetix_tpu.io.solution_writer import write_solution
 
             path = os.path.join(log_dir, f"solution_{aid}.xml")
-            write_solution(path, result.scenario_id, {aid: states}, dt)
             cost = benchmark_cost(states, dt)
+            # the XML stamps which weight set produced the logged cost —
+            # COST_COMBINATIONS are estimated transcriptions, so the value
+            # is labeled approximate until checked against the official
+            # CommonRoad evaluator
+            write_solution(path, result.scenario_id, {aid: states}, dt,
+                           cost_weights=cost["weights"])
             if msg_logger:
                 msg_logger.info(
                     f"agent {aid} solution written: {path} "
-                    f"WX1 cost {cost['total']:.2f}")
+                    f"WX1 cost {cost['total']:.2f} (approximate — "
+                    f"estimated weight transcription)")
     return out

@@ -26,7 +26,13 @@ import numpy as np
 
 __all__ = ["partial_costs", "benchmark_cost", "COST_COMBINATIONS"]
 
-# transcribed combination weights (see module docstring)
+# transcribed combination weights (see module docstring).  ESTIMATED: the
+# official CommonRoad cost catalog (commonroad-drivability-checker
+# `costs/evaluation.py`) is not available in this offline environment, so
+# these transcriptions cannot be pinned against it — every output of
+# `benchmark_cost` carries `weights_estimated=True` and the solution XML
+# stamps the weight set used (io/solution_writer.py `cost_weights` attr).
+# Exact competition weights can be passed via the `weights=` override.
 COST_COMBINATIONS = {
     "JB1": {"jerk": 1.0, "time": 1.0},
     "WX1": {"time": 10.0, "velocity_offset": 1.0,
@@ -35,6 +41,9 @@ COST_COMBINATIONS = {
     "SM1": {"acceleration": 50.0, "velocity_offset": 20.0,
             "steering_rate": 50.0, "time": 1.0},
 }
+
+# True until the transcription is verified against the published catalog
+COST_WEIGHTS_ESTIMATED = True
 
 
 def partial_costs(states, dt: float, desired_velocity: float | None = None
@@ -89,4 +98,7 @@ def benchmark_cost(states, dt: float, cost_function: str = "WX1", *,
     parts = partial_costs(states, dt, desired_velocity)
     total = sum(wk * parts[k] for k, wk in w.items())
     return {"cost_function": cost_function, "total": float(total),
-            "weights": w, "partial": parts}
+            "weights": w, "partial": parts,
+            # False only when every active weight was supplied explicitly
+            "weights_estimated": COST_WEIGHTS_ESTIMATED and any(
+                k not in (weights or {}) for k in w)}

@@ -137,7 +137,8 @@ def interp_ref_tables(ref, s, extra_tables=None, window_rows=None, window_anchor
 
     `extra_tables` (R, K): additional per-vertex columns (e.g. drivable-
     corridor bounds) interpolated in the same matmul for free; returned under
-    key "extras" with shape batch + (K,).
+    key "extras" as a tuple of K batch-shaped arrays (columns-major — a
+    stacked batch+(K,) array would re-materialize the transposed layout).
 
     `window_rows` (static int) + `window_anchor` (traced scalar arclength):
     the matmul's contraction dimension shrinks from R to `window_rows` by

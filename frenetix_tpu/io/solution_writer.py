@@ -43,15 +43,29 @@ def _exact(parent, tag, value, fmt="{:.17g}"):
 def solution_to_xml(scenario_id: str, trajectories: dict, dt: float, *,
                     vehicle_model: str = "KS", cr_vehicle_id: int = 2,
                     cost_function: str = "WX1",
-                    computation_time: float | None = None) -> ET.Element:
+                    computation_time: float | None = None,
+                    date: str | None = None,
+                    cost_weights: dict | None = None) -> ET.Element:
     """`trajectories`: {planning_problem_id: [states]} — each state needs
-    position (center), orientation, velocity, steering_angle, time_step."""
+    position (center), orientation, velocity, steering_angle, time_step.
+    `date` defaults to today (ISO).  `cost_weights`: the weight set used
+    when the cost was computed locally — stamped as an attribute so a
+    consumer can tell which (possibly estimated) weights produced any
+    logged cost (evaluation/solution_cost.py COST_COMBINATIONS are
+    estimated transcriptions, not the official catalog)."""
+    if date is None:
+        import datetime
+
+        date = datetime.date.today().isoformat()
     attrs = {
         "benchmark_id": benchmark_id(
             scenario_id, vehicle_model=vehicle_model,
             cr_vehicle_id=cr_vehicle_id, cost_function=cost_function),
-        "date": "2026-01-01",
+        "date": date,
     }
+    if cost_weights is not None:
+        attrs["cost_weights"] = ";".join(
+            f"{k}={v:g}" for k, v in sorted(cost_weights.items()))
     if computation_time is not None:
         attrs["computation_time"] = f"{computation_time:.6f}"
     root = ET.Element("CommonRoadSolution", attrs)
@@ -88,7 +102,8 @@ def read_solution(path: str, dt: float | None = None):
     steering_angle/time_step — directly consumable by
     evaluation.solution_check.check_solution.  The format does not carry
     acceleration (the reference reconstructs it by forward simulation);
-    with `dt` given it is rebuilt as the forward difference dv/dt."""
+    with `dt` given it is rebuilt as a central difference over the
+    (previous, next) states (one-sided at the ends)."""
     root = ET.parse(path).getroot()
     out = {}
     for traj in root:

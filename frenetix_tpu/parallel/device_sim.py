@@ -111,6 +111,97 @@ from typing import NamedTuple
 _RUNNING, _SUCCESS, _TIMELIMIT, _COLLISION, _ERROR = 1, 2, 3, 4, 5
 
 
+# --------------------------------------------------------------------------
+# Dekker double-single (DS) arithmetic — f32 pairs carrying ~f64 precision.
+# Module-level (not nested in the matrix builder) so the CPU suite can pin
+# them bitwise against NumPy f64 (tests/test_device_sim.py); a regression in
+# this host/device-parity-critical kernel would otherwise only surface on
+# real TPU hardware.
+# --------------------------------------------------------------------------
+
+def ds_two_sum(a, b):
+    """Knuth TwoSum: a + b as (fl(a+b), exact rounding error)."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _ds_split(a):
+    c = a * 4097.0          # Dekker split, f32: 2^12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def ds_two_prod(a, b):
+    """Dekker TwoProduct: a · b as (fl(a·b), exact rounding error)."""
+    p = a * b
+    ah, al = _ds_split(a)
+    bh, bl = _ds_split(b)
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def ds_linspace(ah, al, bh, bl, n):
+    """np.linspace(a, b, n) computed in FLOAT64 then cast to f32 —
+    emulated in f32 double-single (Dekker) arithmetic, since TPUs
+    have no f64.  The host builds its velocity grid this way
+    (reactive.py _sampling_ranges: python-f64 bounds, f64 linspace,
+    f32 cast at build_sampling_matrix); a plain f32 arange·step+start
+    differs in the 7th digit at dense levels (measured 1.1e-6 at
+    level 3) and flips feasibility-boundary candidates.  Endpoints
+    arrive as (hi, lo) pairs carrying the exact f64 bound; DS keeps
+    ~1e-14 relative error through the interpolation — far inside the
+    f32 rounding step, so the final collapse lands on the host's
+    exact f32 values."""
+    import jax.numpy as jnp
+
+    d_hi, d_lo = ds_two_sum(bh, -ah)
+    d_lo = d_lo + (bl - al)
+    div = jnp.float32(n - 1)
+    q = d_hi / div
+    p, e = ds_two_prod(q, div)
+    q_lo = (((d_hi - p) - e) + d_lo) / div
+    i = jnp.arange(n, dtype=jnp.float32)
+    p, e = ds_two_prod(i, q)
+    e = e + i * q_lo
+    s, e2 = ds_two_sum(p, ah)
+    vs = s + (e + (e2 + al))
+    return vs.at[-1].set(bh + bl)
+
+
+def ds_const(x):
+    """Exact f64 constant as an (f32 hi, f32 lo) pair (python-f64 math at
+    trace time; the lo part carries what the f32 cast drops)."""
+    hi = np.float32(x)
+    return hi, np.float32(x - float(hi))
+
+
+def ds_sub_from(v, c):
+    """(v - c) for f32 v and DS constant c, exact (hi, lo)."""
+    s, e = ds_two_sum(v, -c[0])
+    return ds_two_sum(s, e - c[1])
+
+
+def ds_add_from(v, c):
+    s, e = ds_two_sum(v, c[0])
+    return ds_two_sum(s, e + c[1])
+
+
+def ds_max(a, b):
+    import jax.numpy as jnp
+
+    take_a = (a[0] > b[0]) | ((a[0] == b[0]) & (a[1] >= b[1]))
+    return (jnp.where(take_a, a[0], b[0]),
+            jnp.where(take_a, a[1], b[1]))
+
+
+def ds_min(a, b):
+    import jax.numpy as jnp
+
+    take_a = (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] <= b[1]))
+    return (jnp.where(take_a, a[0], b[0]),
+            jnp.where(take_a, a[1], b[1]))
+
+
 class SimTensors(NamedTuple):
     """Every per-scenario device input of the scan — a pytree, so the whole
     run function vmaps over a leading SCENARIO axis (`run_fleet`)."""
@@ -628,76 +719,10 @@ class DeviceSimulation:
         t_grid, n_v, d_grid, _ = self.levels[level_idx]
         d_ego = self.d_ego_pos
 
-        def _two_sum(a, b):
-            s = a + b
-            bb = s - a
-            return s, (a - (s - bb)) + (b - bb)
-
-        def _split(a):
-            c = a * 4097.0          # Dekker split, f32: 2^12 + 1
-            hi = c - (c - a)
-            return hi, a - hi
-
-        def _two_prod(a, b):
-            p = a * b
-            ah, al = _split(a)
-            bh, bl = _split(b)
-            return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
-
-        def _ds_linspace(ah, al, bh, bl, n):
-            """np.linspace(a, b, n) computed in FLOAT64 then cast to f32 —
-            emulated in f32 double-single (Dekker) arithmetic, since TPUs
-            have no f64.  The host builds its velocity grid this way
-            (reactive.py _sampling_ranges: python-f64 bounds, f64 linspace,
-            f32 cast at build_sampling_matrix); a plain f32 arange·step+start
-            differs in the 7th digit at dense levels (measured 1.1e-6 at
-            level 3) and flips feasibility-boundary candidates.  Endpoints
-            arrive as (hi, lo) pairs carrying the exact f64 bound; DS keeps
-            ~1e-14 relative error through the interpolation — far inside the
-            f32 rounding step, so the final collapse lands on the host's
-            exact f32 values."""
-            d_hi, d_lo = _two_sum(bh, -ah)
-            d_lo = d_lo + (bl - al)
-            div = jnp.float32(n - 1)
-            q = d_hi / div
-            p, e = _two_prod(q, div)
-            q_lo = (((d_hi - p) - e) + d_lo) / div
-            i = jnp.arange(n, dtype=jnp.float32)
-            p, e = _two_prod(i, q)
-            e = e + i * q_lo
-            s, e2 = _two_sum(p, ah)
-            vs = s + (e + (e2 + al))
-            return vs.at[-1].set(bh + bl)
-
-        # exact f64 constants as (f32 hi, f32 lo) pairs (python-f64 math at
-        # trace time; the lo parts carry what the f32 cast drops)
-        def _ds_const(x):
-            hi = np.float32(x)
-            return hi, np.float32(x - float(hi))
-
-        _amax_T = _ds_const(veh.a_max * horizon)
-        _amax6_T = _ds_const((veh.a_max / 6.0) * horizon)
-        _vmax_c = _ds_const(veh.v_max)
-        _vfloor = _ds_const(0.001)
-
-        def _ds_sub_from(v, c):
-            """(v - c) for f32 v and DS constant c, exact (hi, lo)."""
-            s, e = _two_sum(v, -c[0])
-            return _two_sum(s, e - c[1])
-
-        def _ds_add_from(v, c):
-            s, e = _two_sum(v, c[0])
-            return _two_sum(s, e + c[1])
-
-        def _ds_max(a, b):
-            take_a = (a[0] > b[0]) | ((a[0] == b[0]) & (a[1] >= b[1]))
-            return (jnp.where(take_a, a[0], b[0]),
-                    jnp.where(take_a, a[1], b[1]))
-
-        def _ds_min(a, b):
-            take_a = (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] <= b[1]))
-            return (jnp.where(take_a, a[0], b[0]),
-                    jnp.where(take_a, a[1], b[1]))
+        _amax_T = ds_const(veh.a_max * horizon)
+        _amax6_T = ds_const((veh.a_max / 6.0) * horizon)
+        _vmax_c = ds_const(veh.v_max)
+        _vfloor = ds_const(0.001)
 
         use_ds = self.np_dtype == np.float32
 
@@ -709,9 +734,9 @@ class DeviceSimulation:
                 # python/NumPy FLOAT64 and casts once — emulate with DS pairs
                 vf = (jnp.full((), _vfloor[0]), jnp.full((), _vfloor[1]))
                 vm = (jnp.full((), _vmax_c[0]), jnp.full((), _vmax_c[1]))
-                lo_h, lo_l = _ds_max(_ds_sub_from(v_cur, _amax_T), vf)
-                hi_h, hi_l = _ds_min(_ds_add_from(v_cur, _amax6_T), vm)
-                vs = _ds_linspace(lo_h, lo_l, hi_h, hi_l, n_v)
+                lo_h, lo_l = ds_max(ds_sub_from(v_cur, _amax_T), vf)
+                hi_h, hi_l = ds_min(ds_add_from(v_cur, _amax6_T), vm)
+                vs = ds_linspace(lo_h, lo_l, hi_h, hi_l, n_v)
             else:
                 # f64 (CPU test dtype): EXACTLY np.linspace's algorithm —
                 # arange·step + start, endpoint pinned — is already bitwise

@@ -20,6 +20,9 @@ __all__ = [
     "make_gif",
 ]
 
+# the one live window reused across frames when show=True
+_live_fig = None
+
 
 def _draw_lanelets(ax, scenario):
     for ll in scenario.lanelets.values():
@@ -97,7 +100,17 @@ def plot_scenario_at_timestep(
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots(figsize=(11, 9))
+    global _live_fig
+    if show and _live_fig is not None and plt.fignum_exists(_live_fig.number):
+        # live mode keeps ONE window open across steps (the reference's
+        # interactive rendering keeps its figure alive between frames)
+        fig = _live_fig
+        fig.clf()
+        ax = fig.add_subplot(111)
+    else:
+        fig, ax = plt.subplots(figsize=(11, 9))
+        if show:
+            _live_fig = fig
     _draw_lanelets(ax, scenario)
 
     if visible_area is not None:
@@ -212,8 +225,9 @@ def plot_scenario_at_timestep(
             plt.pause(0.001)
         except Exception:
             pass  # headless backend — live display silently unavailable
-        plt.close(fig)
-        return save_path
+        # the window stays open (reused next frame via _live_fig)
+        if save_path:
+            return save_path
     return fig, ax
 
 

@@ -1084,3 +1084,52 @@ def test_device_sim_hybrid_behavior_with_occlusion_module():
     # the phantom gate visibly shaped the run (blind-spot slowdown)
     v = [s.velocity for s in h if 45 < s.position[0] < 65]
     assert np.mean(v) < 10.0
+
+
+def test_ds_linspace_matches_f64_linspace_bitwise(rng):
+    """The Dekker double-single velocity grid (module-level ds_* helpers)
+    must land bitwise on the host's f64-linspace-then-f32-cast values — on
+    CPU, so CI catches regressions without TPU hardware (the f32 DS path
+    only activates on TPU inside DeviceSimulation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from frenetix_tpu.parallel.device_sim import (
+        ds_add_from, ds_const, ds_linspace, ds_max, ds_min, ds_sub_from)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=5)
+    def device_grid(v32, amax_T, amax6_T, vmax_c, vfloor, n_v):
+        vf = (jnp.full((), vfloor[0]), jnp.full((), vfloor[1]))
+        vm = (jnp.full((), vmax_c[0]), jnp.full((), vmax_c[1]))
+        lo_h, lo_l = ds_max(ds_sub_from(v32, amax_T), vf)
+        hi_h, hi_l = ds_min(ds_add_from(v32, amax6_T), vm)
+        return ds_linspace(lo_h, lo_l, hi_h, hi_l, n_v)
+
+    n_checked = 0
+    for trial in range(300):
+        v32 = np.float32(rng.uniform(0.0, 40.0))
+        a_max = float(rng.uniform(5.0, 15.0))
+        horizon = float(rng.uniform(1.0, 4.0))
+        v_max = float(rng.uniform(20.0, 60.0))
+        n_v = int(rng.integers(2, 64))
+
+        # host semantics (reactive.py _sampling_ranges): python-f64 bounds
+        # from the f32 state, f64 linspace, one f32 cast
+        v = float(v32)
+        v_lo = max(0.001, v - a_max * horizon)
+        v_hi = min(v + (a_max / 6.0) * horizon, v_max)
+        host = np.linspace(v_lo, v_hi, n_v).astype(np.float32)
+
+        dev = np.asarray(device_grid(
+            jnp.float32(v32), ds_const(a_max * horizon),
+            ds_const((a_max / 6.0) * horizon), ds_const(v_max),
+            ds_const(0.001), n_v))
+        assert dev.dtype == np.float32
+        np.testing.assert_array_equal(
+            dev, host,
+            err_msg=f"trial {trial}: v={v} a_max={a_max} T={horizon} "
+                    f"v_max={v_max} n_v={n_v}")
+        n_checked += host.size
+    assert n_checked > 5000
