@@ -125,9 +125,16 @@ class WaleNet:
                 out[i] = st.position
         return out
 
-    def _preprocess(self, obstacle_ids, time_step):
+    def _preprocess(self, obstacle_ids, time_step, world=None):
         """Batched hist/nbrs/sc_img tensors + per-obstacle frames
-        (wale_net.py:367-453 + step_multi batching :261-309)."""
+        (wale_net.py:367-453 + step_multi batching :261-309).
+
+        `world`: optional scenario-like obstacle source (sim.world_view.
+        WorldView) — in multi-agent simulations the reference's
+        `update_scenario` rewrites the agent dummies' trajectories before
+        each global prediction, so histories AND neighbor grids must read
+        live executed states, not the stale recorded ones."""
+        world = world if world is not None else self.scenario
         b = len(obstacle_ids)
         ncells = GRID[0] * GRID[1]
         hist = np.zeros((IN_LENGTH, b, 2), np.float32)
@@ -135,9 +142,9 @@ class WaleNet:
         sc = np.zeros((b, 1, RES, RES), np.float32)
         frames = []
 
-        all_obs = self.scenario.dynamic_obstacles
+        all_obs = world.dynamic_obstacles
         for bi, oid in enumerate(obstacle_ids):
-            ob = self.scenario.obstacles[oid]
+            ob = world.obstacles[oid]
             st_now = ob.state_at_time(time_step)
             if st_now is None:
                 frames.append((np.zeros(2), 0.0))
@@ -178,14 +185,16 @@ class WaleNet:
         return hist, nbrs, sc, frames
 
     # --------------------------------------------------------------- predict
-    def predict(self, obstacle_ids, time_step):
+    def predict(self, obstacle_ids, time_step, world=None):
         """→ {obstacle_id: (pos_list (T, 2), cov_list (T, 2, 2))} in world
-        frame (postprocessing per geometry.transform_back)."""
+        frame (postprocessing per geometry.transform_back).  `world`: see
+        `_preprocess`."""
         import jax.numpy as jnp
 
         if not obstacle_ids:
             return {}
-        hist, nbrs, sc, frames = self._preprocess(obstacle_ids, time_step)
+        hist, nbrs, sc, frames = self._preprocess(obstacle_ids, time_step,
+                                                  world=world)
         fut = np.asarray(
             self._predict(jnp.asarray(hist), jnp.asarray(nbrs), jnp.asarray(sc))
         )  # (T, B, 5)
@@ -215,20 +224,28 @@ _WALENET_CACHE: dict = {}
 def walenet_predictions(
     scenario, obstacle_ids, current_step, horizon, *, max_obstacles=16,
     dtype=np.float32, safety_margin_length=0.5, safety_margin_width=0.2,
+    world=None,
 ):
-    """sim.prediction-compatible entry: PredictionTensors field dict."""
+    """sim.prediction-compatible entry: PredictionTensors field dict.
+
+    `world`: optional live obstacle source (WaleNet._preprocess) — histories
+    and neighbor grids read executed agent states instead of stale recorded
+    trajectories in multi-agent simulations."""
     key = id(scenario)
     if key not in _WALENET_CACHE:
         _WALENET_CACHE.clear()
         _WALENET_CACHE[key] = WaleNet(scenario)
     net = _WALENET_CACHE[key]
 
+    src = world if world is not None else scenario
+    obstacles = src.obstacles
     ids = [
         oid for oid in list(obstacle_ids)[:max_obstacles]
-        if scenario.obstacles[oid].role == "dynamic"
-        and scenario.obstacles[oid].state_at_time(current_step) is not None
+        if oid in obstacles
+        and obstacles[oid].role == "dynamic"
+        and obstacles[oid].state_at_time(current_step) is not None
     ]
-    preds = net.predict(ids, current_step)
+    preds = net.predict(ids, current_step, world=world)
 
     o = max_obstacles
     means = np.zeros((o, horizon, 2), dtype)
@@ -249,7 +266,7 @@ def walenet_predictions(
             means[k, t:] = pos[t - 1]
             covs[k, t:] = cov[t - 1]
         valid[k, :t] = True
-        ob = scenario.obstacles[oid]
+        ob = src.obstacles[oid]
         st = ob.state_at_time(current_step)
         # orientation/velocity enrichment (prediction_helpers.py:113-173)
         diffs = np.diff(means[k], axis=0)

@@ -26,13 +26,21 @@ and per-cycle selections against the batched host path.
 Restrictions of this headless mode (all deliberate, all checked at
 construction where possible):
 
-- predictions (ground_truth / constant_velocity / walenet) are precomputed
-  per replan cycle by the host's own `_predictions_for_step` — exact input
-  parity.  This works for ALL modes because sim predictions cover scenario
-  obstacles only, whose recorded trajectories are known up front (walenet
-  inference over them is deterministic at init); peer agents enter as
-  constant-velocity rows built on device from executed poses, same as the
-  host's `_augment_with_agents`.
+- predictions: scenario-obstacle windows (ground_truth /
+  constant_velocity) are precomputed per replan cycle by the host's own
+  `_predictions_for_step` — exact input parity (recorded trajectories are
+  known up front).  Peer agents are MODE-FAITHFUL (VERDICT r4 #2, the
+  reference's update_scenario semantics): in ground-truth mode each peer's
+  row is the remainder of its currently-executing plan, gathered from a
+  plan bank carried through the scan (`agent_plan_predictions`; the cycle-0
+  seed holds the converted obstacle's recorded trajectory, or a CV
+  pseudo-plan when none exists) — in constant-velocity mode peers stay CV
+  pose extrapolations.  walenet runs in HYBRID-PREDICTION mode: the net
+  consumes executed histories (even single-agent — the ego dummy is a
+  neighbor of every obstacle's net input), so each cycle the host syncs
+  executed mirrors (`_sync_exec_mirrors`) and builds the full per-agent
+  tensors through its own `_agent_predictions` (`_hybrid_pred_cycle`) —
+  one small fetch + upload per cycle instead of one fetch per run.
 - the FULL sensor pipeline runs on device (host parity): radius + rear-cone
   filter, and — with `calc_occlusions` — the visible-area occlusion stage
   (the host's membership test is a pure polar query, so the in-scan twin is
@@ -245,6 +253,16 @@ class SimTensors(NamedTuple):
     turn_spawn: object = None      # (A, R2, 2) precomputed turn spawn points
     turn_heading: object = None    # (A, R2)
     turn_hot: object = None        # (A, R2) |kappa| > threshold
+    # peer plan-bank seed (ground-truth peer predictions, VERDICT r4 #2):
+    # bank0[i, j] = agent i's CENTER (x, y, theta, v) at global step j from
+    # its converted obstacle's recorded trajectory (the reference's
+    # not-yet-updated dummy at step 0), or a CV pseudo-plan when none exists
+    bank0: object = None           # (A, W, 4)
+    bank_len0: object = None       # (A,) int32 readable entries
+    # in-scan behavior FSM (behavior/device_fsm.py) — None unless the
+    # scenario's behavior scope is device-supported
+    fsm: object = None             # FSMTensors pytree
+    fsm_carry0: object = None      # FSMCarry pytree (initial blackboard)
 
 
 @dataclass
@@ -455,6 +473,7 @@ class DeviceSimulation:
     """
 
     def __init__(self, sim, mesh=None, axis_name: str = "agents"):
+        import jax
         import jax.numpy as jnp
 
         from frenetix_tpu.parallel.batched_sim import BatchedAgentStepper
@@ -477,6 +496,18 @@ class DeviceSimulation:
         # cycle with the FSM on host in between — one small fetch per CYCLE
         # (carry + the cycle's executed sub-steps) instead of one per run.
         self.hybrid_behavior = bool(config.behavior.use_behavior_planner)
+        # walenet → HYBRID PREDICTIONS: the net consumes executed agent
+        # histories (host loop: WorldView-backed neighbor grids + peer rows,
+        # the reference's update_scenario semantics), which are not
+        # precomputable — each cycle the host builds the full per-agent
+        # prediction tensors (sensor filter + peers included, the host's own
+        # _agent_predictions) from synced mirrors and uploads them.
+        self.hybrid_pred = config.prediction.mode == "walenet"
+        if self.hybrid_pred and config.occlusion.use_occlusion_module:
+            raise NotImplementedError(
+                "walenet + occlusion module is host-loop only (the device "
+                "hybrid-prediction path does not thread host phantom "
+                "geometry); run sim.run() instead")
         self.use_occlusion = bool(config.occlusion.use_occlusion_module)
         ew = config.external_cost_weights
         self.occ_pm_weight = (float(ew.get("occ_pm", 0.0))
@@ -569,6 +600,29 @@ class DeviceSimulation:
             nd = len(smp.linspace_samples(0.0, 1.0, max(lvl - 1, 0))) + 1
             self._stop_bucket = nt * ns * nd
 
+        # ---- in-scan behavior FSM (VERDICT r4 #1) -------------------------
+        # when the scenario's behavior scope is device-supported, the FSM
+        # runs INSIDE the scan (one fetch per run); otherwise the hybrid
+        # per-cycle host path applies.  An unsupported transition at
+        # runtime (overtake initiation) raises the scan's bail flag and
+        # run() transparently re-executes on the hybrid path.
+        self.fsm_in_scan = False
+        self.fsm_tensors = None
+        self.fsm_carry_start = None
+        self._fsm_reason = "behavior planner off"
+        if self.hybrid_behavior and not self.hybrid_pred \
+                and getattr(config.behavior, "device_fsm", "auto") != "hybrid":
+            from frenetix_tpu.behavior.device_fsm import (
+                build_fsm_tensors, fsm_carry0)
+
+            ft, ok, reason = build_fsm_tensors(sim, dtype)
+            self._fsm_reason = reason
+            if ok:
+                self.fsm_tensors = ft
+                self.fsm_carry_start = fsm_carry0(self.agents, sim.scenario,
+                                                  dtype)
+                self.fsm_in_scan = True
+
         # ---- initial per-agent state -------------------------------------
         a_n = len(self.agents)
         x_cl0 = np.zeros((a_n, 6), dtype)
@@ -582,6 +636,41 @@ class DeviceSimulation:
                         a.state.velocity)
             acc0[i] = a.state.acceleration
         self.x_cl0, self.pose0, self.acc0 = x_cl0, pose0, acc0
+
+        # ---- peer plan-bank seed (ground-truth peer predictions) ---------
+        # Host spec: Simulation._peer_future — before the first plan exists
+        # the recorded trajectory of the converted obstacle is the peer's
+        # future (update_scenario returns early at step 0); CV pseudo-plan
+        # when neither exists.  bank[j] = center state at global step j;
+        # readable entries are 1..bank_len-1 (index 0 is never read — the
+        # prediction offset starts at the NEXT step).
+        self.bank_w = w_bank = max(self.n_steps + 1,
+                                   int(config.prediction.horizon_steps) + 1)
+        bank0 = np.zeros((a_n, w_bank, 4), dtype)
+        bank_len0 = np.zeros(a_n, np.int32)
+        for i, a in enumerate(self.agents):
+            ob = sim.scenario.obstacles.get(a.id)
+            n_rec = 0
+            if ob is not None:
+                for j in range(w_bank):
+                    st = ob.state_at_time(j)
+                    if st is None:
+                        break
+                    bank0[i, j] = (*st.position, st.orientation, st.velocity)
+                    n_rec += 1
+            if n_rec > 1:
+                bank0[i, n_rec:] = bank0[i, n_rec - 1]
+                bank_len0[i] = n_rec
+            else:
+                # CV pseudo-plan from the initial pose (host fallback)
+                x, y, th, v0 = pose0[i]
+                steps = np.arange(w_bank, dtype=dtype)
+                bank0[i, :, 0] = x + v0 * self.dt * steps * np.cos(th)
+                bank0[i, :, 1] = y + v0 * self.dt * steps * np.sin(th)
+                bank0[i, :, 2] = th
+                bank0[i, :, 3] = v0
+                bank_len0[i] = w_bank
+        self.bank0, self.bank_len0 = bank0, bank_len0
 
         # ---- goal / velocity-planner tensors ------------------------------
         (self.g_rings, self.g_ring_valid, self.g_ring_v, self.g_vo_has,
@@ -701,6 +790,13 @@ class DeviceSimulation:
             pose0=jnp.asarray(pose0),
             acc0=jnp.asarray(acc0),
             lane=self.lane_tensors,
+            bank0=jnp.asarray(bank0),
+            bank_len0=jnp.asarray(bank_len0),
+            fsm=(None if self.fsm_tensors is None
+                 else jax.tree.map(jnp.asarray, self.fsm_tensors)),
+            fsm_carry0=(None if self.fsm_carry_start is None
+                        else jax.tree.map(jnp.asarray,
+                                          self.fsm_carry_start)),
         )
 
         self._run_fn = None
@@ -938,7 +1034,8 @@ class DeviceSimulation:
         return v_des
 
     # ------------------------------------------------------------------- run
-    def _build_run(self, a_n=None, n_cycles=None, hybrid=False):
+    def _build_run(self, a_n=None, n_cycles=None, hybrid=False,
+                   hybrid_pred=False, fsm_mode=False):
         """Build the jitted whole-run function run(tensors) → out dict.
 
         `a_n` / `n_cycles` default to this scenario's values; `run_fleet`
@@ -958,7 +1055,8 @@ class DeviceSimulation:
         from frenetix_tpu.ops.collision import obb_overlap
         from frenetix_tpu.ops.costs import PredictionTensors
         from frenetix_tpu.parallel.mesh import (
-            _SEL_FIELDS, CTX_IN_AXES, agent_pose_predictions, concat_obstacles,
+            _SEL_FIELDS, CTX_IN_AXES, agent_plan_predictions,
+            agent_pose_predictions, concat_obstacles,
         )
         from frenetix_tpu.planner.core import CycleContext, evaluate_cycle
 
@@ -976,6 +1074,14 @@ class DeviceSimulation:
         goal_fn = self._goal_check_fn()
         vdes_fn = self._desired_velocity_fn()
         dt, n_steps = self.dt, self.n_steps
+
+        fsm_step_fn = stop_mat_fn = None
+        if fsm_mode:
+            from frenetix_tpu.behavior.device_fsm import make_fsm_step
+
+            fsm_step_fn = make_fsm_step(self.config, veh, dt, k)
+            stop_mat_fn = jax.vmap(self._build_stop_matrix_fn())
+            stop_thr = self.config.behavior.stopping_mode_threshold
 
         low_thr = self.config.planning.low_vel_mode_threshold
         comp_sum = bool(self.config.planning.compensated_cost_sum)
@@ -1179,9 +1285,9 @@ class DeviceSimulation:
         cycle_hi = _wrap_cycle(make_one_select(False, False))
         cycle_lo = _wrap_cycle(make_one_select(False, True))
         cycle_stop_hi = (_wrap_cycle(make_one_select(True, False))
-                         if hybrid else None)
+                         if (hybrid or fsm_mode) else None)
         cycle_stop_lo = (_wrap_cycle(make_one_select(True, True))
-                         if hybrid else None)
+                         if (hybrid or fsm_mode) else None)
 
         def run_cycle(mats, msks, ctx, d0, v_cur, extra, stop=False):
             """Both kinematics merged by the host's per-agent low-velocity
@@ -1209,17 +1315,29 @@ class DeviceSimulation:
         cone_half = float(pcfg.cone_angle) * np.pi / 180.0 / 2.0
         cone_safety = float(pcfg.cone_safety_dist)
 
-        def body(g, carry, c, behavior=None):
+        def body(g, carry, c, behavior=None, pred_override=None):
+            # pred_override: host-built PredictionTensors for this cycle
+            # (walenet hybrid — _run_hybrid/_hybrid_pred_cycle)
             # hybrid carry additionally tracks the executed curvature and the
             # previous executed orientation: the host FSM mirror needs the
             # recorded state's steering angle (arctan(L·κ)) and yaw rate
             # ((θ_j − θ_{j−1})/dt) — sim/agent.py:369-370 — because both feed
-            # compute_initial_state on a reference-path swap
-            if behavior is None:
-                x_cl, center, theta, v, acc, status = carry
+            # compute_initial_state on a reference-path swap.
+            # Both variants end with the peer plan bank (bank, bank_len):
+            # each agent's currently-executing plan, read by the NEXT
+            # cycle's ground-truth peer predictions (agent_plan_predictions).
+            if fsm_mode:
+                (x_cl, center, theta, v, acc, status, bank, bank_len,
+                 last_exec, fsm_c) = carry
                 kap = th_prev = None
+            elif behavior is None:
+                x_cl, center, theta, v, acc, status, bank, bank_len = carry
+                kap = th_prev = None
+                last_exec = fsm_c = None
             else:
-                x_cl, center, theta, v, acc, kap, th_prev, status = carry
+                (x_cl, center, theta, v, acc, kap, th_prev, status, bank,
+                 bank_len) = carry
+                last_exec = fsm_c = None
             t0 = c * k
 
             # --- pre_step goal check at the cycle-start state -------------
@@ -1246,141 +1364,177 @@ class DeviceSimulation:
 
             # --- replan (one fused vmapped cycle over all agents) ---------
             x_cl_replan = x_cl
+            if fsm_mode:
+                # in-scan behavior FSM (behavior/device_fsm.py): computes
+                # v_des + the planner stop point exactly as the hybrid
+                # host cycle would, then the quintic stopping matrix for
+                # qualifying agents (reactive.wants_stopping_mode)
+                peer_present = (last_exec == t0) & g.active0
+                fsm_c, v_des_b, stop_s_b, stop_v_b = fsm_step_fn(
+                    g.fsm, fsm_c, c, t0, center, theta, v, running,
+                    peer_present)
+                wants_b = (running
+                           & (stop_v_b < stop_thr)
+                           & (stop_s_b > x_cl[:, 0])
+                           & (stop_v_b < jnp.maximum(x_cl[:, 1], 1.0) + 2.0))
+                stop_mat_b, stop_mask_b = stop_mat_fn(
+                    x_cl, stop_s_b, stop_v_b, wants_b)
+                behavior = (v_des_b, stop_mat_b, stop_mask_b, wants_b)
             if behavior is None:
                 v_des = vdes_fn(g, x_cl, v, t0.astype(dtype))
             else:
                 # hybrid: the host FSM's desired velocity
                 # (apply_behavior_output → set_desired_velocity)
                 v_des = behavior[0]
-            # scenario-obstacle window of this cycle, broadcast to the agent
-            # axis (every agent sees the same ground-truth rows — host
-            # parity: pd_base is shared, sensor filtering is off here)
-            window = PredictionTensors(*(
-                jnp.broadcast_to(g.pred_windows[k_][c][None],
-                                 (a_n,) + g.pred_windows[k_].shape[1:])
-                for k_ in PredictionTensors._fields))
-            if use_sensor:
-                # per-agent radius + rear-cone sensor filter on the
-                # scenario-obstacle rows (sensor_model.obstacles_in_radius +
-                # filter_cone_angle, applied by the host BEFORE peers are
-                # appended — _filter_for_agent, sim/simulation.py)
-                rel = g.cur_obst[c][None, :, :2] - center[:, None, :]  # (A,O,2)
-                in_radius = (jnp.linalg.norm(rel, axis=-1)
-                             < sensor_radius) & g.cur_obst_valid[c][None]
-                c0 = jnp.cos(-theta)[:, None]
-                s0 = jnp.sin(-theta)[:, None]
-                loc_x = c0 * rel[..., 0] - s0 * rel[..., 1] - veh.length / 2.0
-                loc_y = s0 * rel[..., 0] + c0 * rel[..., 1]
-                dist = jnp.sqrt(loc_x ** 2 + loc_y ** 2)
-                ang = jnp.arctan2(loc_y, loc_x)
-                dropped = ((loc_x < 0) & (dist > cone_safety)
-                           & (jnp.abs(jnp.abs(ang) - jnp.pi) < cone_half))
-                sensor_ok = in_radius & ~dropped
-                if use_vis_occl:
-                    # visible-area occlusion stage (host: visible_obstacles →
-                    # compute_visible_area + obstacle_visible): polar map per
-                    # agent from road walls + recorded obstacles at t0 + live
-                    # peers, then the nearest-ray membership probe over each
-                    # window row's 4 silhouette corners + center with the
-                    # host's 0.3 m on-edge tolerance
-                    from frenetix_tpu.sim.visible_area import (
-                        obb_segments_batch, polar_visibility_batch)
+            if pred_override is not None:
+                # host-built per-agent tensors (walenet hybrid):
+                # sensor filter, peer rows and eviction already applied
+                # by the host's own _agent_predictions — maximal parity
+                # by construction (one upload per cycle)
+                preds, pm_extra = pred_override, ()
+            else:
+                # scenario-obstacle window of this cycle, broadcast to the agent
+                # axis (every agent sees the same ground-truth rows — host
+                # parity: pd_base is shared, sensor filtering is off here)
+                window = PredictionTensors(*(
+                    jnp.broadcast_to(g.pred_windows[k_][c][None],
+                                     (a_n,) + g.pred_windows[k_].shape[1:])
+                    for k_ in PredictionTensors._fields))
+                if use_sensor:
+                    # per-agent radius + rear-cone sensor filter on the
+                    # scenario-obstacle rows (sensor_model.obstacles_in_radius +
+                    # filter_cone_angle, applied by the host BEFORE peers are
+                    # appended — _filter_for_agent, sim/simulation.py)
+                    rel = g.cur_obst[c][None, :, :2] - center[:, None, :]  # (A,O,2)
+                    in_radius = (jnp.linalg.norm(rel, axis=-1)
+                                 < sensor_radius) & g.cur_obst_valid[c][None]
+                    c0 = jnp.cos(-theta)[:, None]
+                    s0 = jnp.sin(-theta)[:, None]
+                    loc_x = c0 * rel[..., 0] - s0 * rel[..., 1] - veh.length / 2.0
+                    loc_y = s0 * rel[..., 0] + c0 * rel[..., 1]
+                    dist = jnp.sqrt(loc_x ** 2 + loc_y ** 2)
+                    ang = jnp.arctan2(loc_y, loc_x)
+                    dropped = ((loc_x < 0) & (dist > cone_safety)
+                               & (jnp.abs(jnp.abs(ang) - jnp.pi) < cone_half))
+                    sensor_ok = in_radius & ~dropped
+                    if use_vis_occl:
+                        # visible-area occlusion stage (host: visible_obstacles →
+                        # compute_visible_area + obstacle_visible): polar map per
+                        # agent from road walls + recorded obstacles at t0 + live
+                        # peers, then the nearest-ray membership probe over each
+                        # window row's 4 silhouette corners + center with the
+                        # host's 0.3 m on-edge tolerance
+                        from frenetix_tpu.sim.visible_area import (
+                            obb_segments_batch, polar_visibility_batch)
 
-                    op0 = g.obst_poses[t0]                        # (O, 3)
-                    segs_o = obb_segments_batch(
-                        op0[:, :2], op0[:, 2], g.obst_half)       # (O,4,2,2)
-                    segs_p = obb_segments_batch(
-                        center, theta,
-                        jnp.broadcast_to(h_agent, center.shape))  # (A,4,2,2)
-                    seg_pts = jnp.concatenate(
-                        [g.road_segs, segs_o.reshape(-1, 2, 2),
-                         segs_p.reshape(-1, 2, 2)])
-                    o4 = jnp.repeat(g.obst_valid[t0], 4)
-                    peer_ok = running_pre[None, :] & ~eye         # (A, A)
-                    n_road = g.road_segs.shape[0]
-                    seg_valid = jnp.concatenate([
-                        jnp.ones((a_n, n_road), bool),
-                        jnp.broadcast_to(o4[None], (a_n, o4.shape[0])),
-                        jnp.repeat(peer_ok, 4, axis=1)], axis=1)  # (A, S)
-                    r_vis = jax.vmap(
-                        polar_visibility_batch,
-                        in_axes=(0, None, None, 0, None))(
-                        center, seg_pts[:, 0], seg_pts[:, 1], seg_valid,
-                        sensor_radius)                            # (A, K)
-                    cur = g.cur_obst[c]                           # (O', 3)
-                    corners = obb_segments_batch(
-                        cur[:, :2], cur[:, 2], g.cur_half[c])[:, :, 0]
-                    probes = jnp.concatenate(
-                        [corners, cur[:, None, :2]], axis=1)      # (O', 5, 2)
-                    rel_p = probes[None] - center[:, None, None]  # (A,O',5,2)
-                    rr = jnp.linalg.norm(rel_p, axis=-1)
-                    ang_p = jnp.arctan2(rel_p[..., 1], rel_p[..., 0])
-                    k_rays = r_vis.shape[1]
-                    idx = jnp.round(
-                        (ang_p + jnp.pi) / (2 * jnp.pi) * k_rays
-                    ).astype(jnp.int32) % k_rays                  # (A,O',5)
-                    r_at = jnp.take_along_axis(
-                        r_vis[:, None].repeat(idx.shape[1], 1),
-                        idx, axis=2)                              # (A,O',5)
-                    vis = jnp.any(rr <= r_at + 0.3, axis=-1)      # (A, O')
-                    sensor_ok = sensor_ok & vis
-                window = window._replace(
-                    valid=window.valid & sensor_ok[:, :, None])
-            poses_all = jnp.concatenate(
-                [center, theta[:, None], v[:, None]], axis=1)
-            agent_preds = agent_pose_predictions(
-                poses_all, horizon=window.means.shape[2], dt=self.dt,
-                length=veh.length + 0.5, width=veh.width + 0.2,
-                cov_pos=pcfg.cov_pos, active=running_pre,
-            )
-            preds = concat_obstacles(window, agent_preds)
-            pm_extra = ()
-            if use_occ:
-                # occlusion phantom injection (host: _agent_predictions →
-                # augment_predictions): spawn locator on device from the
-                # recorded obstacle poses + live ego, free-slot cap computed
-                # exactly as the host's post-augment free count
-                n_present = jnp.sum(jnp.any(window.valid, axis=2), axis=1)
-                n_peers = (jnp.sum(running_pre)
-                           - running_pre.astype(jnp.int32))
-                n_free = window.valid.shape[1] - n_present - n_peers
-                ph, ph_mask, ph_pos = jax.vmap(
-                    phantom_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
-                    g, c, center, n_free, g.turn_xy, g.turn_spawn,
-                    g.turn_heading, g.turn_hot)
-                preds = concat_obstacles(preds, ph)
-                pm_full = jnp.concatenate([
-                    jnp.zeros((a_n, window.valid.shape[1] + a_n), bool),
-                    ph_mask], axis=1)
-                pm_extra = (pm_full,)
-                if use_occ_geom:
-                    # on-device polar visibility map (occ_um) + phantom
-                    # silhouette points (occ_ve) — host inputs gathered at
-                    # reactive.py:412-443 via OcclusionModule.polar_map /
-                    # occluder_points: scenario obstacles at the replan step
-                    # plus LIVE peers occlude; road walls excluded
-                    from frenetix_tpu.sim.visible_area import (
-                        obb_segments_batch, polar_visibility_batch)
+                        op0 = g.obst_poses[t0]                        # (O, 3)
+                        segs_o = obb_segments_batch(
+                            op0[:, :2], op0[:, 2], g.obst_half)       # (O,4,2,2)
+                        segs_p = obb_segments_batch(
+                            center, theta,
+                            jnp.broadcast_to(h_agent, center.shape))  # (A,4,2,2)
+                        seg_pts = jnp.concatenate(
+                            [g.road_segs, segs_o.reshape(-1, 2, 2),
+                             segs_p.reshape(-1, 2, 2)])
+                        o4 = jnp.repeat(g.obst_valid[t0], 4)
+                        peer_ok = running_pre[None, :] & ~eye         # (A, A)
+                        n_road = g.road_segs.shape[0]
+                        seg_valid = jnp.concatenate([
+                            jnp.ones((a_n, n_road), bool),
+                            jnp.broadcast_to(o4[None], (a_n, o4.shape[0])),
+                            jnp.repeat(peer_ok, 4, axis=1)], axis=1)  # (A, S)
+                        r_vis = jax.vmap(
+                            polar_visibility_batch,
+                            in_axes=(0, None, None, 0, None))(
+                            center, seg_pts[:, 0], seg_pts[:, 1], seg_valid,
+                            sensor_radius)                            # (A, K)
+                        cur = g.cur_obst[c]                           # (O', 3)
+                        corners = obb_segments_batch(
+                            cur[:, :2], cur[:, 2], g.cur_half[c])[:, :, 0]
+                        probes = jnp.concatenate(
+                            [corners, cur[:, None, :2]], axis=1)      # (O', 5, 2)
+                        rel_p = probes[None] - center[:, None, None]  # (A,O',5,2)
+                        rr = jnp.linalg.norm(rel_p, axis=-1)
+                        ang_p = jnp.arctan2(rel_p[..., 1], rel_p[..., 0])
+                        k_rays = r_vis.shape[1]
+                        idx = jnp.round(
+                            (ang_p + jnp.pi) / (2 * jnp.pi) * k_rays
+                        ).astype(jnp.int32) % k_rays                  # (A,O',5)
+                        r_at = jnp.take_along_axis(
+                            r_vis[:, None].repeat(idx.shape[1], 1),
+                            idx, axis=2)                              # (A,O',5)
+                        vis = jnp.any(rr <= r_at + 0.3, axis=-1)      # (A, O')
+                        sensor_ok = sensor_ok & vis
+                    window = window._replace(
+                        valid=window.valid & sensor_ok[:, :, None])
+                if pcfg.mode == "ground_truth":
+                    # mode-faithful peers (host: Simulation._peer_future): the
+                    # remainder of each peer's executing plan from the carried
+                    # bank; offset 1 at cycle 0 (the seed holds recorded/CV
+                    # states of the current step), k+1 after (plans were
+                    # selected one cycle ago, k sub-steps executed since)
+                    agent_preds = agent_plan_predictions(
+                        bank, bank_len, jnp.where(c == 0, 1, k + 1),
+                        horizon=window.means.shape[2],
+                        length=veh.length + 0.5, width=veh.width + 0.2,
+                        cov_pos=pcfg.cov_pos, active=running_pre,
+                    )
+                else:
+                    poses_all = jnp.concatenate(
+                        [center, theta[:, None], v[:, None]], axis=1)
+                    agent_preds = agent_pose_predictions(
+                        poses_all, horizon=window.means.shape[2], dt=self.dt,
+                        length=veh.length + 0.5, width=veh.width + 0.2,
+                        cov_pos=pcfg.cov_pos, active=running_pre,
+                    )
+                preds = concat_obstacles(window, agent_preds)
+                pm_extra = ()
+                if use_occ:
+                    # occlusion phantom injection (host: _agent_predictions →
+                    # augment_predictions): spawn locator on device from the
+                    # recorded obstacle poses + live ego, free-slot cap computed
+                    # exactly as the host's post-augment free count
+                    n_present = jnp.sum(jnp.any(window.valid, axis=2), axis=1)
+                    n_peers = (jnp.sum(running_pre)
+                               - running_pre.astype(jnp.int32))
+                    n_free = window.valid.shape[1] - n_present - n_peers
+                    ph, ph_mask, ph_pos = jax.vmap(
+                        phantom_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
+                        g, c, center, n_free, g.turn_xy, g.turn_spawn,
+                        g.turn_heading, g.turn_hot)
+                    preds = concat_obstacles(preds, ph)
+                    pm_full = jnp.concatenate([
+                        jnp.zeros((a_n, window.valid.shape[1] + a_n), bool),
+                        ph_mask], axis=1)
+                    pm_extra = (pm_full,)
+                    if use_occ_geom:
+                        # on-device polar visibility map (occ_um) + phantom
+                        # silhouette points (occ_ve) — host inputs gathered at
+                        # reactive.py:412-443 via OcclusionModule.polar_map /
+                        # occluder_points: scenario obstacles at the replan step
+                        # plus LIVE peers occlude; road walls excluded
+                        from frenetix_tpu.sim.visible_area import (
+                            obb_segments_batch, polar_visibility_batch)
 
-                    op0 = g.obst_poses[t0]                        # (O, 3)
-                    segs_o = obb_segments_batch(
-                        op0[:, :2], op0[:, 2], g.obst_half)       # (O,4,2,2)
-                    segs_p = obb_segments_batch(
-                        center, theta,
-                        jnp.broadcast_to(h_agent, center.shape))  # (A,4,2,2)
-                    seg_pts = jnp.concatenate(
-                        [segs_o.reshape(-1, 2, 2), segs_p.reshape(-1, 2, 2)])
-                    o4 = jnp.repeat(g.obst_valid[t0], 4)
-                    peer_ok = running_pre[None, :] & ~eye         # (A, A)
-                    seg_valid = jnp.concatenate([
-                        jnp.broadcast_to(o4[None], (a_n, o4.shape[0])),
-                        jnp.repeat(peer_ok, 4, axis=1)], axis=1)  # (A, S)
-                    r_vis = jax.vmap(
-                        polar_visibility_batch,
-                        in_axes=(0, None, None, 0, None))(
-                        center, seg_pts[:, 0], seg_pts[:, 1], seg_valid,
-                        sensor_radius)                            # (A, K)
-                    pm_extra = pm_extra + (center, r_vis, ph_pos, ph_mask)
+                        op0 = g.obst_poses[t0]                        # (O, 3)
+                        segs_o = obb_segments_batch(
+                            op0[:, :2], op0[:, 2], g.obst_half)       # (O,4,2,2)
+                        segs_p = obb_segments_batch(
+                            center, theta,
+                            jnp.broadcast_to(h_agent, center.shape))  # (A,4,2,2)
+                        seg_pts = jnp.concatenate(
+                            [segs_o.reshape(-1, 2, 2), segs_p.reshape(-1, 2, 2)])
+                        o4 = jnp.repeat(g.obst_valid[t0], 4)
+                        peer_ok = running_pre[None, :] & ~eye         # (A, A)
+                        seg_valid = jnp.concatenate([
+                            jnp.broadcast_to(o4[None], (a_n, o4.shape[0])),
+                            jnp.repeat(peer_ok, 4, axis=1)], axis=1)  # (A, S)
+                        r_vis = jax.vmap(
+                            polar_visibility_batch,
+                            in_axes=(0, None, None, 0, None))(
+                            center, seg_pts[:, 0], seg_pts[:, 1], seg_valid,
+                            sensor_radius)                            # (A, K)
+                        pm_extra = pm_extra + (center, r_vis, ph_pos, ph_mask)
             ctx = CycleContext(
                 ref=g.ref, veh=veh, weights=weights, preds=preds,
                 obstacle_xy=preds.means[:, :, 0],
@@ -1450,6 +1604,29 @@ class DeviceSimulation:
             running = status == _RUNNING
             sel = out["sel"]
 
+            # --- publish this cycle's plan into the peer bank -------------
+            # (host: a.current_plan becomes the peers' GT prediction source;
+            # standstill agents publish the host's standstill plan —
+            # constant center pose, v = 0, reactive._standstill_trajectory)
+            plan_th = out["theta"]                              # (A, N+1)
+            bank_plan = jnp.stack([
+                out["x"] + wb * jnp.cos(plan_th),
+                out["y"] + wb * jnp.sin(plan_th),
+                plan_th, out["v"]], axis=-1)                    # (A, N+1, 4)
+            w_bank = bank.shape[1]
+            if w_bank > bank_plan.shape[1]:
+                pad = jnp.repeat(bank_plan[:, -1:],
+                                 w_bank - bank_plan.shape[1], axis=1)
+                bank_plan = jnp.concatenate([bank_plan, pad], axis=1)
+            std_row = jnp.concatenate(
+                [center, theta[:, None], jnp.zeros_like(v)[:, None]],
+                axis=1)                                         # (A, 4)
+            bank = jnp.where(
+                std[:, None, None],
+                jnp.broadcast_to(std_row[:, None, :], bank.shape),
+                bank_plan[:, :w_bank])
+            bank_len = jnp.full_like(bank_len, n_steps + 1)
+
             # --- execute k sub-steps with the status ladder ---------------
             traj_steps, status_steps = [], []
             for j in range(1, k + 1):
@@ -1460,6 +1637,10 @@ class DeviceSimulation:
                     status = jnp.where(reached, _SUCCESS, status)
                     running = status == _RUNNING
                 step_ok = running & (t_glob <= g.max_steps)
+                if fsm_mode:
+                    # the WorldView presence rule: an agent "has a state at
+                    # t" iff it executed step t (colliding state included)
+                    last_exec = jnp.where(step_ok, t_glob, last_exec)
                 mov = step_ok & ~std
                 rear = jnp.stack([out["x"][:, j], out["y"][:, j]], axis=1)
                 th_j = out["theta"][:, j]
@@ -1523,15 +1704,28 @@ class DeviceSimulation:
                     axis=1))
                 status_steps.append(status)
 
-            if behavior is None:
-                carry = (x_cl, center, theta, v, acc, status)
+            if fsm_mode:
+                carry = (x_cl, center, theta, v, acc, status, bank, bank_len,
+                         last_exec, fsm_c)
+            elif behavior is None:
+                carry = (x_cl, center, theta, v, acc, status, bank, bank_len)
             else:
-                carry = (x_cl, center, theta, v, acc, kap, th_prev, status)
+                carry = (x_cl, center, theta, v, acc, kap, th_prev, status,
+                         bank, bank_len)
             # x_cl0_cycle: the curvilinear state each agent REPLANNED from
             # this cycle (exposed for debugging/regression)
             ys = (jnp.stack(traj_steps), jnp.stack(status_steps), sel, found,
                   x_cl_replan)
             return carry, ys
+
+        if hybrid and hybrid_pred:
+            def step(g, carry, c, v_des, stop_mat, stop_mask, wants_stop,
+                     preds):
+                return body(g, carry, c,
+                            behavior=(v_des, stop_mat, stop_mask, wants_stop),
+                            pred_override=preds)
+
+            return jax.jit(step)
 
         if hybrid:
             def step(g, carry, c, v_des, stop_mat, stop_mask, wants_stop):
@@ -1540,17 +1734,29 @@ class DeviceSimulation:
 
             return jax.jit(step)
 
+        if hybrid_pred:
+            def step(g, carry, c, preds):
+                return body(g, carry, c, pred_override=preds)
+
+            return jax.jit(step)
+
         def run(g: SimTensors):
             center0 = g.pose0[:, :2]
             theta0, v0 = g.pose0[:, 2], g.pose0[:, 3]
             status0 = jnp.where(g.active0, _RUNNING, _ERROR).astype(jnp.int32)
-            carry0 = (g.x_cl0, center0, theta0, v0, g.acc0, status0)
+            if fsm_mode:
+                carry0 = (g.x_cl0, center0, theta0, v0, g.acc0, status0,
+                          g.bank0, g.bank_len0,
+                          jnp.zeros(a_n, jnp.int32), g.fsm_carry0)
+            else:
+                carry0 = (g.x_cl0, center0, theta0, v0, g.acc0, status0,
+                          g.bank0, g.bank_len0)
             carry, ys = jax.lax.scan(
                 lambda carry, c: body(g, carry, c), carry0,
                 jnp.arange(n_cycles, dtype=jnp.int32))
             traj, status_steps, sel, found, x_cl_cycles = ys
             t_tot = n_cycles * k
-            return {
+            out = {
                 "final_status": carry[5],
                 "trajectories": traj.reshape(t_tot, a_n, 5),
                 "status_per_step": status_steps.reshape(t_tot, a_n),
@@ -1558,6 +1764,9 @@ class DeviceSimulation:
                 "found": found,
                 "x_cl_cycles": x_cl_cycles,
             }
+            if fsm_mode:
+                out["fsm_bail"] = carry[9].bail
+            return out
 
         return jax.jit(run)
 
@@ -1590,7 +1799,8 @@ class DeviceSimulation:
 
         import jax
 
-        if self.hybrid_behavior:
+        if (self.hybrid_behavior and not self.fsm_in_scan) \
+                or self.hybrid_pred:
             return self._run_hybrid()
         t_start = time.perf_counter()
         if self._run_fn is None:
@@ -1601,15 +1811,85 @@ class DeviceSimulation:
 
                 self._run_fn = cached_program(
                     "devsim", (repr(self.config), len(self.agents),
-                               self.n_cycles),
-                    self.tensors, self._build_run)
+                               self.n_cycles, self.fsm_in_scan),
+                    self.tensors,
+                    lambda: self._build_run(fsm_mode=self.fsm_in_scan))
             else:
-                self._run_fn = self._build_run()
+                self._run_fn = self._build_run(fsm_mode=self.fsm_in_scan)
         out = self._run_fn(self.tensors)
         out = jax.device_get(out)     # THE one fetch
+        if self.fsm_in_scan and bool(np.asarray(out.get("fsm_bail"))):
+            # the in-scan FSM hit an unsupported transition (overtake
+            # initiation) — re-run transparently on the hybrid host-FSM
+            # path (mirrors untouched; outcomes never diverge from host)
+            return self._run_hybrid()
         res = self._finalize(out)
         res.wall_time = time.perf_counter() - t_start
         return res
+
+    def _build_stop_matrix_fn(self):
+        """Per-agent in-scan quintic stopping matrix — device twin of
+        ReactivePlanner._stopping_matrix at level sampling_min (the only
+        level the host ever tries, reactive.py:318-321).  Fixed rows: the
+        static t1 grid x ns end positions x (nd+1) end offsets, padded with
+        benign masked rows up to the hybrid stop bucket.  A duplicate d1
+        row (the host's union1d dedups when x0_lat[0] hits a linspace value
+        exactly) is an identical candidate — same selection outcome."""
+        import jax.numpy as jnp
+
+        from frenetix_tpu.ops import sampling as smp
+
+        p = self.config.planning
+        lvl = p.sampling_min
+        dtype = self.np_dtype
+        t1_np = smp.time_samples(p.t_min, self.horizon, self.dt, lvl)
+        t1_np = np.unique(np.concatenate([t1_np, [self.n_steps * self.dt]]))
+        t1 = jnp.asarray(t1_np.astype(dtype))
+        ns = len(smp.linspace_samples(0.0, 1.0, lvl))
+        nd_lin = len(smp.linspace_samples(0.0, 1.0, max(lvl - 1, 0)))
+        m_stop = self._stop_bucket
+        horizon, n_steps, dt = self.horizon, self.n_steps, self.dt
+
+        def linspace(lo, hi, n):
+            # np.linspace twin: lo + i*step, endpoint pinned
+            step = (hi - lo) / (n - 1)
+            vals = lo + jnp.arange(n, dtype=dtype) * step
+            return vals.at[-1].set(hi)
+
+        def one(x_cl, stop_s, stop_v, wants):
+            s0, ss0, sss0 = x_cl[0], x_cl[1], x_cl[2]
+            d0, dd0, ddd0 = x_cl[3], x_cl[4], x_cl[5]
+            ref_vel = (ss0 + stop_v) / 2.0
+            d_delta = jnp.where(ref_vel < 5.0,
+                                jnp.maximum((ss0 / 5.0) * 0.4, 0.01), 0.4)
+            s1 = linspace((s0 + stop_s) / 2.0, stop_s, ns)
+            d1 = jnp.sort(jnp.concatenate(
+                [linspace(d0 - d_delta, d0 + d_delta, nd_lin), d0[None]]))
+            nt = t1.shape[0]
+            nd = nd_lin + 1
+            m = nt * ns * nd
+            mat = jnp.zeros((m, 13), x_cl.dtype)
+            mat = mat.at[:, 1].set(jnp.repeat(t1, ns * nd))
+            mat = mat.at[:, 5].set(jnp.tile(jnp.repeat(s1, nd), nt))
+            mat = mat.at[:, 10].set(jnp.tile(d1, nt * ns))
+            mat = mat.at[:, 2].set(s0).at[:, 3].set(ss0).at[:, 4].set(sss0)
+            mat = mat.at[:, 7].set(d0).at[:, 8].set(dd0).at[:, 9].set(ddd0)
+            mask = jnp.broadcast_to(wants, (m,))
+            benign = jnp.zeros((1, 13), x_cl.dtype)
+            benign = benign.at[0, 1].set(n_steps * dt)
+            benign = benign.at[0, 2:5].set(x_cl[:3])
+            benign = benign.at[0, 5].set(
+                s0 + jnp.maximum(ss0, 1.0) * horizon)
+            benign = benign.at[0, 7:10].set(x_cl[3:])
+            benign = benign.at[0, 10].set(d0)
+            mat = jnp.where(wants, mat, jnp.broadcast_to(benign, mat.shape))
+            if m < m_stop:
+                pad = jnp.broadcast_to(benign, (m_stop - m, 13))
+                mat = jnp.concatenate([mat, pad])
+                mask = jnp.concatenate([mask, jnp.zeros(m_stop - m, bool)])
+            return mat, mask
+
+        return one
 
     def _benign_stop_rows(self, x_cl_row):
         """A well-conditioned masked-out stopping matrix for agents not in
@@ -1624,7 +1904,11 @@ class DeviceSimulation:
         return np.repeat(m, self._stop_bucket, axis=0)
 
     def _run_hybrid(self) -> DeviceSimResult:
-        """Behavior-planner hybrid: device cycles, host FSM in between.
+        """Hybrid driver: device cycles with host work in between.
+
+        Two independent host stages compose here: the behavior FSM
+        (`hybrid_behavior`) and the walenet prediction build
+        (`hybrid_pred`) — either or both.
 
         The FSM is data-dependent host control logic (as in the reference —
         behavior_module.py:113-193 runs per replan step on host), so the run
@@ -1648,31 +1932,50 @@ class DeviceSimulation:
 
         t_start = time.perf_counter()
         jnp = self.jnp
+        behavior_on, pred_on = self.hybrid_behavior, self.hybrid_pred
         if self._hybrid_fn is None:
-            self._hybrid_fn = self._build_run(hybrid=True)
+            self._hybrid_fn = self._build_run(hybrid=behavior_on,
+                                              hybrid_pred=pred_on)
         step_fn = self._hybrid_fn
         g = self.tensors
-        carry = self._hybrid_carry0(g)
+        if behavior_on:
+            carry = self._hybrid_carry0(g)
+        else:
+            # pred-only hybrid runs on the non-behavior carry layout
+            pose0 = jnp.asarray(g.pose0)
+            status0 = jnp.where(jnp.asarray(g.active0), _RUNNING,
+                                _ERROR).astype(jnp.int32)
+            carry = (jnp.asarray(g.x_cl0), pose0[:, :2], pose0[:, 2],
+                     pose0[:, 3], jnp.asarray(g.acc0), status0,
+                     jnp.asarray(g.bank0), jnp.asarray(g.bank_len0))
+        status_idx = 7 if behavior_on else 5
 
         ys_list = []
         for c in range(self.n_cycles):
             carry_h = jax.device_get(carry)
-            v_des, wants, stop_mat, stop_mask, x_cl_new, swapped = (
-                self._hybrid_host_cycle(c, carry_h))
+            if pred_on:
+                ys_prev = jax.device_get(ys_list[-1]) if ys_list else None
+                self._sync_exec_mirrors(c, carry_h, ys_prev, status_idx)
+            args = ()
+            if behavior_on:
+                v_des, wants, stop_mat, stop_mask, x_cl_new, swapped = (
+                    self._hybrid_host_cycle(c, carry_h, synced=pred_on))
 
-            if swapped:
-                self._hybrid_restack()
-                g = self.tensors
-                carry = (jnp.asarray(x_cl_new), *carry[1:])
+                if swapped:
+                    self._hybrid_restack()
+                    g = self.tensors
+                    carry = (jnp.asarray(x_cl_new), *carry[1:])
+                args = (jnp.asarray(v_des), jnp.asarray(stop_mat),
+                        jnp.asarray(stop_mask), jnp.asarray(wants))
+            if pred_on:
+                args = args + (self._hybrid_pred_cycle(c),)
 
-            carry, ys = step_fn(g, carry, jnp.asarray(c, jnp.int32),
-                                jnp.asarray(v_des), jnp.asarray(stop_mat),
-                                jnp.asarray(stop_mask), jnp.asarray(wants))
+            carry, ys = step_fn(g, carry, jnp.asarray(c, jnp.int32), *args)
             ys_list.append(ys)
 
         ys_h = jax.device_get(ys_list)
         out = {
-            "final_status": np.asarray(jax.device_get(carry[7])),
+            "final_status": np.asarray(jax.device_get(carry[status_idx])),
             "trajectories": np.concatenate([y[0] for y in ys_h]),
             "status_per_step": np.concatenate([y[1] for y in ys_h]),
             "selections": np.stack([y[2] for y in ys_h]),
@@ -1683,11 +1986,106 @@ class DeviceSimulation:
         res.wall_time = time.perf_counter() - t_start
         return res
 
+    def _sync_exec_mirrors(self, c: int, carry_h, ys_prev, status_idx):
+        """Sync the host agent mirrors with the device state for the hybrid
+        prediction path (walenet): current EgoState, status, and the
+        previous cycle's executed sub-step states appended to each agent's
+        record — walenet consumes 30-step executed histories
+        (wale_net.py:236-259), so unlike the behavior hybrid's
+        replan-step-only sync, every executed state must land in
+        `a.record.states` (the host appends one per executed step, plus the
+        single colliding state)."""
+        from frenetix_tpu.sim.agent import AgentStatus, EgoState
+
+        if c == 0:
+            # construction mirrors are already exact (initial states)
+            self._mirror_prev_running = [True] * len(self.agents)
+            return
+        k = self.k_replan
+        t0 = c * k
+        (x_cl_h, center_h, theta_h, v_h, acc_h) = (
+            np.asarray(x) for x in carry_h[:5])
+        status_h = np.asarray(carry_h[status_idx])
+        traj = np.asarray(ys_prev[0])     # (k, A_pad, 5)
+        sps = np.asarray(ys_prev[1])      # (k, A_pad)
+        prev_running = self._mirror_prev_running
+        for i, a in enumerate(self.agents):
+            was_running = prev_running[i]
+            for j in range(traj.shape[0]):
+                s_j = int(sps[j, i])
+                executed = (s_j == _RUNNING) or (
+                    s_j == _COLLISION and was_running)
+                was_running = s_j == _RUNNING
+                if not executed:
+                    continue
+                x, y, th, vv, aa = (float(f) for f in traj[j, i])
+                t_j = (c - 1) * k + j + 1
+                if a.record.states and                         a.record.states[-1].time_step >= t_j:
+                    continue
+                prev_th = (a.record.states[-1].orientation
+                           if a.record.states else th)
+                yaw = (th - prev_th) / self.dt
+                a.record.states.append(EgoState(
+                    time_step=t_j, position=np.array([x, y]),
+                    orientation=th, velocity=vv, acceleration=aa,
+                    yaw_rate=yaw,
+                    steering_angle=float(np.arctan2(
+                        self.veh.wheelbase * yaw, max(vv, 1e-3)))))
+            prev_running[i] = was_running
+            a.status = AgentStatus(int(status_h[i]))
+            if int(status_h[i]) == _RUNNING:
+                a.state = EgoState(
+                    time_step=t0, position=np.asarray(center_h[i]).copy(),
+                    orientation=float(theta_h[i]), velocity=float(v_h[i]),
+                    acceleration=float(acc_h[i]))
+                a.x_cl = (x_cl_h[i, :3].copy(), x_cl_h[i, 3:].copy())
+            elif a.record.states:
+                a.state = a.record.states[-1]
+
+    def _hybrid_pred_cycle(self, c: int):
+        """Host prediction build for one hybrid cycle (walenet): the host's
+        own `_predictions_for_step` + `_agent_predictions` over the synced
+        mirrors — sensor filtering, WorldView-backed net inference and peer
+        rows included, then stacked to (A, O, ...) device tensors."""
+        import jax.numpy as jnp
+
+        from frenetix_tpu.ops.costs import PredictionTensors
+        from frenetix_tpu.sim.agent import AgentStatus
+
+        sim = self.sim
+        sim._peer_rows_cache = None
+        t0 = c * self.k_replan
+        pd_base, ids = sim._predictions_for_step(t0)
+        a_n = len(self.agents)
+        o = pd_base["valid"].shape[0]
+        h = pd_base["valid"].shape[1]
+        dtype = self.np_dtype
+        f = dict(
+            means=np.zeros((a_n, o, h, 2), dtype),
+            covs=np.tile(np.eye(2, dtype=dtype)[None, None, None],
+                         (a_n, o, h, 1, 1)),
+            inv_covs=np.tile(np.eye(2, dtype=dtype)[None, None, None],
+                             (a_n, o, h, 1, 1)),
+            orientations=np.zeros((a_n, o, h), dtype),
+            velocities=np.zeros((a_n, o, h), dtype),
+            lengths=np.full((a_n, o), 4.5, dtype),
+            widths=np.full((a_n, o), 2.0, dtype),
+            valid=np.zeros((a_n, o, h), bool),
+        )
+        for i, a in enumerate(self.agents):
+            if a.status not in (AgentStatus.IDLE, AgentStatus.RUNNING):
+                continue
+            pd = sim._agent_predictions(pd_base, ids, a)[0]
+            for k_ in f:
+                f[k_][i] = pd[k_]
+        return PredictionTensors(**{k_: jnp.asarray(v)
+                                    for k_, v in f.items()})
+
     def _hybrid_carry0(self, g: SimTensors):
         """Initial hybrid carry from (possibly fleet-padded) SimTensors:
-        (x_cl, center, theta, v, acc, kappa, theta_prev, status).  Padded
-        agent rows replicate agent 0's kappa (numerically sane, inert via
-        status ERROR)."""
+        (x_cl, center, theta, v, acc, kappa, theta_prev, status, bank,
+        bank_len).  Padded agent rows replicate agent 0's kappa (numerically
+        sane, inert via status ERROR)."""
         jnp = self.jnp
         status0 = jnp.where(jnp.asarray(g.active0), _RUNNING,
                             _ERROR).astype(jnp.int32)
@@ -1700,7 +2098,8 @@ class DeviceSimulation:
                 [kap, np.repeat(kap[:1], a_pad - kap.shape[0])])
         pose0 = jnp.asarray(g.pose0)
         return (jnp.asarray(g.x_cl0), pose0[:, :2], pose0[:, 2], pose0[:, 3],
-                jnp.asarray(g.acc0), jnp.asarray(kap), pose0[:, 2], status0)
+                jnp.asarray(g.acc0), jnp.asarray(kap), pose0[:, 2], status0,
+                jnp.asarray(g.bank0), jnp.asarray(g.bank_len0))
 
     def _hybrid_restack(self):
         """Rebuild the per-agent tables after a behavior reference-path swap
@@ -1715,7 +2114,8 @@ class DeviceSimulation:
             lane_segments=self.stepper.lane_segments,
             lane_valid=self.stepper.lane_valid)
 
-    def _hybrid_host_cycle(self, c: int, carry_h, inert: bool = False):
+    def _hybrid_host_cycle(self, c: int, carry_h, inert: bool = False,
+                           synced: bool = False):
         """Host side of one hybrid cycle: sync mirrors, run the FSM, build
         the stopping program inputs.
 
@@ -1737,7 +2137,7 @@ class DeviceSimulation:
         wb = self.veh.wheelbase
 
         (x_cl_h, center_h, theta_h, v_h, acc_h, kap_h, th_prev_h,
-         status_h) = carry_h
+         status_h) = carry_h[:8]
         x_cl_h = np.asarray(x_cl_h)
         a_pad = x_cl_h.shape[0]
         t0 = c * k
@@ -1755,8 +2155,9 @@ class DeviceSimulation:
         # through WorldView — sim/world_view.py).  Cycle 0 skips the sync:
         # a fresh host Simulation's mirrors (initial state, x_cl, record)
         # are already exact, including the scenario's initial yaw rate the
-        # carry does not track. ------------------------------------------
-        for i, a in enumerate(self.agents if c > 0 else ()):
+        # carry does not track.  `synced=True` (walenet hybrid) skips it
+        # too — _sync_exec_mirrors already wrote richer mirrors. ----------
+        for i, a in enumerate(self.agents if (c > 0 and not synced) else ()):
             a.state = EgoState(
                 time_step=t0, position=np.asarray(center_h[i]).copy(),
                 orientation=float(theta_h[i]), velocity=float(v_h[i]),
@@ -1797,7 +2198,8 @@ class DeviceSimulation:
 
     def _padded_tensors(self, a_max, c_max, r_max, s_max, o_max, t1_max,
                         g_max, e_max, l_max=None, le_max=None, oc_max=None,
-                        r2_max=None, sr_max=None) -> SimTensors:
+                        r2_max=None, sr_max=None,
+                        fsm_dims=None) -> SimTensors:
         """This scenario's SimTensors padded to the fleet maxima.
 
         Padding is inert by construction: extra agents carry active0=False
@@ -1923,6 +2325,9 @@ class DeviceSimulation:
             pose0=pad_a(g.pose0),
             acc0=pad_a(g.acc0),
             lane=lane,
+            bank0=pad_a(g.bank0),
+            bank_len0=pad_a(g.bank_len0),
+            **_pad_fsm_fields(self, a_max, fsm_dims),
         )
 
     def to_simulation_result(self, dres: DeviceSimResult):
@@ -1979,6 +2384,18 @@ class DeviceSimulation:
         )
 
 
+def _pad_fsm_fields(sim_dev, a_max, fsm_dims) -> dict:
+    """FSM leaves of _padded_tensors (empty when the fleet runs without the
+    in-scan FSM)."""
+    if fsm_dims is None:
+        return {}
+    from frenetix_tpu.behavior.device_fsm import pad_fsm_tensors
+
+    ft, c0 = pad_fsm_tensors(sim_dev.fsm_tensors, sim_dev.fsm_carry_start,
+                             a_max, **fsm_dims)
+    return {"fsm": ft, "fsm_carry0": c0}
+
+
 def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
     """Run S device simulations as ONE vmapped scan with ONE fetch — the
     scenario axis (SURVEY §2.3 P3) as a device batch dimension instead of
@@ -2011,23 +2428,36 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
                 s.np_dtype, s.config.planning.emergency_mode,
                 s.config.planning.compensated_cost_sum, s.resp_weight,
                 s._occ_statics, s.config.prediction.use_sensor_model,
-                s.use_vis_occl, s.hybrid_behavior, s._stop_bucket) != (
+                s.use_vis_occl, s.hybrid_behavior, s._stop_bucket,
+                s.config.prediction.mode, s.bank_w, s.fsm_in_scan) != (
                 base.dt, base.n_steps, base.k_replan,
                 tuple(l[3] for l in base.levels), base.np_dtype,
                 base.config.planning.emergency_mode,
                 base.config.planning.compensated_cost_sum, base.resp_weight,
                 base._occ_statics, base.config.prediction.use_sensor_model,
-                base.use_vis_occl, base.hybrid_behavior, base._stop_bucket):
+                base.use_vis_occl, base.hybrid_behavior, base._stop_bucket,
+                base.config.prediction.mode, base.bank_w,
+                base.fsm_in_scan):
             raise ValueError(
                 "fleet members must share planning statics (dt, horizon, "
                 "replanning frequency, sampling level, dtype, emergency "
                 "mode, compensated-sum flag, responsibility weight, "
-                "occlusion settings, behavior-planner flag)")
+                "occlusion settings, behavior-planner flag, prediction "
+                "mode)")
     if mesh is not None and len(sims) % mesh.size != 0:
         raise ValueError(f"fleet size {len(sims)} must divide evenly over "
                          f"the {mesh.size}-device mesh")
 
-    if base.hybrid_behavior:
+    if base.hybrid_pred:
+        # walenet hybrid: the per-cycle host prediction build (net inference
+        # over executed histories) is inherently per-member host work — run
+        # members sequentially instead of pretending to batch them
+        results = [s.run() for s in sims]
+        for r in results:
+            r.extras["fleet_size"] = len(sims)
+        return results
+
+    if base.hybrid_behavior and not base.fsm_in_scan:
         return _run_hybrid_fleet(sims, mesh, axis_name, t0)
 
     # cache the stacked+padded fleet tensors across calls: every member's
@@ -2052,7 +2482,8 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
     fleet_fn = cache.get(key)
     if fleet_fn is None:
         def build():
-            vrun = jax.vmap(base._build_run(a_n=a_max, n_cycles=c_max))
+            vrun = jax.vmap(base._build_run(a_n=a_max, n_cycles=c_max,
+                                            fsm_mode=base.fsm_in_scan))
             if mesh is not None:
                 # scenarios are independent — shard the scenario axis over
                 # the mesh with no collectives at all (P3 over devices, the
@@ -2071,7 +2502,8 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
             from frenetix_tpu.utils.aot_cache import cached_program
 
             fleet_fn = cached_program(
-                "fleet", (repr(base.config), a_max, c_max, len(sims)),
+                "fleet", (repr(base.config), a_max, c_max, len(sims),
+                          base.fsm_in_scan),
                 stacked, build)
         else:
             fleet_fn = jax.jit(build())
@@ -2079,10 +2511,17 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
     out = jax.device_get(fleet_fn(stacked))      # THE one fetch for S sims
 
     wall = time.perf_counter() - t0
+    bail = np.asarray(out.pop("fsm_bail")) if "fsm_bail" in out \
+        else np.zeros(len(sims), bool)
     results = []
     for i, s in enumerate(sims):
-        res = s._finalize({k_: v[i] for k_, v in out.items()})
-        res.wall_time = wall
+        if bail[i]:
+            # this member's in-scan FSM hit an unsupported transition
+            # (overtake initiation) — rerun it alone on the hybrid path
+            res = s._run_hybrid()
+        else:
+            res = s._finalize({k_: v[i] for k_, v in out.items()})
+            res.wall_time = wall
         res.extras["fleet_size"] = len(sims)
         results.append(res)
     return results
@@ -2112,10 +2551,22 @@ def _fleet_stack(sims):
         r2_max = max(np.asarray(s.tensors.turn_hot).shape[1] for s in sims)
     if base.use_vis_occl:
         sr_max = max(np.asarray(s.tensors.road_segs).shape[0] for s in sims)
+    fsm_dims = None
+    if base.fsm_in_scan:
+        f = lambda fn: max(fn(s.fsm_tensors) for s in sims)
+        fsm_dims = dict(
+            r_max=f(lambda t: t.f_xy.shape[1]),
+            g_max=f(lambda t: t.g_valid.shape[1]),
+            l_max=f(lambda t: t.ll_valid.shape[0]),
+            e_max=f(lambda t: t.ll_rings.shape[1]),
+            ob_max=f(lambda t: t.ob_len.shape[0]),
+            t1_max=f(lambda t: t.ob_pos.shape[0]),
+            c_max=c_max,
+        )
 
     padded = [s._padded_tensors(a_max, c_max, r_max, s_max, o_max, t1_max,
                                 g_max, e_max, l_max, le_max, oc_max, r2_max,
-                                sr_max)
+                                sr_max, fsm_dims)
               for s in sims]
     # stack on HOST and upload ONE array per leaf: the padded leaves are
     # already NumPy, and jnp.stack(list-of-S-arrays) would device_put each

@@ -195,10 +195,20 @@ class Simulation:
             )
         elif pcfg.mode == "walenet":
             from frenetix_tpu.models.walenet import walenet_predictions
+            from frenetix_tpu.sim.world_view import WorldView
 
+            # neighbor grids + histories read live executed agent states —
+            # the reference's update_scenario rewrites the dummies before
+            # each global prediction, so even scenario obstacles' nets see
+            # the agents where they actually are (wale_net preprocessing
+            # over the mutated scenario)
+            wv = WorldView(self.scenario, self.agents,
+                           veh_length=self.config.vehicle.length,
+                           veh_width=self.config.vehicle.width) \
+                if self.agents else None
             pd = walenet_predictions(
                 self.scenario, ids, t, horizon,
-                max_obstacles=pcfg.max_obstacles, dtype=dtype,
+                max_obstacles=pcfg.max_obstacles, dtype=dtype, world=wv,
             )
         else:
             pd = constant_velocity_predictions(
@@ -256,10 +266,133 @@ class Simulation:
                 pd["valid"][k] = False
         return pd
 
+    def _peer_future(self, a: Agent, t: int, horizon: int, dtype):
+        """Mode-faithful future of one live peer agent — the analog of the
+        reference's scenario mutation + re-prediction (simulation.py:743-779
+        `update_scenario` publishes each agent's executed history + its
+        CURRENT PLANNED TRAJECTORY into its dummy obstacle, and the next
+        global prediction step runs the configured predictor over it).
+
+        ground_truth:  the remainder of the peer's current plan, converted
+          rear-axle → center (the reference's GT predictor reads the dummy's
+          trajectory, prediction_helpers.py:209-261 — i.e. the plan),
+          truncated at plan end; before the first plan exists (step 0) the
+          converted obstacle's recorded trajectory, like the reference's
+          not-yet-updated dummy; CV extrapolation only when neither exists
+          (an ego planning problem with no recorded trajectory).
+        walenet: handled in `_peer_rows_for_step` (the net runs over the
+          peers' executed histories through a WorldView, one batch).
+        constant_velocity: extrapolate the current pose (this repo's own
+          deployment-realistic mode; the reference has no CV mode).
+
+        Returns (means (H,2), orientations (H,), velocities (H,), valid (H,),
+        cov (2,2)).  Invalid tail rows pad with the last valid pose, same as
+        `ground_truth_predictions`."""
+        from frenetix_tpu.sim.prediction import extrapolate_constant_velocity
+
+        mode = self.config.prediction.mode
+        st = a.state
+        means = np.zeros((horizon, 2))
+        orient = np.full(horizon, float(st.orientation))
+        vel = np.full(horizon, float(st.velocity))
+        valid = np.zeros(horizon, bool)
+        cov_pos = self.config.prediction.cov_pos
+
+        if mode == "ground_truth":
+            plan = a.current_plan
+            if plan is not None:
+                wb = self.config.vehicle.wb_rear_axle
+                n = len(plan.x)
+                for i in range(horizon):
+                    j = a.plan_step + 1 + i
+                    if j >= n:
+                        break
+                    th = float(plan.theta[j])
+                    means[i] = (plan.x[j] + wb * np.cos(th),
+                                plan.y[j] + wb * np.sin(th))
+                    orient[i] = th
+                    vel[i] = float(plan.v[j])
+                    valid[i] = True
+            else:
+                ob = self.scenario.obstacles.get(a.id)
+                if ob is not None:
+                    for i in range(horizon):
+                        s = ob.state_at_time(t + 1 + i)
+                        if s is None:
+                            break
+                        means[i] = s.position
+                        orient[i] = float(s.orientation)
+                        vel[i] = float(s.velocity)
+                        valid[i] = True
+            cov = np.eye(2) * cov_pos
+            if valid.any():
+                n_v = int(valid.sum())
+                means[n_v:] = means[n_v - 1]
+                orient[n_v:] = orient[n_v - 1]
+                vel[n_v:] = vel[n_v - 1]
+                return means, orient, vel, valid, cov
+
+        # constant-velocity row (CV mode, and the GT fallback when the peer
+        # has neither a plan nor a recorded trajectory)
+        means = extrapolate_constant_velocity(
+            st.position, st.orientation, st.velocity, horizon, self.dt)
+        valid[:] = True
+        cov = np.eye(2) * (cov_pos if mode == "ground_truth"
+                           else max(cov_pos, 0.1))
+        return means, orient, vel, valid, cov
+
+    def _peer_rows_for_step(self, t: int) -> dict:
+        """Every live agent's peer-visible prediction row, computed ONCE per
+        step (the reference runs ONE global prediction over all dummies) and
+        cached; observers then take all rows but their own."""
+        cached = getattr(self, "_peer_rows_cache", None)
+        if cached is not None and cached[0] == t:
+            return cached[1]
+        horizon = self.config.prediction.horizon_steps
+        dtype = np.float64 if self.config.dtype == "float64" else np.float32
+        live = [a for a in self.agents
+                if a.status in (AgentStatus.IDLE, AgentStatus.RUNNING)]
+        rows = {}
+        if self.config.prediction.mode == "walenet" and live:
+            # the net consumes each peer's EXECUTED history (the reference's
+            # wale_net.py:236-259 reads the dummy's updated trajectory);
+            # WorldView serves live states wherever the scenario would serve
+            # stale recorded ones
+            from frenetix_tpu.models.walenet import walenet_predictions
+            from frenetix_tpu.sim.world_view import WorldView
+
+            wv = WorldView(self.scenario, self.agents,
+                           veh_length=self.config.vehicle.length,
+                           veh_width=self.config.vehicle.width)
+            ids = [a.id for a in live]
+            wp = walenet_predictions(
+                self.scenario, ids, t, horizon,
+                max_obstacles=len(ids), dtype=dtype, world=wv)
+            for k, a in enumerate(live):
+                rows[a.id] = dict(
+                    means=wp["means"][k], orientations=wp["orientations"][k],
+                    velocities=wp["velocities"][k], valid=wp["valid"][k],
+                    covs=wp["covs"][k], inv_covs=wp["inv_covs"][k])
+        else:
+            for a in live:
+                means, orient, vel, valid, cov = self._peer_future(
+                    a, t, horizon, dtype)
+                rows[a.id] = dict(
+                    means=means.astype(dtype),
+                    orientations=orient.astype(dtype),
+                    velocities=vel.astype(dtype), valid=valid,
+                    covs=np.broadcast_to(
+                        cov.astype(dtype), (horizon, 2, 2)),
+                    inv_covs=np.broadcast_to(
+                        np.linalg.inv(cov).astype(dtype), (horizon, 2, 2)))
+        self._peer_rows_cache = (t, rows)
+        return rows
+
     def _augment_with_agents(self, pd, for_agent: Agent):
-        """Other agents appear as predicted obstacles (their executed poses,
-        extrapolated at constant velocity — the analog of the reference's
-        scenario mutation + re-prediction, simulation.py:743-779).
+        """Other agents appear as predicted obstacles with mode-faithful
+        futures (`_peer_future`): their planned trajectories in ground-truth
+        mode, net predictions over executed histories in walenet mode, CV
+        extrapolation in constant-velocity mode.
 
         Terminated agents are NOT included: in the reference a finished
         agent's recorded trajectory simply ends, so it has no state at later
@@ -272,8 +405,6 @@ class Simulation:
         ]
         if not others:
             return pd
-        horizon = pd["means"].shape[1]
-        dtype = pd["means"].dtype
         free = list(np.where(~pd["valid"].any(axis=1))[0])
         if len(free) < len(others):
             # peer agents are safety-critical: when the fixed tensor width
@@ -295,21 +426,17 @@ class Simulation:
             for row in valid_rows[np.argsort(dist)[::-1][:need]]:
                 pd["valid"][row] = False
                 free.append(int(row))
-        from frenetix_tpu.sim.prediction import extrapolate_constant_velocity
-
+        rows = self._peer_rows_for_step(int(for_agent.state.time_step))
         for a, slot in zip(others, free):
-            st = a.state
-            pd["means"][slot] = extrapolate_constant_velocity(
-                st.position, st.orientation, st.velocity, horizon, self.dt
-            )
-            pd["orientations"][slot] = st.orientation
-            pd["velocities"][slot] = st.velocity
-            cov = np.eye(2, dtype=dtype) * max(self.config.prediction.cov_pos, 0.1)
-            pd["covs"][slot] = cov[None]
-            pd["inv_covs"][slot] = np.linalg.inv(cov)[None]
+            r = rows[a.id]
+            pd["means"][slot] = r["means"]
+            pd["orientations"][slot] = r["orientations"]
+            pd["velocities"][slot] = r["velocities"]
+            pd["covs"][slot] = r["covs"]
+            pd["inv_covs"][slot] = r["inv_covs"]
             pd["lengths"][slot] = self.config.vehicle.length + 0.5
             pd["widths"][slot] = self.config.vehicle.width + 0.2
-            pd["valid"][slot] = True
+            pd["valid"][slot] = r["valid"]
         return pd
 
     # ------------------------------------------------------------- collisions

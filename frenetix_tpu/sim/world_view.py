@@ -26,6 +26,7 @@ class _LiveAgentObstacle:
         self._agent = agent
         self.obstacle_id = agent.id
         self.obstacle_type = "car"
+        self.role = "dynamic"
         self.length = length
         self.width = width
 

@@ -148,6 +148,10 @@ class BehaviorConfig:
     replanning_frequency: int = 3
     dt: float = 0.1
     stopping_mode_threshold: float = 10.0  # reactive_planner_cpp.py:332
+    # device-sim FSM placement: "auto" moves the supported FSM subset into
+    # the whole-run scan (behavior/device_fsm.py — one fetch per run);
+    # "hybrid" forces the per-cycle host FSM path
+    device_fsm: str = "auto"
 
     # path planner (behavior.yaml path_planner configs)
     dist_between_points: float = 0.125
