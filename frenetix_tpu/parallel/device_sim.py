@@ -54,9 +54,14 @@ construction where possible):
   before selection; occ_um/occ_ve soft costs build their per-step polar
   visibility map + silhouette points on device too (`sim.visible_area`
   jnp twins).
-- the behavior planner runs in HYBRID mode: the FSM is host control logic
-  (exactly as in the reference), so behavior runs switch from one whole-run
-  scan to one jitted device cycle per replan with the FSM on host between
+- the behavior planner runs IN-SCAN where its scope is device-supported
+  (behavior/device_fsm.py: TL/stop/yield/crosswalk static families, the
+  TTC/MAX velocity planner, stop-point calculator and quintic stopping
+  matrix as pure scan logic — one fetch per behavior run; unsupported
+  scopes fall back to HYBRID at construction and a runtime overtake
+  initiation bails to hybrid transparently).  In hybrid mode the FSM is
+  host control logic (exactly as in the reference) and the run switches
+  to one jitted device cycle per replan with the FSM on host between
   cycles — one O(A)-floats fetch per cycle instead of one per run; matrix
   build, cycle evaluation, stopping-mode quintic sampling, emergency ladder,
   execute sub-steps and status ladder all stay on device (`_run_hybrid`).
@@ -1035,7 +1040,7 @@ class DeviceSimulation:
 
     # ------------------------------------------------------------------- run
     def _build_run(self, a_n=None, n_cycles=None, hybrid=False,
-                   hybrid_pred=False, fsm_mode=False):
+                   hybrid_pred=False, fsm_mode=False, emit_margins=False):
         """Build the jitted whole-run function run(tensors) → out dict.
 
         `a_n` / `n_cycles` default to this scenario's values; `run_fleet`
@@ -1122,6 +1127,18 @@ class DeviceSimulation:
             out.update(found=res.found, fb_ok=fb_ok, best=idx,
                        sel=jnp.stack([matrix[idx, 1], matrix[idx, 5],
                                       matrix[idx, 10]]))
+            if emit_margins:
+                # knife-edge diagnostics (tools/tie_margins.py --device):
+                # the (second best − best) gap of the DEVICE program's own
+                # masked cost vector — the margin that decides whether a
+                # ±1-ulp difference can flip this cycle's selection
+                masked = jnp.where(res.selectable, res.cost, jnp.inf)
+                top2 = -jax.lax.top_k(-masked, 2)[0]
+                gap = jnp.where(jnp.isfinite(top2[1]), top2[1] - top2[0],
+                                jnp.inf)
+                out["margin_gap"] = gap
+                out["margin_rel"] = gap / jnp.maximum(
+                    jnp.abs(top2[0]), 1e-12)
             return out
 
         resp_w = self.resp_weight
@@ -1716,6 +1733,8 @@ class DeviceSimulation:
             # this cycle (exposed for debugging/regression)
             ys = (jnp.stack(traj_steps), jnp.stack(status_steps), sel, found,
                   x_cl_replan)
+            if emit_margins:
+                ys = ys + (out["margin_gap"], out["margin_rel"])
             return carry, ys
 
         if hybrid and hybrid_pred:
@@ -1754,7 +1773,7 @@ class DeviceSimulation:
             carry, ys = jax.lax.scan(
                 lambda carry, c: body(g, carry, c), carry0,
                 jnp.arange(n_cycles, dtype=jnp.int32))
-            traj, status_steps, sel, found, x_cl_cycles = ys
+            traj, status_steps, sel, found, x_cl_cycles = ys[:5]
             t_tot = n_cycles * k
             out = {
                 "final_status": carry[5],
@@ -1766,6 +1785,8 @@ class DeviceSimulation:
             }
             if fsm_mode:
                 out["fsm_bail"] = carry[9].bail
+            if emit_margins:
+                out["margin_gap"], out["margin_rel"] = ys[5], ys[6]
             return out
 
         return jax.jit(run)

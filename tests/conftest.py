@@ -9,6 +9,9 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# the AOT export layer (default-on since r5) retraces once more to export —
+# pure overhead for single-process test runs
+os.environ.setdefault("FRENETIX_TPU_AOT", "0")
 
 import jax  # noqa: E402
 

@@ -163,7 +163,13 @@ def test_device_sim_sharded_matches_vmap():
 
     np.testing.assert_array_equal(r_v.status, r_s.status)
     assert r_v.steps == r_s.steps
-    np.testing.assert_array_equal(r_v.selections, r_s.selections)
+    # selections agreed BITWISE before round 5; the peer plan bank now
+    # feeds the all-gathered selected trajectories back into the next
+    # cycle's predictions, so the mesh's reassociation noise (~1e-20 on
+    # f64) propagates into the sampling matrix's d-grid values — same
+    # candidates, sub-ulp parameter noise
+    np.testing.assert_allclose(r_v.selections, r_s.selections,
+                               rtol=1e-12, atol=1e-15)
     np.testing.assert_allclose(r_v.trajectories, r_s.trajectories, atol=1e-9)
 
     with pytest.raises(ValueError):
@@ -817,7 +823,13 @@ def test_device_sim_hybrid_behavior_sharded_matches_vmap():
                            mesh=make_agent_mesh(jax.devices()[:2])).run()
     np.testing.assert_array_equal(r_v.status, r_s.status)
     assert r_v.steps == r_s.steps
-    np.testing.assert_array_equal(r_v.selections, r_s.selections)
+    # selections agreed BITWISE before round 5; the peer plan bank now
+    # feeds the all-gathered selected trajectories back into the next
+    # cycle's predictions, so the mesh's reassociation noise (~1e-20 on
+    # f64) propagates into the sampling matrix's d-grid values — same
+    # candidates, sub-ulp parameter noise
+    np.testing.assert_allclose(r_v.selections, r_s.selections,
+                               rtol=1e-12, atol=1e-15)
     np.testing.assert_allclose(r_v.trajectories, r_s.trajectories, atol=1e-9)
 
 

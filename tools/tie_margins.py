@@ -64,10 +64,50 @@ def margins_for(path, compensated: bool):
     return gaps, rel_gaps, selections, statuses
 
 
+def device_margins_for(path, behavior=False):
+    """Per-cycle selection margins of the DEVICE program itself (VERDICT r4
+    item 5: docs/TIE_MARGINS.md measured the host path only, but knife
+    edges flip inside the compiled device programs).  Builds the scan with
+    `emit_margins=True` (a separate compiled variant — the default
+    programs keep their cache entries) and reports the per-agent gap
+    distribution."""
+    from frenetix_tpu.io import load_scenario
+    from frenetix_tpu.parallel.device_sim import DeviceSimulation
+    from frenetix_tpu.sim import Simulation
+    from frenetix_tpu.utils.config import load_config
+
+    import jax
+
+    cfg = load_config()
+    cfg.dtype = "float32"
+    cfg.simulation.start_multiagent = True
+    cfg.debug.activate_logging = False
+    if behavior:
+        cfg.behavior.use_behavior_planner = True
+    sc = load_scenario(path) if str(path).endswith(".xml") else path()
+    ds = DeviceSimulation(Simulation(sc, cfg))
+    if ds.hybrid_behavior and not ds.fsm_in_scan:
+        return None  # hybrid path: host-side margins already cover it
+    fn = jax.jit(ds._build_run(fsm_mode=ds.fsm_in_scan,
+                               emit_margins=True))
+    out = jax.device_get(fn(ds.tensors))
+    res = {k: np.asarray(v) for k, v in out.items()
+           if k in ("margin_gap", "margin_rel", "status_per_step")}
+    # margins only matter while the agent still runs (frozen agents carry
+    # stale selections)
+    gap = res["margin_gap"]                      # (C, A)
+    sps = res["status_per_step"].reshape(gap.shape[0], -1, gap.shape[1])
+    live = (sps == 1).any(axis=1)                # (C, A) ran that cycle
+    g = gap[live & np.isfinite(gap)]
+    return g
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--device", action="store_true",
+                    help="also measure margins inside the DEVICE programs")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +152,36 @@ def main():
         f"(~1e1) is ~1e-6 — gaps above ~1e-5 are tie-safe.")
     lines.append(summary)
     print(summary)
+
+    if args.device:
+        from frenetix_tpu.io import scenario_factory as sf
+
+        lines += ["", "## Device-program margins (float32 scan, "
+                  "emit_margins variant)", "",
+                  "| scenario | live replans | min gap | p1 | median |",
+                  "|---|---|---|---|---|"]
+        cases = [(f.removesuffix(".xml"),
+                  os.path.join(XML_DIR, f), False)
+                 for f in sorted(os.listdir(XML_DIR)) if f.endswith(".xml")]
+        cases += [("traffic_light|behavior", sf.make_traffic_light, True),
+                  ("overtake|behavior", sf.make_overtake, True),
+                  ("behavior_overtake|behavior",
+                   sf.make_behavior_overtake, True)]
+        for name, src_, beh in cases:
+            try:
+                g = device_margins_for(src_, behavior=beh)
+            except Exception as e:
+                lines.append(f"| {name} | error: {type(e).__name__} | | | |")
+                print(lines[-1], flush=True)
+                continue
+            if g is None or not len(g):
+                lines.append(f"| {name} | (hybrid path / none) | | | |")
+            else:
+                lines.append(
+                    f"| {name} | {len(g)} | {g.min():.3e} | "
+                    f"{np.percentile(g, 1):.3e} | {np.median(g):.3e} |")
+            print(lines[-1], flush=True)
+
     if args.out:
         open(args.out, "w").write("\n".join(lines) + "\n")
         print(f"wrote {args.out}")
