@@ -102,10 +102,12 @@ def run_cell(scenario_fn, overrides, arm: str):
             "steps": int(res.steps)}
 
 
-def build(arms, only=None):
+def build(arms, only=None, shard=None):
     rows = []
     for i, (name, fn) in enumerate(corpus()):
         if only and only not in name:
+            continue
+        if shard is not None and i % shard[1] != shard[0]:
             continue
         for tag, ov in cell_configs(i):
             for arm in arms:
@@ -129,6 +131,9 @@ def main():
     ap.add_argument("--arms", nargs="*", default=["host", "device"])
     ap.add_argument("--only", default=None,
                     help="substring filter on scenario names (quick checks)")
+    ap.add_argument("--shard", default=None,
+                    help="k/n: run corpus entries with index % n == k "
+                         "(parallel workers; merge with tools/matrix_merge)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
                          "ignores JAX_PLATFORMS; only a config update works)")
@@ -143,7 +148,11 @@ def main():
 
     enable_compilation_cache()
 
-    rows = build(args.arms, only=args.only)
+    shard = None
+    if args.shard:
+        k, n = args.shard.split("/")
+        shard = (int(k), int(n))
+    rows = build(args.arms, only=args.only, shard=shard)
     doc = {"n_cells": len(rows), "rows": rows}
     if args.check:
         pinned = json.load(open(args.check))

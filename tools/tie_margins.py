@@ -108,11 +108,17 @@ def main():
     ap.add_argument("--cpu", action="store_true", default=True)
     ap.add_argument("--device", action="store_true",
                     help="also measure margins inside the DEVICE programs")
+    ap.add_argument("--device-only", action="store_true",
+                    help="skip the host-path section (CPU-heavy sims)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="keep the session backend (real chip) instead of "
+                         "forcing CPU — the honest f32 target for --device")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
     from frenetix_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -120,11 +126,16 @@ def main():
     all_gaps, all_rel = [], []
     lines = ["# Selection tie margins (five reference scenarios, float32, "
              "host path)", ""]
+    if args.device_only:
+        lines.append("(host-path section skipped this run — see "
+                     "docs/TIE_MARGINS.md for the host table)")
     lines.append("| scenario | replans | min gap | p1 gap | median gap | "
                  "min rel gap | selections flipped by compensated sum | "
                  "wall default → compensated |")
     lines.append("|---|---|---|---|---|---|---|---|")
     for f in sorted(os.listdir(XML_DIR)):
+        if args.device_only:
+            break
         if not f.endswith(".xml"):
             continue
         path = os.path.join(XML_DIR, f)
@@ -144,11 +155,11 @@ def main():
         all_gaps += gaps
         all_rel += rel
         print(lines[-1], flush=True)
-    g = np.array(all_gaps)
+    g = np.array(all_gaps if all_gaps else [np.nan])
     summary = (
         f"\nOverall: {len(g)} replans; min gap {g.min():.3e}, p1 "
         f"{np.percentile(g, 1):.3e}, median {np.median(g):.3e}; min relative "
-        f"gap {min(all_rel):.3e}.  A float32 cost ulp at typical magnitudes "
+        f"gap {min(all_rel) if all_rel else float('nan'):.3e}.  A float32 cost ulp at typical magnitudes "
         f"(~1e1) is ~1e-6 — gaps above ~1e-5 are tie-safe.")
     lines.append(summary)
     print(summary)
@@ -158,8 +169,16 @@ def main():
 
         lines += ["", "## Device-program margins (float32 scan, "
                   "emit_margins variant)", "",
-                  "| scenario | live replans | min gap | p1 | median |",
-                  "|---|---|---|---|---|"]
+                  "Zero gaps are DUPLICATE candidates (the matrix builder "
+                  "appends the current ss0/d0 rows, and the stopping d1 "
+                  "union can duplicate the centre row) — identical "
+                  "trajectories, argmin deterministically picks the first; "
+                  "they are not knife edges.  `min>0` is the smallest gap "
+                  "between DISTINCT candidates — the margin a ±1-ulp cost "
+                  "difference would have to beat to flip a selection.", "",
+                  "| scenario | live replans | zero-gap (dup) | min>0 | "
+                  "p10>0 | median |",
+                  "|---|---|---|---|---|---|"]
         cases = [(f.removesuffix(".xml"),
                   os.path.join(XML_DIR, f), False)
                  for f in sorted(os.listdir(XML_DIR)) if f.endswith(".xml")]
@@ -175,11 +194,14 @@ def main():
                 print(lines[-1], flush=True)
                 continue
             if g is None or not len(g):
-                lines.append(f"| {name} | (hybrid path / none) | | | |")
+                lines.append(f"| {name} | (hybrid path / none) | | | | |")
             else:
+                pos = g[g > 0]
                 lines.append(
-                    f"| {name} | {len(g)} | {g.min():.3e} | "
-                    f"{np.percentile(g, 1):.3e} | {np.median(g):.3e} |")
+                    f"| {name} | {len(g)} | {int((g == 0).sum())} | "
+                    f"{pos.min() if len(pos) else float('nan'):.3e} | "
+                    f"{np.percentile(pos, 10) if len(pos) else float('nan'):.3e} | "
+                    f"{np.median(g):.3e} |")
             print(lines[-1], flush=True)
 
     if args.out:
