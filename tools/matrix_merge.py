@@ -9,8 +9,13 @@ import sys
 def main():
     out_path, shards = sys.argv[1], sys.argv[2:]
     rows = []
+    seen = set()
     for p in shards:
-        rows.extend(json.load(open(p))["rows"])
+        for r in json.load(open(p))["rows"]:
+            if r["cell"] in seen:
+                continue  # overlapping workers: first occurrence wins
+            seen.add(r["cell"])
+            rows.append(r)
     # stable order: by cell key
     rows.sort(key=lambda r: r["cell"])
     json.dump({"n_cells": len(rows), "rows": rows}, open(out_path, "w"),
