@@ -2417,10 +2417,20 @@ def _pad_fsm_fields(sim_dev, a_max, fsm_dims) -> dict:
     return {"fsm": ft, "fsm_carry0": c0}
 
 
-def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
+def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios",
+              chunk: int = None) -> list:
     """Run S device simulations as ONE vmapped scan with ONE fetch — the
     scenario axis (SURVEY §2.3 P3) as a device batch dimension instead of
     host worker processes.
+
+    `chunk`: compile ONE fleet program of `chunk` members and run the S
+    simulations as ceil(S/chunk) sequential calls of it (the last group
+    padded with repeats of its first member, extra results dropped).
+    Compile+first at S=256 was 561 s as one giant vmapped scan (r4,
+    PERF.md) — chunked, every group reuses the first group's executable
+    when the padded bucket shapes match (homogeneous suites always do),
+    so compile+first collapses to the S=chunk cost at a few percent of
+    steady-state throughput.
 
     All members must share the planning/prediction statics (dt, horizon,
     replanning frequency, sampling level, max_obstacles, dtype — i.e. the
@@ -2439,6 +2449,17 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios") -> list:
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
+    if chunk is not None and len(sims) > chunk:
+        out = []
+        for i in range(0, len(sims), chunk):
+            group = sims[i:i + chunk]
+            n_real = len(group)
+            if n_real < chunk:
+                group = group + [group[0]] * (chunk - n_real)
+            out.extend(run_fleet(group, mesh=mesh,
+                                 axis_name=axis_name)[:n_real])
+        return out
+
     base = sims[0]
     for s in sims:
         if s.mesh is not None:
