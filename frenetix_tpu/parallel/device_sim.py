@@ -2471,15 +2471,14 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios",
                 s.config.planning.compensated_cost_sum, s.resp_weight,
                 s._occ_statics, s.config.prediction.use_sensor_model,
                 s.use_vis_occl, s.hybrid_behavior, s._stop_bucket,
-                s.config.prediction.mode, s.bank_w, s.fsm_in_scan) != (
+                s.config.prediction.mode, s.bank_w) != (
                 base.dt, base.n_steps, base.k_replan,
                 tuple(l[3] for l in base.levels), base.np_dtype,
                 base.config.planning.emergency_mode,
                 base.config.planning.compensated_cost_sum, base.resp_weight,
                 base._occ_statics, base.config.prediction.use_sensor_model,
                 base.use_vis_occl, base.hybrid_behavior, base._stop_bucket,
-                base.config.prediction.mode, base.bank_w,
-                base.fsm_in_scan):
+                base.config.prediction.mode, base.bank_w):
             raise ValueError(
                 "fleet members must share planning statics (dt, horizon, "
                 "replanning frequency, sampling level, dtype, emergency "
@@ -2499,7 +2498,11 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios",
             r.extras["fleet_size"] = len(sims)
         return results
 
-    if base.hybrid_behavior and not base.fsm_in_scan:
+    # a behavior fleet runs the in-scan FSM only when EVERY member's scope
+    # is device-supported; mixed fleets downgrade to the hybrid path (the
+    # host FSM drives all members — always correct, just slower)
+    fleet_fsm = base.hybrid_behavior and all(s.fsm_in_scan for s in sims)
+    if base.hybrid_behavior and not fleet_fsm:
         return _run_hybrid_fleet(sims, mesh, axis_name, t0)
 
     # cache the stacked+padded fleet tensors across calls: every member's
@@ -2513,19 +2516,19 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios",
             and all(a is b for a, b in zip(st_cache[0], sims))):
         _, stacked, a_max, c_max = st_cache
     else:
-        stacked, _, a_max, c_max = _fleet_stack(sims)
+        stacked, _, a_max, c_max = _fleet_stack(sims, use_fsm=fleet_fsm)
         base._fleet_stacked_cache = (tuple(sims), stacked, a_max, c_max)
     # cache the compiled fleet program on the base member (a fresh
     # jit(vmap(...)) closure per call would re-trace every time)
     cache = getattr(base, "_fleet_cache", None)
     if cache is None:
         cache = base._fleet_cache = {}
-    key = (a_max, c_max, None if mesh is None else id(mesh))
+    key = (a_max, c_max, fleet_fsm, None if mesh is None else id(mesh))
     fleet_fn = cache.get(key)
     if fleet_fn is None:
         def build():
             vrun = jax.vmap(base._build_run(a_n=a_max, n_cycles=c_max,
-                                            fsm_mode=base.fsm_in_scan))
+                                            fsm_mode=fleet_fsm))
             if mesh is not None:
                 # scenarios are independent — shard the scenario axis over
                 # the mesh with no collectives at all (P3 over devices, the
@@ -2545,7 +2548,7 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios",
 
             fleet_fn = cached_program(
                 "fleet", (repr(base.config), a_max, c_max, len(sims),
-                          base.fsm_in_scan),
+                          fleet_fsm),
                 stacked, build)
         else:
             fleet_fn = jax.jit(build())
@@ -2569,9 +2572,11 @@ def run_fleet(sims: list, mesh=None, axis_name: str = "scenarios",
     return results
 
 
-def _fleet_stack(sims):
+def _fleet_stack(sims, use_fsm=None):
     """Pad every member's SimTensors to the fleet maxima and stack them on a
-    leading scenario axis.  Returns (stacked, padded, a_max, c_max)."""
+    leading scenario axis.  Returns (stacked, padded, a_max, c_max).
+    `use_fsm`: stack the in-scan-FSM tensors (defaults to the base member's
+    own fsm_in_scan — run_fleet passes the all-members decision)."""
     import jax
     import jax.numpy as jnp
 
@@ -2594,7 +2599,7 @@ def _fleet_stack(sims):
     if base.use_vis_occl:
         sr_max = max(np.asarray(s.tensors.road_segs).shape[0] for s in sims)
     fsm_dims = None
-    if base.fsm_in_scan:
+    if base.fsm_in_scan if use_fsm is None else use_fsm:
         f = lambda fn: max(fn(s.fsm_tensors) for s in sims)
         fsm_dims = dict(
             r_max=f(lambda t: t.f_xy.shape[1]),
@@ -2644,7 +2649,7 @@ def _run_hybrid_fleet(sims, mesh, axis_name, t0):
     base = sims[0]
     n_s = len(sims)
     dtype = base.np_dtype
-    stacked, padded_g, a_max, c_max = _fleet_stack(sims)
+    stacked, padded_g, a_max, c_max = _fleet_stack(sims, use_fsm=False)
 
     cache = getattr(base, "_fleet_cache", None)
     if cache is None:
@@ -2696,7 +2701,7 @@ def _run_hybrid_fleet(sims, mesh, axis_name, t0):
             # still needed because a longer new path can grow the R bucket
             for s in swapped_members:
                 s._hybrid_restack()
-            stacked, _, a_max2, _ = _fleet_stack(sims)
+            stacked, _, a_max2, _ = _fleet_stack(sims, use_fsm=False)
             if a_max2 != a_max:
                 # the agent-axis bucket is fixed at construction; a change
                 # would silently break the vmapped step's in_axes

@@ -848,7 +848,17 @@ def test_device_sim_hybrid_fleet_matches_solo():
     from frenetix_tpu.sim import Simulation
 
     def mk(maker, **kw):
-        cfg = _cfg(**{"behavior.use_behavior_planner": True, **kw})
+        # pin BOTH arms to the hybrid path: a mixed fleet (lane_change is
+        # hybrid-only) downgrades to hybrid as a whole, while a solo
+        # traffic light would default to the in-scan FSM — the two paths
+        # agree on outcomes but can pick knife-edge-equivalent stopping
+        # candidates on stationary cycles (identical executed
+        # trajectories, different selection params).  This test pins the
+        # hybrid fleet against hybrid solos; in-scan==hybrid is pinned by
+        # tests/test_device_fsm.py, mixed-fleet downgrade by the sharded
+        # variant below.
+        cfg = _cfg(**{"behavior.use_behavior_planner": True,
+                      "behavior.device_fsm": "hybrid", **kw})
         return DeviceSimulation(Simulation(maker(), cfg))
 
     makers = [(make_traffic_light, {}), (make_lane_change, {}),
