@@ -263,17 +263,25 @@ def main():
     import subprocess
     import sys
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as j;"
-             "print(jax.jit(lambda v: v*2)(j.arange(8.0))[0])"],
-            timeout=180, check=True, capture_output=True,
-        )
-    except subprocess.TimeoutExpired:
-        print("bench: device unresponsive (tunnel hang) — trivial jit did "
-              "not complete within 180 s", file=sys.stderr)
-        raise SystemExit(1)
+    for attempt in range(3):
+        # the tunnel FLAPS (observed 2026-08-20: first contact sometimes
+        # takes minutes, then recovers) — retry with a generous window
+        # before declaring the device dead
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as j;"
+                 "print(jax.jit(lambda v: v*2)(j.arange(8.0))[0])"],
+                timeout=300, check=True, capture_output=True,
+            )
+            break
+        except subprocess.TimeoutExpired:
+            if attempt == 2:
+                print("bench: device unresponsive (tunnel hang) — trivial "
+                      "jit did not complete within 3x300 s", file=sys.stderr)
+                raise SystemExit(1)
+            print(f"bench: tunnel probe attempt {attempt + 1} timed out; "
+                  "retrying", file=sys.stderr)
 
     def measure(density, bucket, reps=8, outer=3, compiles=2):
         """One workload size → timing + accounting dict."""
